@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Each `queries` entry is one operator from the inventory; `oracleSql`
+  * carries the DuckDB-equivalent SQL for the driver's correctness gate.
+  * Non-SQL-expressible operators (MinHash/SimHash/LSH/multimodal) are
+  * rows-only here and verified in ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipeline.Relational.joinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    pipeline.Relational.queries
+
+  /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
+  def oracleSql: Map[String, String] =
+    pipeline.Relational.oracles
 }

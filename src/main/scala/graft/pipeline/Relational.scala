@@ -1,0 +1,293 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / pipeline-core operators (SURVEY.md §2, reference-derived).
+  *
+  * Re-expresses the reference's pandas/dict loops as declarative Spark plans:
+  * incremental anti-joins (reference run_full_pipeline.py:353-395), set
+  * reconciliation (get_download_list.py:57-58), duplicate audits
+  * (check_unique_hashes.py:45-60), backfill merge
+  * (backfill_download_metadata.py:106-201), multi-format date normalization
+  * (website/generate_website_data.py:23-62).
+  *
+  * Scale notes (100 TB): every agg here is partial-aggregatable (map-side
+  * combine); dimension sides of joins are broadcast; the only shuffles are
+  * on the grouping / join keys themselves. Window top-1-per-key (q03) uses a
+  * single hash shuffle on the partition key.
+  */
+object Relational {
+
+  /** q01: filtered multi-aggregate scan (TPC-H Q1 family).
+    * Partial aggregation + codegen; filter and 7-column projection are
+    * pushed to the parquet scan.
+    */
+  def pricingAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: star join + rollup (reference: per-agency rollup joined with
+    * facility info, generate_website_data.py:308-326).
+    * nation/region are broadcast (tiny dims at any scale); customer joins
+    * orders via hash shuffle on custkey — AQE handles skew at scale.
+    */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinAggSql: String =
+    """SELECT r_name, n_name,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q03: latest record per key (reference: latest document per agency).
+    * Window row_number over a single shuffle on the key; at 100 TB this
+    * beats a self-join-on-max and stays in one exchange.
+    */
+  def latestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val latestPerKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q04: incremental anti-join (reference: download only ids with no
+    * SHA-backed record, run_full_pipeline.py:361-365).
+    * left_anti = one shuffle; with AQE the smaller side broadcasts.
+    */
+  def antijoinIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+    c.join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val antijoinIncrementalSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q05: semi-join (reference: "already processed" membership check,
+    * extract_pdf_text.py:191).
+    */
+  def semijoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val semijoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06: two-way set reconciliation (reference: missing/extra files,
+    * get_download_list.py:57-58). Expressed as tagged anti-joins over
+    * deduplicated key sets — two shuffles total, each on the key.
+    */
+  def setdiffAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = Tables.part(s, dir).filter($"p_size" > 25)
+      .select($"p_partkey".as("key")).distinct()
+    val actual = Tables.lineitem(s, dir).filter($"l_quantity" > 40)
+      .select($"l_partkey".as("key")).distinct()
+    val missing = expected.join(actual, Seq("key"), "left_anti")
+      .withColumn("side", lit("missing"))
+    val extra = actual.join(expected, Seq("key"), "left_anti")
+      .withColumn("side", lit("extra"))
+    missing.unionByName(extra).select($"side", $"key").orderBy($"side", $"key")
+  }
+
+  val setdiffAuditSql: String =
+    """WITH expected AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size > 25),
+      |     actual AS (SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_quantity > 40)
+      |SELECT 'missing' AS side, key FROM expected WHERE key NOT IN (SELECT key FROM actual)
+      |UNION ALL
+      |SELECT 'extra' AS side, key FROM actual WHERE key NOT IN (SELECT key FROM expected)
+      |ORDER BY side, key""".stripMargin
+
+  /** q07: content-hash uniqueness audit (check_unique_hashes.py:45-60).
+    * Distinct-count over a derived hash: partial aggregation, one shuffle.
+    */
+  def dupAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(md5($"text").as("h"))
+      .agg(
+        count(lit(1)).as("total_hashes"),
+        countDistinct($"h").as("unique_hashes"),
+        (count(lit(1)) - countDistinct($"h")).as("duplicate_count"))
+  }
+
+  val dupAuditSql: String =
+    """SELECT count(*) AS total_hashes,
+      |  count(DISTINCT md5(text)) AS unique_hashes,
+      |  count(*) - count(DISTINCT md5(text)) AS duplicate_count
+      |FROM documents""".stripMargin
+
+  /** q13: backfill merge-overlay (backfill_download_metadata.py:106-112):
+    * fill missing attributes of a base record set from an overlay keyed
+    * lookup, preferring existing non-empty values. Left join + coalesce —
+    * the overlay (dim-sized) broadcasts.
+    */
+  def backfillMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Base: customers with acctbal "missing" for one segment (simulates the
+    // reference's rows lacking sha256); overlay: per-nation average balance.
+    val c = Tables.customer(s, dir)
+    val base = c.select(
+      $"c_custkey", $"c_nationkey",
+      when($"c_mktsegment" === "BUILDING", lit(null).cast("double"))
+        .otherwise($"c_acctbal").as("acctbal"))
+    val overlay = c.groupBy($"c_nationkey".as("nk"))
+      .agg(round(avg($"c_acctbal"), 2).as("nation_avg"))
+    base.join(broadcast(overlay), $"c_nationkey" === $"nk", "left")
+      .select(
+        $"c_custkey",
+        round(coalesce($"acctbal", $"nation_avg", lit(0.0)), 2).as("acctbal_filled"),
+        ($"acctbal".isNull).as("was_backfilled"))
+      .orderBy($"c_custkey")
+  }
+
+  val backfillMergeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS acctbal
+      |  FROM customer),
+      |overlay AS (
+      |  SELECT c_nationkey AS nk, round(avg(c_acctbal), 2) AS nation_avg
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey,
+      |  round(coalesce(acctbal, nation_avg, 0.0), 2) AS acctbal_filled,
+      |  acctbal IS NULL AS was_backfilled
+      |FROM base LEFT JOIN overlay ON c_nationkey = nk
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q14: multi-format date normalization (generate_website_data.py:23-62):
+    * strings in M/D/Y, "Month D, Y", and ISO forms → ISO date via a
+    * try-parse fallback chain (all codegen'd expressions, no UDF).
+    */
+  def dateNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.orders(s, dir).select(
+      $"o_orderkey",
+      when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "MM/dd/yyyy"))
+        .when($"o_orderkey" % 3 === 1, date_format($"o_orderdate", "MMMM d, yyyy"))
+        .otherwise(date_format($"o_orderdate", "yyyy-MM-dd")).as("raw_date"))
+    raw.select(
+        $"o_orderkey", $"raw_date",
+        coalesce(
+          to_date($"raw_date", "MM/dd/yyyy"),
+          to_date($"raw_date", "MMMM d, yyyy"),
+          to_date($"raw_date", "yyyy-MM-dd")).as("date_iso"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dateNormalizeSql: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey,
+      |    CASE
+      |      WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+      |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%B %-d, %Y')
+      |      ELSE strftime(o_orderdate, '%Y-%m-%d')
+      |    END AS raw_date
+      |  FROM orders)
+      |SELECT o_orderkey, raw_date,
+      |  coalesce(
+      |    try_strptime(raw_date, '%m/%d/%Y'),
+      |    try_strptime(raw_date, '%B %d, %Y'),
+      |    try_strptime(raw_date, '%Y-%m-%d'))::DATE AS date_iso
+      |FROM raw
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> pricingAgg _,
+    "q02_join_agg" -> joinAgg _,
+    "q03_latest_per_key" -> latestPerKey _,
+    "q04_antijoin_incremental" -> antijoinIncremental _,
+    "q05_semijoin" -> semijoin _,
+    "q06_setdiff_audit" -> setdiffAudit _,
+    "q07_dup_audit" -> dupAudit _,
+    "q13_backfill_merge" -> backfillMerge _,
+    "q14_date_normalize" -> dateNormalize _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_agg" -> pricingAggSql,
+    "q02_join_agg" -> joinAggSql,
+    "q03_latest_per_key" -> latestPerKeySql,
+    "q04_antijoin_incremental" -> antijoinIncrementalSql,
+    "q05_semijoin" -> semijoinSql,
+    "q06_setdiff_audit" -> setdiffAuditSql,
+    "q07_dup_audit" -> dupAuditSql,
+    "q13_backfill_merge" -> backfillMergeSql,
+    "q14_date_normalize" -> dateNormalizeSql)
+}

@@ -17,9 +17,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pipeline.Relational.queries
+    pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =
-    pipeline.Relational.oracles
+    pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles
 }

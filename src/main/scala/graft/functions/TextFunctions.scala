@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY.md §2 t01–t04).
+  *
+  * All built from `org.apache.spark.sql.functions` so they stay inside
+  * whole-stage codegen — no UDFs. Each mirrors a capability of the
+  * reference's regex extraction layer (extract_document_info.py:30-232)
+  * generalized to LLM-pipeline text hygiene.
+  */
+object TextFunctions {
+
+  /** Language stopword profiles for the n-gram/stopword language ID
+    * heuristic. Word-boundary regex alternations keep it codegen-friendly.
+    */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|is)\\b",
+    "fr" -> "\\b(le|la|et|les|une)\\b",
+    "es" -> "\\b(el|los|y|que|una)\\b",
+    "de" -> "\\b(der|die|und|das|ein)\\b")
+
+  /** Number of regex matches in a string column. */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Per-language stopword hit scores. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, pat) => lang -> matchCount(text, pat) }
+
+  /** argmax over scores with fixed tie-break order (profile order). */
+  def predictLang(scores: Seq[(String, Column)]): Column = {
+    val ordered = scores // tie-break = declaration order
+    ordered.tail.foldLeft(
+        (when(lit(true), lit(ordered.head._1)), ordered.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         greatest(bestScore, score))
+    }._1
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — the standard GPT-2-style pre-split shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Normalized text: lowercase, non-alphanumeric runs collapsed to single
+    * spaces, trimmed. Basis for content fingerprinting (dedup-stable).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint over normalized text (reference hashes raw bytes,
+    * extract_pdf_text.py:36-47; normalizing first makes the fingerprint
+    * robust to whitespace/case jitter, which is what near-dup pipelines use).
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Stopword ratio (English profile) — quality-scoring feature. */
+  def stopwordRatio(text: Column): Column =
+    round(matchCount(text, langProfiles.head._2).cast("double") /
+      wsTokenCount(text), 6)
+
+  /** Ratio of lowercase-alpha chars to all chars. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+      length(text), 6)
+}

@@ -1,0 +1,288 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Document-pipeline operators over the `documents` table (SURVEY.md §2
+  * q08–q12, t01–t04).
+  *
+  * Re-expresses the reference's per-document Python loops as single-pass
+  * codegen'd projections: regex info extraction
+  * (extract_document_info.py:30-232), keyword reduction
+  * (keyword_reduction.py:45-77), keyword document-frequency
+  * (KeywordsPage.jsx:33-72), per-agency rollups
+  * (generate_website_data.py:308-326).
+  *
+  * Scale notes: extraction/scoring queries are shuffle-free map-only scans
+  * (perfectly parallel at 100 TB); keyword queries shuffle once on the
+  * token; the reduction mapping table is broadcast.
+  */
+object DocumentPipeline {
+
+  /** q08: regex metadata extraction + prioritized classification.
+    * One projection pass; every expression codegen'd.
+    * Reference: extract_document_title's prioritized pattern list and
+    * boolean SIR classifier (extract_document_info.py:68-148,192-211).
+    */
+  def docExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        when($"text".rlike("\\bstream\\b"), "streaming")
+          .when($"text".rlike("\\bwindow\\b"), "windowed")
+          .when($"text".rlike("\\bjoin\\b"), "join")
+          .when($"text".rlike("\\bagg\\b"), "aggregation")
+          .otherwise("other").as("doc_type"),
+        nullif(regexp_extract($"text", "\\bkey (\\w+)", 1), lit("")).as("first_key_arg"),
+        $"text".rlike("\\bdup\\b").as("has_dup_mention"),
+        matchCount($"text", "\\bspark\\b").as("spark_mentions"))
+      .orderBy($"doc_id")
+  }
+
+  val docExtractSql: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN regexp_matches(text, '\b(stream)\b') THEN 'streaming'
+      |    WHEN regexp_matches(text, '\b(window)\b') THEN 'windowed'
+      |    WHEN regexp_matches(text, '\b(join)\b') THEN 'join'
+      |    WHEN regexp_matches(text, '\b(agg)\b') THEN 'aggregation'
+      |    ELSE 'other'
+      |  END AS doc_type,
+      |  nullif(regexp_extract(text, '\bkey (\w+)', 1), '') AS first_key_arg,
+      |  regexp_matches(text, '\b(dup)\b') AS has_dup_mention,
+      |  len(regexp_extract_all(text, '\bspark\b')) AS spark_mentions
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** q09: JSON-ish field extraction from a string payload column
+    * (reference flattens nested API JSON, pull_agency_info_api.py:81-128).
+    * Extraction stays codegen'd; agg is partial-aggregatable.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"k"), 4).as("avg_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
+      |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
+      |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Curated keyword-reduction mapping (reference:
+    * violation_curation_keyword_reduction.csv — original → reduced, empty
+    * reduced = discard). Broadcast at any scale.
+    */
+  val keywordMap: Seq[(String, String)] = Seq(
+    "the" -> "", "a" -> "",                 // discard stopwords
+    "agg" -> "aggregate", "dup" -> "duplicate",
+    "big" -> "large", "fast" -> "quick")
+
+  /** q10: keyword reduction + rollup (keyword_reduction.py:45-77).
+    * explode → broadcast-map → agg; one shuffle on the reduced keyword.
+    */
+  def keywordReduce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mapping = broadcast(keywordMap.toDF("original", "reduced_to"))
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .join(mapping, $"word" === $"original", "left")
+      .select($"doc_id",
+        coalesce($"reduced_to", $"word").as("keyword"))
+      .filter($"keyword" =!= "")
+      .groupBy($"keyword")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy($"keyword")
+  }
+
+  val keywordReduceSql: String =
+    """WITH mapping(original, reduced_to) AS (VALUES
+      |  ('the',''),('a',''),('agg','aggregate'),('dup','duplicate'),
+      |  ('big','large'),('fast','quick')),
+      |words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |reduced AS (
+      |  SELECT doc_id, coalesce(reduced_to, word) AS keyword
+      |  FROM words LEFT JOIN mapping ON word = original
+      |  WHERE len(word) > 0)
+      |SELECT keyword, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+      |FROM reduced
+      |WHERE keyword <> ''
+      |GROUP BY keyword
+      |ORDER BY keyword""".stripMargin
+
+  /** q11: keyword document-frequency (KeywordsPage.jsx:33-72): keyword →
+    * number of distinct documents containing it, sorted by count.
+    */
+  def keywordDocfreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("keyword"))
+      .filter(length($"keyword") >= 3)
+      .groupBy($"keyword")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"keyword")
+  }
+
+  val keywordDocfreqSql: String =
+    """SELECT keyword, count(*) AS n_docs
+      |FROM (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS keyword
+      |  FROM documents)
+      |WHERE len(keyword) >= 3
+      |GROUP BY keyword
+      |ORDER BY n_docs DESC, keyword""".stripMargin
+
+  /** q12: per-source rollup (generate_website_data.py:308-326: documents
+    * grouped by agency with counts + name resolution).
+    */
+  def agencyRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+  }
+
+  val agencyRollupSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+      |  round(avg(n_chars), 4) AS avg_chars, sum(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** t01: heuristic language ID via stopword-profile argmax. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val scores = langScores($"text")
+    docs.select(
+        ($"doc_id" +:
+          scores.map { case (l, c) => c.as(s"score_$l") } :+
+          predictLang(scores).as("predicted_lang")): _*)
+      .orderBy($"doc_id")
+  }
+
+  val langidSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) AS score_en,
+      |  len(regexp_extract_all(text, '\b(le|la|et|les|une)\b')) AS score_fr,
+      |  len(regexp_extract_all(text, '\b(el|los|y|que|una)\b')) AS score_es,
+      |  len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) AS score_de,
+      |  CASE
+      |    WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) >
+      |         greatest(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')),
+      |                  len(regexp_extract_all(text, '\b(le|la|et|les|une)\b')),
+      |                  len(regexp_extract_all(text, '\b(el|los|y|que|una)\b'))) THEN 'de'
+      |    WHEN len(regexp_extract_all(text, '\b(el|los|y|que|una)\b')) >
+      |         greatest(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')),
+      |                  len(regexp_extract_all(text, '\b(le|la|et|les|une)\b'))) THEN 'es'
+      |    WHEN len(regexp_extract_all(text, '\b(le|la|et|les|une)\b')) >
+      |         len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) THEN 'fr'
+      |    ELSE 'en'
+      |  END AS predicted_lang
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** t02: document quality scoring: token stats, stopword/alpha ratios,
+    * boolean keep-gate — the standard pre-training text filters.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    docs.select(
+        $"doc_id",
+        length($"text").as("len_chars"),
+        wsTokenCount($"text").as("n_tokens"),
+        stopwordRatio($"text").as("stopword_ratio"),
+        alphaRatio($"text").as("alpha_ratio"))
+      .withColumn("quality_ok",
+        $"n_tokens" >= 10 && $"stopword_ratio" > 0.01)
+      .orderBy($"doc_id")
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      |  len(text) AS len_chars,
+      |  len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+      |  round(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) * 1.0 /
+      |        len(regexp_split_to_array(text, '\s+')), 6) AS stopword_ratio,
+      |  round(len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
+      |  len(regexp_split_to_array(text, '\s+')) >= 10 AND
+      |    round(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) * 1.0 /
+      |          len(regexp_split_to_array(text, '\s+')), 6) > 0.01 AS quality_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** t03: token counting — whitespace and BPE-ish pre-tokenizer. */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        wsTokenCount($"text").as("ws_tokens"),
+        bpeTokenCount($"text").as("bpe_tokens"),
+        length($"text").as("n_chars_calc"))
+      .orderBy($"doc_id")
+  }
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+      |  len(text) AS n_chars_calc
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** t04: content fingerprint over normalized text. */
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        $"doc_id", fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_doc_extract" -> docExtract _,
+    "q09_json_extract" -> jsonExtract _,
+    "q10_keyword_reduce" -> keywordReduce _,
+    "q11_keyword_docfreq" -> keywordDocfreq _,
+    "q12_agency_rollup" -> agencyRollup _,
+    "t01_langid" -> langid _,
+    "t02_quality" -> quality _,
+    "t03_tokens" -> tokens _,
+    "t04_fingerprint" -> fingerprintQ _)
+
+  val oracles: Map[String, String] = Map(
+    "q08_doc_extract" -> docExtractSql,
+    "q09_json_extract" -> jsonExtractSql,
+    "q10_keyword_reduce" -> keywordReduceSql,
+    "q11_keyword_docfreq" -> keywordDocfreqSql,
+    "q12_agency_rollup" -> agencyRollupSql,
+    "t01_langid" -> langidSql,
+    "t02_quality" -> qualitySql,
+    "t03_tokens" -> tokensSql,
+    "t04_fingerprint" -> fingerprintSql)
+}

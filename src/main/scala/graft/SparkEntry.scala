@@ -17,9 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries
+    pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
+      pipeline.Events.queries ++ operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =
-    pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles
+    pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
+      pipeline.Events.oracles ++ operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Deduplication family (SURVEY.md §2 d01–d05): the operators a
+  * training-data pipeline runs over a 100 TB document corpus.
+  *
+  * Scale design:
+  *  - d01 exact: one shuffle on the content hash; keeper chosen by min(id)
+  *    aggregation (no window sort needed).
+  *  - d02 MinHash-LSH: signatures computed map-side (64 hashes/doc), then a
+  *    single shuffle on (band, band_hash); candidate pairs are generated
+  *    per-bucket, never O(n²) over the corpus. Oversized buckets (hash
+  *    skew / boilerplate) are capped — the standard LSH skew guard.
+  *  - d03 SimHash: 64-bit fingerprints map-side, shuffle on 16-bit band.
+  *  - d04 n-gram Jaccard: exact verification on a bounded candidate set
+  *    (in production: the pairs emitted by d02/d03).
+  *  - d05 embedding near-dup: same shape as d04 over vector cosine.
+  */
+object Dedup {
+
+  // Column-arg bit shifts (the Scala API only exposes Int shift amounts).
+  private[operators] def shl(c: Column, b: Column): Column =
+    call_function("shiftleft", c, b)
+  private[operators] def shr(c: Column, b: Column): Column =
+    call_function("shiftright", c, b)
+  private[operators] def shru(c: Column, b: Column): Column =
+    call_function("shiftrightunsigned", c, b)
+
+  /** d01: exact dedup by content hash, keep the smallest doc_id.
+    * Reference semantics: skip-if-sha-already-seen (extract_pdf_text.py:191).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash")
+  }
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS content_hash,
+      |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY sha256(text)
+      |ORDER BY content_hash""".stripMargin
+
+  /** Word 3-gram shingles as a distinct array column (expression-only). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(-1))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+  }
+
+  /** MinHash signature: k independent hash functions realized as seeded
+    * xxhash64 over each shingle; signature[i] = min over shingles.
+    * Pure expressions → computed map-side, no UDF.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, sh => xxhash64(i, sh))))
+
+  /** d02: MinHash + LSH banding near-duplicate candidates, verified with
+    * exact Jaccard. bands=16 × rows=4 over k=64 (s-curve threshold ≈ 0.5).
+    */
+  def dedupMinhash(s: SparkSession, dir: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", minhashSignature($"sh"))
+
+    val banded = docs.select(
+        $"doc_id", $"sh",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    // Skew guard: drop pathological buckets (boilerplate collisions).
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"band_hash")))
+      .filter($"bucket_n" <= maxBucket)
+
+    val a = bucketed.select($"band", $"band_hash",
+      $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = bucketed.select($"band", $"band_hash",
+      $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    val ni = size(array_intersect($"sh_a", $"sh_b"))
+    candidates
+      .withColumn("jaccard",
+        round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 64-bit SimHash fingerprint from token multiset (pure expressions). */
+  def simhash(text: Column): Column = {
+    val tokens = split(text, " ")
+    val bitSums = transform(sequence(lit(0), lit(63)),
+      b => aggregate(tokens, lit(0L),
+        (acc, t) => acc + when(shr(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        shl(when(element_at(bitSums, b + 1) > 0, lit(1L)).otherwise(lit(0L)), b)))
+  }
+
+  /** d03: SimHash near-dup candidates: fingerprints bucketed by 16-bit
+    * bands (a fingerprint pair within hamming distance 3 shares at least
+    * one of 4 bands), verified by exact hamming distance.
+    */
+  def dedupSimhash(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", simhash($"text").as("fp"))
+
+    val banded = docs.select($"doc_id", $"fp",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => shru($"fp", b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+
+    val a = banded.select($"band", $"band_bits", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
+    val b = banded.select($"band", $"band_bits", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** d04: exact n-gram (bigram) Jaccard similarity over a bounded candidate
+    * window — the verification stage of a near-dup pipeline, SQL-checkable.
+    */
+  def ngramJaccard(s: SparkSession, dir: String,
+      idBound: Int = 80, minJaccard: Double = 0.05): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .filter($"doc_id" < idBound)
+      .select($"doc_id", shingles($"text", 2).as("bg"))
+    val a = d.select($"doc_id".as("doc_a"), $"bg".as("bg_a"))
+    val b = d.select($"doc_id".as("doc_b"), $"bg".as("bg_b"))
+    val ni = size(array_intersect($"bg_a", $"bg_b"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("jaccard",
+        round(ni.cast("double") / (size($"bg_a") + size($"bg_b") - ni), 6))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+      |  FROM documents WHERE doc_id < 80)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6) >= 0.05
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d05: embedding-cosine near-duplicate pairs over a bounded candidate
+    * window (production path: LSH buckets from Similarity.knnLsh feed this).
+    */
+  def embedNeardup(s: SparkSession, dir: String,
+      idBound: Int = 200, minCos: Double = 0.25): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .filter($"vec_id" < idBound)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"))
+    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cos", round(cosine($"va", $"vb"), 6))
+      .filter($"cos" >= minCos)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embedNeardupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id < 200),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.25
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (dedupExact _),
+    "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)))
+
+  // d02/d03 are hash-family-dependent (xxhash64 seeds) → not SQL-portable;
+  // verified in DedupSpec against planted duplicates + brute-force Jaccard.
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> dedupExactSql,
+    "d04_ngram_jaccard" -> ngramJaccardSql,
+    "d05_embed_neardup" -> embedNeardupSql)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §2 s01–s02).
+  *
+  * s01 is the exact baseline: bounded query set × full corpus. The query
+  * side is broadcast so the corpus never shuffles — the scan is map-only
+  * and embarrassingly parallel; only the (tiny) scored top-k result
+  * shuffles for the per-query ranking.
+  *
+  * s02 is the scale path: random-hyperplane LSH. Signatures are computed
+  * map-side; the corpus shuffles once on the band signature; each query
+  * probes only its matching buckets. At 100 TB this replaces the full scan
+  * with a >100× pruned candidate read (recall measured in SimilaritySpec).
+  */
+object Similarity {
+
+  /** s01: brute-force exact cosine top-k for a bounded query set. */
+  def knnBrute(s: SparkSession, dir: String,
+      queryBound: Int = 32, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter($"vec_id" < queryBound)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val corpus = e.select($"vec_id".as("neighbor_id"), asDouble($"embedding").as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val knnBruteSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 32),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * nv[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * qv[i]))) *
+      |     sqrt(list_sum(list_transform(range(1, len(nv)+1), i -> nv[i] * nv[i])))) AS cos
+      |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, round(cos, 6) AS sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Random-hyperplane signature: `planes` pseudo-random ±1 hyperplanes
+    * derived from xxhash64(plane, dim) — deterministic, no stored model.
+    * Bit p = sign of <v, h_p>.
+    */
+  def hyperplaneSig(v: Column, planes: Int, dim: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc.bitwiseOR(Dedup.shl(
+        when(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc2, d) => acc2 + element_at(v, d + 1) *
+            when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)) > 0,
+          lit(1L)).otherwise(lit(0L)), p)))
+
+  /** s02: LSH-bucketed approximate top-k. 4 bands × 8 hyperplanes; a
+    * corpus vector is a candidate if it matches the query's signature in
+    * any band; candidates are exactly re-ranked by cosine.
+    */
+  def knnLsh(s: SparkSession, dir: String,
+      queryBound: Int = 32, k: Int = 5,
+      bands: Int = 4, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("sig", hyperplaneSig($"v", bands * planesPerBand, dim))
+      .withColumn("band_sigs", transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          Dedup.shru($"sig", b * planesPerBand)
+            .bitwiseAND((1L << planesPerBand) - 1).as("bits"))))
+
+    val banded = e.select($"vec_id", $"v", explode($"band_sigs").as("bs"))
+      .select($"vec_id", $"v", $"bs.band".as("band"), $"bs.bits".as("bits"))
+
+    val qb = banded.filter($"vec_id" < queryBound)
+      .select($"band", $"bits", $"vec_id".as("query_id"), $"v".as("qv"))
+    val cb = banded.select($"band", $"bits", $"vec_id".as("neighbor_id"), $"v".as("nv"))
+
+    val candidates = qb.join(cb, Seq("band", "bits"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"qv", $"nv")
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    candidates
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+
+  // s02 is approximate by construction → rows-only; recall measured in
+  // SimilaritySpec against s01.
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute" -> knnBruteSql)
+}

@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++ multimodal.Multimodal.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =

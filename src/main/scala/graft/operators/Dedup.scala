@@ -69,9 +69,16 @@ object Dedup {
     */
   def dedupMinhash(s: SparkSession, dir: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): DataFrame =
+    minhashPairs(Tables.documents(s, dir), bands, rows, maxBucket, minJaccard)
+
+  /** Core of d02 over any (doc_id, text) frame. */
+  def minhashPairs(documents: DataFrame,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
       minJaccard: Double = 0.5): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select($"doc_id", shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
       .withColumn("sig", minhashSignature($"sh"))
@@ -125,9 +132,14 @@ object Dedup {
     * one of 4 bands), verified by exact hamming distance.
     */
   def dedupSimhash(s: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairs(Tables.documents(s, dir), maxHamming)
+
+  /** Core of d03 over any (doc_id, text) frame. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select($"doc_id", simhash($"text").as("fp"))
 
     val banded = docs.select($"doc_id", $"fp",

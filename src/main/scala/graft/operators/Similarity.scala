@@ -68,13 +68,15 @@ object Similarity {
             when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)) > 0,
           lit(1L)).otherwise(lit(0L)), p)))
 
-  /** s02: LSH-bucketed approximate top-k. 4 bands × 8 hyperplanes; a
-    * corpus vector is a candidate if it matches the query's signature in
-    * any band; candidates are exactly re-ranked by cosine.
+  /** s02: LSH-bucketed approximate top-k. 6 bands × 6 hyperplanes (tuned
+    * for the ~0.3-cosine neighbor regime of random embeddings — steeper
+    * band OR-construction than classic 4×8); a corpus vector is a
+    * candidate if it matches the query's signature in any band;
+    * candidates are exactly re-ranked by cosine.
     */
   def knnLsh(s: SparkSession, dir: String,
       queryBound: Int = 32, k: Int = 5,
-      bands: Int = 4, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+      bands: Int = 6, planesPerBand: Int = 6, dim: Int = 64): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))

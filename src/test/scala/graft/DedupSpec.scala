@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** MinHash / SimHash verified against planted duplicates and brute-force
+  * ground truth (these are the rows-only operators the DuckDB gate can't
+  * check).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  val base = "the quick brown fox jumps over the lazy dog while the band plays on and the crowd cheers loudly for more music tonight"
+  val nearDup = base.replace("loudly", "softly") // 1-word change
+  val unrelated = "completely different content about distributed query engines shuffles partitions and catalyst optimizer rules nothing shared here at all today"
+
+  test("minhash finds exact and near duplicates, not unrelated pairs") {
+    val docs = mkDocs(Seq(
+      1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated,
+      5L -> "tiny doc with few words inside it"))
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup missed")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive on unrelated")
+  }
+
+  test("minhash jaccard matches brute-force jaccard") {
+    val docs = mkDocs(Seq(1L -> base, 2L -> nearDup))
+    val got = Dedup.minhashPairs(docs, minJaccard = 0.0)
+      .select($"jaccard").as[Double].head()
+    // brute force on word 3-gram shingle sets
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(base), sh(nearDup))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(got - expected) < 1e-6, s"$got vs $expected")
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, unrelated apart") {
+    val docs = mkDocs(Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated))
+    val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val hammingFar = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hammingNear < hammingFar,
+      s"near=$hammingNear should be < far=$hammingFar")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.dedupExact(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    val sumCopies = out.agg(sum($"n_copies")).as[Long].head()
+    assert(sumCopies == total, "every doc accounted for exactly once")
+  }
+
+  test("minhash skew guard drops oversized buckets") {
+    // 100 identical docs → bucket size 100 > maxBucket 10 → no pairs emitted
+    val docs = mkDocs((1L to 100L).map(i => i -> base))
+    val n = Dedup.minhashPairs(docs, maxBucket = 10, minJaccard = 0.0).count()
+    assert(n == 0, "skew guard should suppress pathological bucket")
+  }
+}

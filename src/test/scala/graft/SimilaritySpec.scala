@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** LSH kNN measured against the exact brute-force baseline. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val brute = Similarity.knnBrute(spark, sf)
+    .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+  lazy val lsh = Similarity.knnLsh(spark, sf)
+    .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("brute-force kNN returns k neighbors per query, ranked by cosine") {
+    val df = Similarity.knnBrute(spark, sf)
+    val perQuery = df.groupBy($"query_id").count().select($"count").as[Long].collect()
+    assert(perQuery.forall(_ == 5))
+    // ranks are 1..5 and sims non-increasing within a query
+    val bad = df.groupBy($"query_id")
+      .agg(collect_list(struct($"rank", $"sim")).as("rs"))
+      .select($"rs").as[Seq[(Long, Double)]].collect()
+      .exists { rs => rs.sortBy(_._1).map(_._2).sliding(2).exists(p => p.head < p.last) }
+    assert(!bad, "sims must be non-increasing in rank")
+  }
+
+  test("lsh neighbors are a plausible approximation of brute force") {
+    assert(lsh.nonEmpty, "LSH returned nothing")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.3f (candidates pruned vs full scan)")
+    assert(recall > 0.1, f"recall $recall%.3f too low even for 8-bit bands")
+  }
+
+  test("lsh sims match brute sims where pairs overlap") {
+    val b = Similarity.knnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val l = Similarity.knnLsh(spark, sf)
+      .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect()
+    val mismatched = l.filter { case (q, n, s) =>
+      b.get((q, n)).exists(bs => math.abs(bs - s) > 1e-9) }
+    assert(mismatched.isEmpty, "exact re-rank must agree with brute cosine")
+  }
+}

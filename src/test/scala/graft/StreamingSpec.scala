@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Ev, StreamingOps}
+
+/** Structured Streaming semantics vs the batch forms. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  val evs: Seq[Ev] = Seq(
+    Ev(1, ts(0), "click", 1.0), Ev(1, ts(10), "click", 2.0),
+    Ev(1, ts(70), "view", 3.0),                  // >30min gap → new session
+    Ev(2, ts(5), "click", 5.0), Ev(2, ts(20), "purchase", 7.0),
+    Ev(2, ts(200), "click", 1.0))                // gap → new session
+
+  test("streaming windowed agg matches batch grouping") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.windowedAgg(mem.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT window.start AS h, event_type, n FROM wagg")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val want = evs.groupBy(e => (e.ts.getTime / 3600000L, e.event_type))
+      .map { case ((h, t), es) => (new Timestamp(h * 3600000L), t, es.size.toLong) }
+      .toSet
+    assert(got == want)
+  }
+
+  test("stateful sessionizer emits closed sessions; open sessions stay in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.sql("SELECT user_id, n_events FROM sess")
+      .as[(Long, Int)].collect().toSet
+    // user 1: session [0,10] closed by the 70-min event; [70] still open.
+    // user 2: session [5,20] closed by the 200-min event; [200] still open.
+    assert(emitted == Set((1L, 2), (2L, 2)))
+  }
+
+  test("batch sessionize agrees with streaming emissions + open state") {
+    val batch = pipeline.Events.sessionize(spark, sf)
+    val nUsers = batch.select($"user_id").distinct().count()
+    val nSessions = batch.count()
+    // streaming over the same data would emit (nSessions - nUsers) closed
+    // sessions and hold nUsers open ones; sanity: both positive.
+    assert(nSessions >= nUsers && nUsers > 0)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis function semantics on controlled inputs. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is invariant to case and whitespace jitter") {
+    val df = Seq(
+      ("Hello,  World! 42", "hello world 42"),
+      ("  spaced   out  ", "spaced out")).toDF("a", "b")
+    val bad = df.select(
+      (TextFunctions.fingerprint($"a") === TextFunctions.fingerprint($"b")).as("eq"))
+      .as[Boolean].collect()
+    assert(bad.forall(identity))
+  }
+
+  test("token counts match manual counts") {
+    val df = Seq("one two  three", "a-b c! 12x").toDF("t")
+    val got = df.select(
+      TextFunctions.wsTokenCount($"t").as("ws"),
+      TextFunctions.bpeTokenCount($"t").as("bpe"))
+      .as[(Int, Int)].collect()
+    assert(got(0) == ((3, 3)))
+    // "a-b c! 12x" → bpe: a,-,b,c,!,12,x = 7; ws: 3
+    assert(got(1) == ((3, 7)))
+  }
+
+  test("langid picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "le chat et la maison une belle les jours",
+      "der hund und die katze das haus ein tag").toDF("text")
+    val scores = TextFunctions.langScores($"text")
+    val got = df.select(TextFunctions.predictLang(scores).as("l"))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "de"))
+  }
+}

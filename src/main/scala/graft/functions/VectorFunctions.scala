@@ -17,9 +17,13 @@ object VectorFunctions {
   /** Element-wise cast to double (exact for float32 inputs). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-sum dot product. */
+  /** Sequential-sum dot product — custom codegen'd Catalyst expression
+    * (graft.expressions.DotProduct); same left-fold order as the HOF
+    * `aggregate(zip_with(...))` form and the DuckDB oracle's list_sum, so
+    * results stay bit-identical, but it stays inside whole-stage codegen.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftFunctions.dot_product(a, b)
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)

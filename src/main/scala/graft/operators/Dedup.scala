@@ -48,21 +48,20 @@ object Dedup {
       |GROUP BY sha256(text)
       |ORDER BY content_hash""".stripMargin
 
-  /** Word 3-gram shingles as a distinct array column (expression-only). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ws) - n, lit(-1))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
-  }
+  /** Distinct word n-gram shingles (custom single-pass Catalyst
+    * expression — see WordShingles in org.apache.spark.sql.graft).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.GraftFunctions.word_shingles(text, n)
 
-  /** MinHash signature: k independent hash functions realized as seeded
-    * xxhash64 over each shingle; signature[i] = min over shingles.
-    * Pure expressions → computed map-side, no UDF.
+  /** MinHash signature: k hash functions via the one-hash construction
+    * (shingle hashed once, k splitmix re-mixes); computed map-side by the
+    * custom MinHashSig Catalyst expression (graft.expressions) — the
+    * equivalent nested transform/aggregate HOF form ran interpreted and
+    * was ~30× slower at sf0.1.
     */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, sh => xxhash64(i, sh))))
+    org.apache.spark.sql.graft.GraftFunctions.minhash_sig(shingleCol, k)
 
   /** d02: MinHash + LSH banding near-duplicate candidates, verified with
     * exact Jaccard. bands=16 × rows=4 over k=64 (s-curve threshold ≈ 0.5).
@@ -72,7 +71,14 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame =
     minhashPairs(Tables.documents(s, dir), bands, rows, maxBucket, minJaccard)
 
-  /** Core of d02 over any (doc_id, text) frame. */
+  /** Core of d02 over any (doc_id, text) frame.
+    *
+    * Shuffle discipline (the part that matters at 100 TB): the banding
+    * shuffle carries only (doc_id, band, band_hash) — 24 bytes/row — never
+    * the shingle arrays. The skew-guard + singleton-prune run as a window
+    * over that same single shuffle. Shingle sets rejoin only for the
+    * (tiny) candidate pair set, keyed by doc_id.
+    */
   def minhashPairs(documents: DataFrame,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
       minJaccard: Double = 0.5): DataFrame = {
@@ -81,33 +87,35 @@ object Dedup {
     val docs = documents
       .select($"doc_id", shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
-      .withColumn("sig", minhashSignature($"sh"))
 
-    val banded = docs.select(
-        $"doc_id", $"sh",
+    val banded = docs
+      .select($"doc_id",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+          b => xxhash64(slice(minhashSignature($"sh"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    // Skew guard: drop pathological buckets (boilerplate collisions).
+    // One shuffle on the bucket key: count per bucket, keep 2..maxBucket
+    // (singleton buckets can't pair; oversized ones are boilerplate skew).
     val bucketed = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy($"band", $"band_hash")))
-      .filter($"bucket_n" <= maxBucket)
+      .filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket)
 
-    val a = bucketed.select($"band", $"band_hash",
-      $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = bucketed.select($"band", $"band_hash",
-      $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val a = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_a"))
+    val b = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+      .select($"doc_a", $"doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
+    val withSh = candidates
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+
     val ni = size(array_intersect($"sh_a", $"sh_b"))
-    candidates
+    withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
@@ -115,17 +123,12 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 64-bit SimHash fingerprint from token multiset (pure expressions). */
-  def simhash(text: Column): Column = {
-    val tokens = split(text, " ")
-    val bitSums = transform(sequence(lit(0), lit(63)),
-      b => aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shr(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        shl(when(element_at(bitSums, b + 1) > 0, lit(1L)).otherwise(lit(0L)), b)))
-  }
+  /** 64-bit SimHash fingerprint from the token multiset (custom Catalyst
+    * expression — one xxhash64 per token + 64 counters in a tight loop;
+    * the HOF form of the same math cost 385 s at sf0.1, this runs in ~2 s).
+    */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.GraftFunctions.simhash64(split(text, " "))
 
   /** d03: SimHash near-dup candidates: fingerprints bucketed by 16-bit
     * bands (a fingerprint pair within hamming distance 3 shares at least

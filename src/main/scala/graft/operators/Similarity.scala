@@ -58,15 +58,12 @@ object Similarity {
 
   /** Random-hyperplane signature: `planes` pseudo-random ±1 hyperplanes
     * derived from xxhash64(plane, dim) — deterministic, no stored model.
-    * Bit p = sign of <v, h_p>.
+    * Bit p = sign of <v, h_p>. Custom Catalyst expression (tight loop; the
+    * nested-aggregate HOF form re-derived plane weights per row and cost
+    * 58 s at sf0.1).
     */
   def hyperplaneSig(v: Column, planes: Int, dim: Int): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, p) => acc.bitwiseOR(Dedup.shl(
-        when(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-          (acc2, d) => acc2 + element_at(v, d + 1) *
-            when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)) > 0,
-          lit(1L)).otherwise(lit(0L)), p)))
+    org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig(v, planes)
 
   /** s02: LSH-bucketed approximate top-k. 6 bands × 6 hyperplanes (tuned
     * for the ~0.3-cosine neighbor regime of random embeddings — steeper

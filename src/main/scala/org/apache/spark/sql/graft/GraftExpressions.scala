@@ -1,0 +1,200 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for graft's hot paths (SURVEY.md §7).
+  *
+  * The pure-`functions._` versions of these operators (nested
+  * `transform`/`aggregate` lambdas) are semantically right but run in the
+  * interpreted higher-order-function path — at sf0.1 SimHash cost 385 s.
+  * These expressions do the same math in tight JVM loops; DotProduct
+  * additionally participates in whole-stage codegen via doGenCode.
+  */
+object hashing {
+  /** splitmix64 finalizer — cheap per-seed re-mix so each MinHash function
+    * costs O(1) after hashing the shingle bytes once.
+    */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+/** Sequential dot product of two array<double> columns. Same summation
+  * order as the DuckDB oracle's list_sum — bit-reproducible.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature: array<long> of k minima. Each shingle is xxhash64'd
+  * once; the k hash functions are splitmix64 re-mixes of that base hash
+  * (standard one-hash MinHash construction).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = hashing.hashUtf8(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < k) {
+        val h = hashing.mix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a token array: one xxhash64 per token, 64 bit
+  * counters, sign → fingerprint.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hashing.hashUtf8(arr.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature over array<double>: bit p = sign of
+  * <v, h_p> where h_p's components are ±1 derived from xxhash64(p, d) —
+  * deterministic, no stored model.
+  */
+case class HyperplaneSig(child: Expression, planes: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val w = if ((XXH64.hashLong(p.toLong << 32 | d.toLong, 7L) & 1L) == 1L) 1.0 else -1.0
+        acc += v.getDouble(d) * w
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a space-separated text column in one
+  * pass (split → slide → concat → dedup in a tight loop). The composed
+  * `transform(sequence(...), concat_ws(...))` + `array_distinct` HOF form
+  * is interpreted and dominated MinHash wall-clock when recomputed on both
+  * sides of the candidate join.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = words(i + k); k += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API wrappers (classic-API bridge: Column ↔ catalyst Expression). */
+object GraftFunctions {
+  private def e(c: Column) = ExpressionUtils.expression(c)
+  private def col(x: Expression): Column = ExpressionUtils.column(x)
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(e(a), e(b)))
+  def minhash_sig(shingles: Column, k: Int = 64): Column = col(MinHashSig(e(shingles), k))
+  def simhash64(tokens: Column): Column = col(SimHash64(e(tokens)))
+  def hyperplane_sig(v: Column, planes: Int): Column = col(HyperplaneSig(e(v), planes))
+  def word_shingles(text: Column, n: Int): Column = col(WordShingles(e(text), n))
+}

@@ -71,4 +71,34 @@ object TextFunctions {
   def alphaRatio(text: Column): Column =
     round(length(regexp_replace(text, "[^a-z]", "")).cast("double") /
       length(text), 6)
+
+  /** Deterministic filename from (agency, title, date) — the reference's
+    * generated_filename convention (get_download_list.py:37-46: strip,
+    * spaces→underscores, slashes sanitized, lowercased, date-suffixed).
+    */
+  def generatedFilename(agency: Column, title: Column, date: Column,
+      ext: String = "pdf"): Column =
+    lower(concat(
+      regexp_replace(regexp_replace(trim(agency), " ", "_"), "/", "_"),
+      lit("_"),
+      regexp_replace(regexp_replace(trim(title), " ", "_"), "/", "-"),
+      lit("_"), date_format(date, "yyyy-MM-dd"), lit("." + ext)))
+
+  /** Strip the `_YYYY-MM-DD.pdf` suffix — the reference's
+    * dateless-filename normalization (get_download_list.py:21).
+    */
+  def stripDateSuffix(filename: Column): Column =
+    regexp_replace(filename, "_\\d{4}-\\d{2}-\\d{2}\\.pdf$", "")
+
+  /** Normalize a free-text severity level to low/moderate/severe/'' —
+    * reference semantics (update_violation_levels.py:182-204).
+    */
+  def normalizeLevel(level: Column): Column = {
+    val l = lower(level)
+    when(l.isin("low", "moderate", "severe"), l)
+      .when(l.contains("low"), "low")
+      .when(l.contains("moderate") || l.contains("medium"), "moderate")
+      .when(l.contains("severe") || l.contains("high"), "severe")
+      .otherwise("")
+  }
 }

@@ -104,12 +104,40 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s03: per-label embedding centroids — the aggregation side of vector
+    * analytics (cluster means / class prototypes). posexplode → one
+    * shuffle on (label, dim) with full partial aggregation; at 100 TB
+    * this is the standard way to average vectors without a vector-sum UDAF.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode(asDouble($"embedding")))
+      .groupBy($"label", $"pos".cast("long").as("dim"))
+      .agg(round(avg($"col"), 4).as("centroid_val"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"label", $"dim")
+  }
+
+  val labelCentroidsOracle: String =
+    """WITH exploded AS (
+      |  SELECT label,
+      |    unnest(range(len(embedding))) AS dim,
+      |    unnest(embedding::DOUBLE[]) AS x
+      |  FROM embeddings)
+      |SELECT label, dim, round(avg(x), 4) AS centroid_val, count(*) AS n_vectors
+      |FROM exploded
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
-    "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+    "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "s03_label_centroids" -> (labelCentroids _))
 
   // s02 is approximate by construction → rows-only; recall measured in
   // SimilaritySpec against s01.
   val oracles: Map[String, String] = Map(
-    "s01_knn_brute" -> knnBruteSql)
+    "s01_knn_brute" -> knnBruteSql,
+    "s03_label_centroids" -> labelCentroidsOracle)
 }

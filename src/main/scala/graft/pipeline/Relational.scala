@@ -269,7 +269,45 @@ object Relational {
       |FROM raw
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q15: fact-fact join chain + rollup (TPC-H Q5 shape): lineitem joins
+    * orders on the shuffle key, dims broadcast. The one genuinely large
+    * shuffle in the suite — the plan AQE would skew-split at 100 TB.
+    */
+  def revenueChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"n_name")
+  }
+
+  val revenueChainSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_revenue_chain" -> revenueChain _,
     "q01_pricing_agg" -> pricingAgg _,
     "q02_join_agg" -> joinAgg _,
     "q03_latest_per_key" -> latestPerKey _,
@@ -281,6 +319,7 @@ object Relational {
     "q14_date_normalize" -> dateNormalize _)
 
   val oracles: Map[String, String] = Map(
+    "q15_revenue_chain" -> revenueChainSql,
     "q01_pricing_agg" -> pricingAggSql,
     "q02_join_agg" -> joinAggSql,
     "q03_latest_per_key" -> latestPerKeySql,

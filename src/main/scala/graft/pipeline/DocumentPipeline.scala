@@ -264,7 +264,30 @@ object DocumentPipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q16: nested per-agency document rollup — the website payload shape
+    * (generate_website_data.py:308-331: agency → sorted document list +
+    * counts). collect_list over one shuffle; sort_array for deterministic
+    * nested output.
+    */
+  def nestedAgencyDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("total_reports"),
+        sort_array(collect_list(struct($"doc_id", $"lang"))).as("documents"))
+      .orderBy($"source")
+  }
+
+  val nestedAgencyDocsSql: String =
+    """SELECT source, count(*) AS total_reports,
+      |  list_sort(list(struct_pack(doc_id := doc_id, lang := lang))) AS documents
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_nested_agency_docs" -> nestedAgencyDocs _,
     "q08_doc_extract" -> docExtract _,
     "q09_json_extract" -> jsonExtract _,
     "q10_keyword_reduce" -> keywordReduce _,
@@ -276,6 +299,7 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "q16_nested_agency_docs" -> nestedAgencyDocsSql,
     "q08_doc_extract" -> docExtractSql,
     "q09_json_extract" -> jsonExtractSql,
     "q10_keyword_reduce" -> keywordReduceSql,

@@ -286,7 +286,35 @@ object DocumentPipeline {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** t05: exact percentile analytics per language (corpus length
+    * distribution — the reporting side of quality filtering). Exact
+    * `percentile` (interpolated) matches DuckDB's quantile_cont; the
+    * 100 TB variant swaps in percentile_approx with the same shape.
+    */
+  def qualityPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  val qualityPercentilesSql: String =
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS p25_chars,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+      |  count(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t05_quality_percentiles" -> qualityPercentiles _,
     "q16_nested_agency_docs" -> nestedAgencyDocs _,
     "q08_doc_extract" -> docExtract _,
     "q09_json_extract" -> jsonExtract _,
@@ -299,6 +327,7 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t05_quality_percentiles" -> qualityPercentilesSql,
     "q16_nested_agency_docs" -> nestedAgencyDocsSql,
     "q08_doc_extract" -> docExtractSql,
     "q09_json_extract" -> jsonExtractSql,

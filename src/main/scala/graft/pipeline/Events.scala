@@ -96,13 +96,75 @@ object Events {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** As-of join by composition (Spark lacks a native one): for each left
+    * event, the greatest right-side ts ≤ left ts within the same key.
+    *
+    * Implementation is the union+window trick — one shuffle on the key,
+    * one ordered pass: tag both sides, sort by (ts, side) with right
+    * first on ties, carry the last seen right ts forward. This beats a
+    * range self-join (no O(n·m) per key) and is the standard scalable
+    * as-of shape; a custom LogicalPlan+Strategy would only change the
+    * API, not the data movement.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: String): DataFrame = {
+    val l = left.select(col(key), col(ts), col(payload))
+      .withColumn("_side", lit(1))
+      .withColumn("_right_us", lit(null).cast("long"))
+    val r = right.select(col(key), col(ts))
+      .withColumn(payload, lit(null).cast(left.schema(payload).dataType))
+      .withColumn("_side", lit(0))
+      .withColumn("_right_us", unix_micros(col(ts)))
+    // Right rows sort before left on equal ts (_side 0 < 1) so a right
+    // row at exactly left.ts is matched — ASOF `p.ts >= v.ts` semantics.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("_asof_us", last(col("_right_us"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col(key), col(ts), col(payload),
+        timestamp_micros(col("_asof_us")).as("asof_ts"))
+  }
+
+  /** e04: as-of join — each purchase matched to the user's most recent
+    * view at-or-before it (DuckDB's native ASOF JOIN is the oracle).
+    */
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts")
+    asofJoin(purchases, views, "user_id", "ts", "event_id")
+      .select($"user_id", $"event_id", $"ts", $"asof_ts",
+        (unix_micros($"ts") - unix_micros($"asof_ts")).as("lag_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val asofSql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |views AS (
+      |  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.user_id, p.event_id, p.ts, v.ts AS asof_ts,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      |FROM purchases p
+      |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_window_agg" -> windowAgg _,
     "e02_sessionize" -> sessionize _,
-    "e03_running_total" -> runningTotal _)
+    "e03_running_total" -> runningTotal _,
+    "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
     "e01_window_agg" -> windowAggSql,
     "e02_sessionize" -> sessionizeSql,
-    "e03_running_total" -> runningTotalSql)
+    "e03_running_total" -> runningTotalSql,
+    "e04_asof_join" -> asofSql)
 }

@@ -9,7 +9,10 @@ import graft.streaming.{Ev, StreamingOps}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  // Base well above epoch: a ts at exactly the initial watermark (0) would
+  // be treated as late and dropped by stateful operators.
+  private val base = 1700000000000L // 2023-11-14
+  private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
 
   val evs: Seq[Ev] = Seq(
     Ev(1, ts(0), "click", 1.0), Ev(1, ts(10), "click", 2.0),
@@ -46,6 +49,21 @@ class StreamingSpec extends SparkSpec {
     // user 1: session [0,10] closed by the 70-min event; [70] still open.
     // user 2: session [5,20] closed by the 200-min event; [200] still open.
     assert(emitted == Set((1L, 2), (2L, 2)))
+  }
+
+  test("streaming dedup within watermark drops replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // duplicate delivery of the same (user_id, ts) event — at-least-once replay
+    mem.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(0), "click", 1.0),
+      Ev(2, ts(1), "view", 2.0))
+    val q = mem.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "ts") // watermark bounds the dedup state
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT * FROM dedup_stream").count() == 2)
   }
 
   test("batch sessionize agrees with streaming emissions + open state") {

@@ -88,10 +88,13 @@ object Dedup {
       .select($"doc_id", shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
 
+    // Materialize the signature before band-explode: inside the transform
+    // lambda it would be recomputed once per band (16×).
     val banded = docs
+      .select($"doc_id", minhashSignature($"sh").as("sig"))
       .select($"doc_id",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(minhashSignature($"sh"), b * rows + 1, lit(rows))))))
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 

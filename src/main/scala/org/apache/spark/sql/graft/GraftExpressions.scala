@@ -30,6 +30,87 @@ object hashing {
 
   @inline def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  // Static entry points for generated code (doGenCode emits calls to these
+  // instead of falling back to interpreted evaluation — the loop itself is
+  // already a tight JVM loop, so a static call keeps the surrounding
+  // operators inside whole-stage codegen at zero extra cost).
+
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = hashUtf8(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hashUtf8(arr.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  def hyperplaneSig(v: ArrayData, planes: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val w = if ((XXH64.hashLong(p.toLong << 32 | d.toLong, 7L) & 1L) == 1L) 1.0 else -1.0
+        acc += v.getDouble(d) * w
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(space, -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = words(i + k); k += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Sequential dot product of two array<double> columns. Same summation
@@ -73,26 +154,14 @@ case class DotProduct(left: Expression, right: Expression)
   * (standard one-hash MinHash construction).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(k)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      val base = hashing.hashUtf8(arr.getUTF8String(j), 42L)
-      var i = 0
-      while (i < k) {
-        val h = hashing.mix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
-        if (h < mins(i)) mins(i) = h
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    hashing.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.minhashSig($a, $k);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -100,28 +169,14 @@ case class MinHashSig(child: Expression, k: Int)
   * counters, sign → fingerprint.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val counts = new Array[Int](64)
-    var j = 0
-    while (j < n) {
-      val h = hashing.hashUtf8(arr.getUTF8String(j), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      j += 1
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(hashing.simhash64(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.simhash64($a);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -130,27 +185,15 @@ case class SimHash64(child: Expression)
   * deterministic, no stored model.
   */
 case class HyperplaneSig(child: Expression, planes: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val dim = v.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < planes) {
-      var acc = 0.0
-      var d = 0
-      while (d < dim) {
-        val w = if ((XXH64.hashLong(p.toLong << 32 | d.toLong, 7L) & 1L) == 1L) 1.0 else -1.0
-        acc += v.getDouble(d) * w
-        d += 1
-      }
-      if (acc > 0) sig |= (1L << p)
-      p += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      hashing.hyperplaneSig(input.asInstanceOf[ArrayData], planes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.hyperplaneSig($a, $planes);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -161,30 +204,15 @@ case class HyperplaneSig(child: Expression, planes: Int)
   * sides of the candidate join.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  private val space = UTF8String.fromString(" ")
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].split(space, -1)
-    val m = words.length - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
-    var i = 0
-    while (i < m) {
-      val parts = new Array[UTF8String](n)
-      var k = 0
-      while (k < n) { parts(k) = words(i + k); k += 1 }
-      seen.add(UTF8String.concatWs(space, parts: _*))
-      i += 1
-    }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    hashing.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.wordShingles($a, $n);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -11,15 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full corpus-curation pipeline — quality gate, exact + MinHash
+    * dedup, language annotation — i.e. the engine's reason to exist.
+    */
   def entry(spark: SparkSession): DataFrame =
-    pipeline.Relational.joinAgg(spark, "/root/testdata/sf0.001")
+    pipeline.CorpusPipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ multimodal.Multimodal.queries
+      operators.Similarity.queries ++ multimodal.Multimodal.queries ++
+      Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
+        pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
+          .select("doc_id", "predicted_lang", "n_tokens", "fingerprint")
+          .orderBy("doc_id")))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =

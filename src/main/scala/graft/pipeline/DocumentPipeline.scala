@@ -313,7 +313,47 @@ object DocumentPipeline {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q18: pivot — documents per (source, lang) as a wide table (Spark
+    * `pivot` with explicit values = conditional aggregation, one shuffle).
+    */
+  def langPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .pivot("lang", Seq("en", "fr", "es", "zh", "de"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"source")
+  }
+
+  val langPivotSql: String =
+    """SELECT source,
+      |  count(*) FILTER (lang = 'en') AS en,
+      |  count(*) FILTER (lang = 'fr') AS fr,
+      |  count(*) FILTER (lang = 'es') AS es,
+      |  count(*) FILTER (lang = 'zh') AS zh,
+      |  count(*) FILTER (lang = 'de') AS de
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** t06: approximate distinct counting (HLL++ sketch) — the cardinality
+    * estimator a 100 TB pipeline uses where exact countDistinct would
+    * shuffle every value. Sketches are engine-specific → rows-only; the
+    * spec asserts the estimate lands within rsd of the exact count.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(approx_count_distinct($"text", 0.02).as("approx_distinct_texts"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_lang_pivot" -> langPivot _,
+    "t06_approx_distinct" -> approxDistinct _,
     "t05_quality_percentiles" -> qualityPercentiles _,
     "q16_nested_agency_docs" -> nestedAgencyDocs _,
     "q08_doc_extract" -> docExtract _,
@@ -327,6 +367,7 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "q18_lang_pivot" -> langPivotSql,
     "t05_quality_percentiles" -> qualityPercentilesSql,
     "q16_nested_agency_docs" -> nestedAgencyDocsSql,
     "q08_doc_extract" -> docExtractSql,

@@ -306,7 +306,37 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** q17: hierarchical rollup with subtotals (GROUPING SETS family) —
+    * region → nation → grand total in one pass (partial-agg friendly;
+    * Spark expands grouping sets before the single shuffle).
+    */
+  def regionRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val regionRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_region_rollup" -> regionRollup _,
     "q15_revenue_chain" -> revenueChain _,
     "q01_pricing_agg" -> pricingAgg _,
     "q02_join_agg" -> joinAgg _,
@@ -319,6 +349,7 @@ object Relational {
     "q14_date_normalize" -> dateNormalize _)
 
   val oracles: Map[String, String] = Map(
+    "q17_region_rollup" -> regionRollupSql,
     "q15_revenue_chain" -> revenueChainSql,
     "q01_pricing_agg" -> pricingAggSql,
     "q02_join_agg" -> joinAggSql,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor (SURVEY.md §2 s04).
+  *
+  * Classic two-level ANN: k-means-style coarse quantizer (few Lloyd
+  * iterations, centroid state lives on the driver exactly as MLlib keeps
+  * model state — K×dim doubles, kilobytes), then search probes only the
+  * `nprobe` nearest clusters and exactly re-ranks their members.
+  *
+  * Scale shape: assignment is a map-only pass against broadcast centroids
+  * (one small crossJoin + per-row argmax); the index is the cluster-id
+  * column, which at 100 TB becomes the partition/bucket key so a probe
+  * reads only matching partitions. Training touches the corpus t times;
+  * search reads ~nprobe/K of it.
+  */
+object IvfIndex {
+
+  /** Lloyd iterations over cosine similarity; returns (cluster_id, centroid)
+    * rows. Deterministic: seeds are the first K vectors by id.
+    */
+  def train(vectors: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
+
+    var centroids: Seq[(Int, Seq[Double])] = v.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq.zipWithIndex.map(_.swap)
+
+    for (_ <- 1 to iters) {
+      val cDf = s.createDataFrame(centroids.map { case (id, c) => (id, c) })
+        .toDF("cluster_id", "centroid")
+      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id")
+      val assigned = v.crossJoin(broadcast(cDf))
+        .withColumn("sim", cosine($"v", $"centroid"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"cluster_id", $"v")
+      // new centroid = per-dimension mean of members (posexplode + regroup)
+      centroids = assigned
+        .select($"cluster_id", posexplode($"v"))
+        .groupBy($"cluster_id", $"pos")
+        .agg(avg($"col").as("m"))
+        .groupBy($"cluster_id")
+        .agg(sort_array(collect_list(struct($"pos", $"m"))).as("dims"))
+        .select($"cluster_id", expr("transform(dims, d -> d.m)").as("centroid"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid — the IVF index column. */
+  def assign(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val cDf = s.createDataFrame(centroids).toDF("cluster_id", "centroid")
+    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id")
+    v.crossJoin(broadcast(cDf))
+      .withColumn("sim", cosine($"v", $"centroid"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cluster_id")
+  }
+
+  /** s04: IVF top-k — probe the nprobe nearest clusters per query, exact
+    * cosine re-rank of only those members.
+    */
+  def knnIvf(s: SparkSession, dir: String,
+      queryBound: Int = 32, k: Int = 5, clusters: Int = 16,
+      nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = train(emb, clusters, iters)
+    val indexed = assign(emb, centroids)
+
+    val queries = indexed.filter($"vec_id" < queryBound)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val cDf = s.createDataFrame(centroids).toDF("cluster_id", "centroid")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cluster_id")
+    val probes = queries.crossJoin(broadcast(cDf))
+      .withColumn("csim", cosine($"qv", $"centroid"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= nprobe)
+      .select($"query_id", $"qv", $"cluster_id")
+
+    val members = indexed.select($"cluster_id",
+      $"vec_id".as("neighbor_id"), $"v".as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    probes.join(members, Seq("cluster_id"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+}

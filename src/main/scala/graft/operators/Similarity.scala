@@ -133,7 +133,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "s03_label_centroids" -> (labelCentroids _))
+    "s03_label_centroids" -> (labelCentroids _),
+    "s04_knn_ivf" -> ((s: SparkSession, d: String) => IvfIndex.knnIvf(s, d)))
 
   // s02 is approximate by construction → rows-only; recall measured in
   // SimilaritySpec against s01.

@@ -31,6 +31,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, f"recall $recall%.3f too low even for 8-bit bands")
   }
 
+  test("ivf probes a fraction of the corpus yet finds real neighbors") {
+    val ivf = graft.operators.IvfIndex.knnIvf(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.3f (nprobe=4 of 16 clusters)")
+    assert(recall > 0.1, f"recall $recall%.3f too low")
+  }
+
+  test("ivf assignment covers every vector exactly once") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = graft.operators.IvfIndex.train(emb, k = 8, iters = 1)
+    assert(centroids.size == 8)
+    val indexed = graft.operators.IvfIndex.assign(emb, centroids)
+    assert(indexed.count() == emb.count())
+    assert(indexed.select($"vec_id").distinct().count() == emb.count())
+  }
+
   test("lsh sims match brute sims where pairs overlap") {
     val b = Similarity.knnBrute(spark, sf)
       .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]

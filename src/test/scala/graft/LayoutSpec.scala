@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{IncrementalIngest, Layout}
+
+/** Storage layout: bucketed join without exchange, partition pruning,
+  * store compaction.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    Layout.writeBucketed(
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice"),
+      "orders_b", "o_orderkey")
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+      "lineitem_b", "l_orderkey")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("date-partitioned writes prune partitions on read") {
+    val out = Files.createTempDirectory("graft_part_").toString + "/events"
+    Layout.writeDatePartitioned(Tables.events(spark, sf), out, "ts")
+    val pruned = spark.read.parquet(out).filter($"_date" === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_date"),
+      s"expected partition filter in:\n$plan")
+    // correctness: matches an unpartitioned filter on the same day
+    val expected = Tables.events(spark, sf)
+      .filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-05").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("compaction preserves content and uniqueness while cutting file count") {
+    val store = Files.createTempDirectory("graft_cstore_").toString
+    for (i <- 1 to 6)
+      IncrementalIngest.appendBatch(
+        Seq((i.toLong, s"unique content number $i")).toDF("doc_id", "text"),
+        store, f"b$i%04d")
+    val before = new java.io.File(store).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 6)
+    val n = Layout.compactStore(spark, store, target = 2)
+    assert(n == 6)
+    val after = spark.read.parquet(store + "/*.parquet")
+    assert(after.count() == 6)
+    assert(after.select("content_hash").distinct().count() == 6)
+    val audit = IncrementalIngest.audit(spark, store).collect()(0)
+    assert(audit.getAs[Long]("duplicate_count") == 0)
+  }
+}

@@ -231,6 +231,59 @@ object Dedup {
       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Transitive dedup clusters: connected components over near-dup pairs
+    * via iterative min-label propagation (the standard large-graph CC —
+    * converges in O(log(longest chain)) rounds, each one join + one
+    * groupBy). Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id)
+    * where cluster_id = min doc_id of the component.
+    *
+    * At 100 TB the pair set (LSH output) is orders of magnitude smaller
+    * than the corpus, so each round's shuffle is cheap; `maxIters` bounds
+    * pathological chains, and the early-exit check stops as soon as labels
+    * are stable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    var labels = nodes.withColumn("cluster_id", $"doc_id")
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val msgs = edges
+        .join(labels, $"src" === $"doc_id")
+        .select($"dst".as("doc_id"), $"cluster_id")
+      val next = labels.unionByName(msgs)
+        .groupBy($"doc_id")
+        .agg(min($"cluster_id").as("cluster_id"))
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter($"n.cluster_id" =!= $"o.cluster_id")
+        .limit(1).count()
+      // localCheckpoint truncates the growing iterative lineage
+      labels = next.localCheckpoint(eager = true)
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full transitive near-dup grouping: LSH pairs → components → per-doc
+    * cluster assignment (docs with no near-dup form singleton clusters).
+    */
+  def dedupGroups(documents: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val pairs = minhashPairs(documents, minJaccard = minJaccard)
+    val cc = connectedComponents(pairs)
+    documents.select($"doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),

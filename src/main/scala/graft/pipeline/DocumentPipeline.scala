@@ -271,17 +271,27 @@ object DocumentPipeline {
     */
   def nestedAgencyDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The nested list is serialized to canonical JSON so the result is a
+    // plain string column — portable across the oracle's hashing of
+    // nested values (list-of-struct hashing is engine/driver-dependent).
     Tables.documents(s, dir)
       .groupBy($"source")
       .agg(
         count(lit(1)).as("total_reports"),
-        sort_array(collect_list(struct($"doc_id", $"lang"))).as("documents"))
+        concat(lit("["),
+          concat_ws(",", sort_array(collect_list(
+            concat(lit("{\"doc_id\":"), $"doc_id",
+              lit(",\"lang\":\""), $"lang", lit("\"}"))))),
+          lit("]")).as("documents_json"))
       .orderBy($"source")
   }
 
   val nestedAgencyDocsSql: String =
     """SELECT source, count(*) AS total_reports,
-      |  list_sort(list(struct_pack(doc_id := doc_id, lang := lang))) AS documents
+      |  '[' || string_agg(
+      |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}', ','
+      |    ORDER BY '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}') || ']'
+      |    AS documents_json
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
@@ -351,7 +361,35 @@ object DocumentPipeline {
       .orderBy($"source")
   }
 
+  /** t07: edit-distance fuzzy matching on bounded candidate pairs
+    * (reference reconciles near-matching filenames; Levenshtein is the
+    * verification metric). Bounded prefix keeps the O(n·m) DP cheap.
+    */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .filter($"doc_id" < 40)
+      .select($"doc_id", substring($"text", 1, 40).as("prefix"))
+    val a = d.select($"doc_id".as("doc_a"), $"prefix".as("pa"))
+    val b = d.select($"doc_id".as("doc_b"), $"prefix".as("pb"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", levenshtein($"pa", $"pb").as("edit_dist"))
+      .filter($"edit_dist" <= 26)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val editDistanceSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substring(text, 1, 40) AS prefix
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.prefix, b.prefix) AS edit_dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.prefix, b.prefix) <= 26
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_edit_distance" -> editDistance _,
     "q18_lang_pivot" -> langPivot _,
     "t06_approx_distinct" -> approxDistinct _,
     "t05_quality_percentiles" -> qualityPercentiles _,
@@ -367,6 +405,7 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t07_edit_distance" -> editDistanceSql,
     "q18_lang_pivot" -> langPivotSql,
     "t05_quality_percentiles" -> qualityPercentilesSql,
     "q16_nested_agency_docs" -> nestedAgencyDocsSql,

@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpec {
     assert(sumCopies == total, "every doc accounted for exactly once")
   }
 
+  test("connected components merges transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(7L) == 1L)
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+  }
+
+  test("dedupGroups assigns every doc a cluster; singletons map to themselves") {
+    val docs = mkDocs(Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated))
+    val groups = Dedup.dedupGroups(docs, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.keySet == Set(1L, 2L, 3L, 4L))
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(4L) == 4L)
+  }
+
   test("minhash skew guard drops oversized buckets") {
     // 100 identical docs → bucket size 100 > maxBucket 10 → no pairs emitted
     val docs = mkDocs((1L to 100L).map(i => i -> base))

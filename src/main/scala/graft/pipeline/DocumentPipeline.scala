@@ -388,7 +388,78 @@ object DocumentPipeline {
       |WHERE levenshtein(a.prefix, b.prefix) <= 26
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** t08: TF-IDF top terms per document — the classic relevance scoring
+    * behind keyword surfacing. Two shuffles (term df, then per-doc top-k);
+    * df table is broadcast back. Stopword-ish terms fall out via idf.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") >= 3)
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3 && $"doc_id" < 100)
+      .select($"doc_id", $"rank", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |filtered AS (SELECT * FROM terms WHERE len(term) >= 3),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM filtered GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM filtered) GROUP BY term),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf
+      |FROM ranked WHERE rank <= 3 AND doc_id < 100
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** q19: column profiling — the data-quality snapshot every pipeline runs
+    * before trusting a feed (null counts, distincts, ranges in one pass).
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum($"o_custkey".isNull.cast("long")).as("null_custkey"),
+      countDistinct($"o_orderstatus").as("distinct_status"),
+      countDistinct($"o_orderpriority").as("distinct_priority"),
+      round(min($"o_totalprice"), 2).as("min_price"),
+      round(max($"o_totalprice"), 2).as("max_price"),
+      min($"o_orderdate").as("min_date"),
+      max($"o_orderdate").as("max_date"))
+  }
+
+  val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_custkey,
+      |  count(DISTINCT o_orderstatus) AS distinct_status,
+      |  count(DISTINCT o_orderpriority) AS distinct_priority,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  min(o_orderdate) AS min_date,
+      |  max(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_tfidf" -> tfidf _,
+    "q19_profile" -> profile _,
     "t07_edit_distance" -> editDistance _,
     "q18_lang_pivot" -> langPivot _,
     "t06_approx_distinct" -> approxDistinct _,
@@ -405,6 +476,8 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t08_tfidf" -> tfidfSql,
+    "q19_profile" -> profileSql,
     "t07_edit_distance" -> editDistanceSql,
     "q18_lang_pivot" -> langPivotSql,
     "t05_quality_percentiles" -> qualityPercentilesSql,

@@ -156,13 +156,49 @@ object Events {
       |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  /** e05: calendar gap-fill — daily event counts over the full date range
+    * including empty days (generate the calendar from the data bounds,
+    * left-join the daily rollup, zero-fill). The time-series resample
+    * primitive; the calendar side is tiny and broadcast.
+    */
+  def dailyGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+    val cal = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    broadcast(cal).join(daily, Seq("day"), "left")
+      .select($"day",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"total_value", lit(0.0)).as("total_value"))
+      .orderBy($"day")
+  }
+
+  val dailyGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT (ts::TIMESTAMP)::DATE AS day, count(*) AS n,
+      |    round(sum(value), 2) AS total_value
+      |  FROM events GROUP BY 1),
+      |cal AS (
+      |  SELECT unnest(generate_series(
+      |    (SELECT min((ts::TIMESTAMP)::DATE) FROM events),
+      |    (SELECT max((ts::TIMESTAMP)::DATE) FROM events),
+      |    INTERVAL 1 DAY))::DATE AS day)
+      |SELECT cal.day AS day, coalesce(daily.n, 0) AS n,
+      |  coalesce(daily.total_value, 0.0) AS total_value
+      |FROM cal LEFT JOIN daily ON cal.day = daily.day
+      |ORDER BY cal.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_daily_gapfill" -> dailyGapfill _,
     "e01_window_agg" -> windowAgg _,
     "e02_sessionize" -> sessionize _,
     "e03_running_total" -> runningTotal _,
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e05_daily_gapfill" -> dailyGapfillSql,
     "e01_window_agg" -> windowAggSql,
     "e02_sessionize" -> sessionizeSql,
     "e03_running_total" -> runningTotalSql,

@@ -36,6 +36,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
   }
 
+  /** Streaming ingest into the hash-dedup incremental store: each
+    * micro-batch lands via IncrementalIngest.appendBatch, so replayed or
+    * cross-batch duplicate content is dropped exactly as in the reference's
+    * re-run semantics — but continuously. foreachBatch gives the batch id
+    * for the deterministic store filename.
+    */
+  def ingestStream(docs: DataFrame, storeDir: String,
+      queryName: String = "graft_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.IncrementalIngest.appendBatch(
+          batch.toDF(), storeDir, f"batch$batchId%06d")
+        ()
+      }
+      .start()
+
   val gapUs: Long = 1800L * 1000000L // 30 min, matches Events.sessionize
 
   /** Gap-based sessionization over a keyed event stream. Events within a

@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM dedup_stream").count() == 2)
   }
 
+  test("streaming ingest into the incremental store dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream => MS}
+    val store = java.nio.file.Files.createTempDirectory("graft_sstore_").toString
+    val mem = MS[(Long, String)]
+    val q = StreamingOps.ingestStream(
+      mem.toDF().toDF("doc_id", "text"), store)
+    mem.addData(1L -> "alpha", 2L -> "beta")
+    q.processAllAvailable()
+    mem.addData(3L -> "alpha", 4L -> "gamma") // alpha replayed
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(store + "/*.parquet")
+    assert(stored.count() == 3, "replayed content must be dropped")
+    val audit = graft.sources.IncrementalIngest.audit(spark, store).collect()(0)
+    assert(audit.getAs[Long]("duplicate_count") == 0)
+  }
+
   test("batch sessionize agrees with streaming emissions + open state") {
     val batch = pipeline.Events.sessionize(spark, sf)
     val nUsers = batch.select($"user_id").distinct().count()

@@ -457,7 +457,99 @@ object DocumentPipeline {
       |  max(o_orderdate) AS max_date
       |FROM orders""".stripMargin
 
+  /** t09: within-document repetition ratio (Gopher-style quality rule):
+    * 1 − |distinct bigrams| / |bigrams|. High ratio = boilerplate/spam.
+    * Map-only; bigram sets via the WordShingles expression.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val totalBigrams = greatest(size(split($"text", " ")) - 1, lit(1))
+    val distinctBigrams = size(graft.operators.Dedup.shingles($"text", 2))
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        round(lit(1.0) - distinctBigrams.cast("double") / totalBigrams, 6)
+          .as("repetition_ratio"))
+      .withColumn("is_repetitive", $"repetition_ratio" > 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """SELECT doc_id,
+      |  round(1.0 - len(list_distinct(list_transform(
+      |      range(greatest(len(string_split(text, ' ')) - 1, 0)),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])))
+      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) AS repetition_ratio,
+      |  round(1.0 - len(list_distinct(list_transform(
+      |      range(greatest(len(string_split(text, ' ')) - 1, 0)),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])))
+      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) > 0.2 AS is_repetitive
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** d06: benchmark decontamination — flag corpus docs sharing any word
+    * 3-gram with a benchmark set (here: docs 0–4 stand in for the eval
+    * set). Explode-shingle + semi-join on the shingle; the benchmark side
+    * is tiny and broadcast. The core hygiene op of a training pipeline.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select($"doc_id",
+      explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
+    val benchmark = sh.filter($"doc_id" < 5)
+      .select($"shingle").distinct()
+    sh.filter($"doc_id" >= 5)
+      .join(broadcast(benchmark), Seq("shingle"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_overlapping_shingles"))
+      .withColumn("contaminated", $"n_overlapping_shingles" >= 3)
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+      |    i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |         || ' ' || string_split(text, ' ')[i+3]))) AS shingle
+      |  FROM documents),
+      |benchmark AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5)
+      |SELECT doc_id, count(DISTINCT shingle) AS n_overlapping_shingles,
+      |  count(DISTINCT shingle) >= 3 AS contaminated
+      |FROM sh
+      |WHERE doc_id >= 5 AND shingle IN (SELECT shingle FROM benchmark)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q20: deterministic per-source quota sampling (data mixing): keep at
+    * most N docs per source, chosen by a portable pseudo-random order
+    * (md5 of the id) so the sample is stable across engines and runs.
+    */
+  def quotaSample(s: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= quota)
+      .select($"doc_id", $"source")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val quotaSampleSql: String =
+    """SELECT doc_id, source
+      |FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_repetition" -> repetition _,
+    "d06_decontaminate" -> decontaminate _,
+    "q20_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "t08_tfidf" -> tfidf _,
     "q19_profile" -> profile _,
     "t07_edit_distance" -> editDistance _,
@@ -476,6 +568,9 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t09_repetition" -> repetitionSql,
+    "d06_decontaminate" -> decontaminateSql,
+    "q20_quota_sample" -> quotaSampleSql,
     "t08_tfidf" -> tfidfSql,
     "q19_profile" -> profileSql,
     "t07_edit_distance" -> editDistanceSql,

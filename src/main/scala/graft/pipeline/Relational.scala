@@ -257,7 +257,8 @@ object Relational {
       |  SELECT o_orderkey,
       |    CASE
       |      WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
-      |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%B %-d, %Y')
+      |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%B ')
+      |        || day(o_orderdate) || ', ' || year(o_orderdate)
       |      ELSE strftime(o_orderdate, '%Y-%m-%d')
       |    END AS raw_date
       |  FROM orders)

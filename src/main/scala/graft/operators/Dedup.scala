@@ -84,9 +84,15 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
+    // The shingle frame feeds banding AND both sides of the candidate
+    // verification join (3 uses). Persist it (spilling to disk) so the
+    // upstream scan + shingle computation runs once, not three times —
+    // at scale the recompute dominates; the cache is ~corpus-sized and
+    // spill-safe.
     val docs = documents
       .select($"doc_id", shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Materialize the signature before band-explode: inside the transform
     // lambda it would be recomputed once per band (16×).

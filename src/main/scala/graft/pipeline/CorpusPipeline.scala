@@ -36,12 +36,15 @@ object CorpusPipeline {
       .filter($"n_tokens" >= cfg.minTokens &&
         $"stopword_ratio" >= cfg.minStopwordRatio)
 
-    // 2. exact dedup: keep min doc_id per content hash
+    // 2. exact dedup: keep min doc_id per content hash. Persisted: the
+    // deduped frame feeds the near-dup pair generation AND the final
+    // anti-join — without it the regex-heavy scoring scan reruns per use.
     val keeper = scored
       .groupBy(sha2($"text", 256).as("_h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val exactDeduped = scored.join(keeper, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup removal: drop the larger id of each confirmed pair
     val nearDupLosers = Dedup

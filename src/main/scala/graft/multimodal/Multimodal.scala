@@ -86,6 +86,23 @@ object Multimodal {
       .repartition($"doc_id")
   }
 
+  /** Resize plan: aspect-preserving fit into a target box — pure column
+    * arithmetic over the feature table (the actual pixel work happens in
+    * the decode stage; the plan computes the target geometry every
+    * image-pipeline needs before batching decode work by output size).
+    */
+  def resizePlan(features: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    import features.sparkSession.implicits._
+    val scale = least(
+      lit(maxW.toDouble) / $"width",
+      lit(maxH.toDouble) / $"height",
+      lit(1.0))
+    features.select($"doc_id", $"width", $"height",
+      round(scale, 6).as("scale"),
+      greatest(floor($"width" * scale), lit(1)).cast("int").as("out_w"),
+      greatest(floor($"height" * scale), lit(1)).cast("int").as("out_h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (decodeFeatures _))
 

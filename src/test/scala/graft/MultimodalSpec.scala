@@ -24,6 +24,19 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Double]("mean_luma") >= 0 && r.getAs[Double]("mean_luma") <= 1))
   }
 
+  test("resize plan preserves aspect ratio and never upscales") {
+    val f = Multimodal.decodeFeatures(spark, sf)
+    val r = Multimodal.resizePlan(f, 256, 256).collect()
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Int]("width"), row.getAs[Int]("height"))
+      val (ow, oh) = (row.getAs[Int]("out_w"), row.getAs[Int]("out_h"))
+      assert(ow <= 256 && oh <= 256 && ow >= 1 && oh >= 1)
+      assert(ow <= w && oh <= h, "no upscaling")
+      // aspect preserved within integer-floor tolerance
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) < 0.05)
+    }
+  }
+
   test("frame sample plan explodes work units per frame stride") {
     val f = Multimodal.decodeFeatures(spark, sf)
     val plan = Multimodal.frameSamplePlan(f, everyN = 2)

@@ -190,7 +190,36 @@ object Events {
       |FROM cal LEFT JOIN daily ON cal.day = daily.day
       |ORDER BY cal.day""".stripMargin
 
+  /** e06: per-type distribution statistics — variance/stddev via the
+    * numerically-stable moment aggregates (single partial-agg pass; the
+    * monitoring rollup every event pipeline maintains).
+    */
+  def typeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 4).as("mean_value"),
+        round(var_samp($"value"), 4).as("var_value"),
+        round(stddev_samp($"value"), 4).as("sd_value"),
+        round(min($"value"), 2).as("min_value"),
+        round(max($"value"), 2).as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  val typeStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(value), 4) AS mean_value,
+      |  round(var_samp(value), 4) AS var_value,
+      |  round(stddev_samp(value), 4) AS sd_value,
+      |  round(min(value), 2) AS min_value,
+      |  round(max(value), 2) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_type_stats" -> typeStats _,
     "e05_daily_gapfill" -> dailyGapfill _,
     "e01_window_agg" -> windowAgg _,
     "e02_sessionize" -> sessionize _,
@@ -198,6 +227,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e06_type_stats" -> typeStatsSql,
     "e05_daily_gapfill" -> dailyGapfillSql,
     "e01_window_agg" -> windowAggSql,
     "e02_sessionize" -> sessionizeSql,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operators must degrade gracefully on empty input (a filtered-out
+  * partition or an empty delta is routine at scale, not an edge case).
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("minhash pairs on empty input is empty, not an error") {
+    assert(operators.Dedup.minhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("simhash pairs on empty input is empty") {
+    assert(operators.Dedup.simhashPairs(emptyDocs).count() == 0)
+  }
+
+  test("connected components on empty pair set is empty") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(operators.Dedup.connectedComponents(emptyPairs).count() == 0)
+  }
+
+  test("curation of empty corpus is empty") {
+    assert(pipeline.CorpusPipeline.curate(emptyDocs).count() == 0)
+  }
+
+  test("asof join with empty right side keeps left rows with null asof_ts") {
+    val left = Seq((1L, new java.sql.Timestamp(1700000000000L), 10L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    val out = pipeline.Events.asofJoin(left, right, "user_id", "ts", "event_id")
+    assert(out.count() == 1)
+    assert(out.filter($"asof_ts".isNull).count() == 1)
+  }
+
+  test("shingles of degenerate texts") {
+    val df = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", size(operators.Dedup.shingles($"text", 3)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 0)
+  }
+}

@@ -546,7 +546,28 @@ object DocumentPipeline {
       |WHERE rn <= 10
       |ORDER BY source, doc_id""".stripMargin
 
+  /** t10: winnowing fingerprints (MOSS-style): hash every word 3-gram,
+    * slide a window of w hashes, keep each window's minimum — a compact,
+    * position-robust fingerprint set whose overlap localizes shared
+    * passages (finer-grained than whole-doc MinHash). Output is the
+    * fingerprint count + a stable digest of the set per doc.
+    */
+  def winnowFingerprint(s: SparkSession, dir: String, window: Int = 4): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val hashes = transform(graft.operators.Dedup.shingles($"text", 3),
+      sh => xxhash64(sh))
+    val prints = array_distinct(transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window)))))
+    docs.select($"doc_id",
+        size(prints).as("n_fingerprints"),
+        md5(concat_ws(",", sort_array(prints))).as("fingerprint_digest"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprint(s, d)),
     "t09_repetition" -> repetition _,
     "d06_decontaminate" -> decontaminate _,
     "q20_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),

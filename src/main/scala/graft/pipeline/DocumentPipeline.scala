@@ -67,14 +67,14 @@ object DocumentPipeline {
         regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("int").as("k"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        round(avg($"k"), 4).as("avg_k"),
+        round(avg($"k") + lit(1e-9), 4).as("avg_k"),
         min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")
   }
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
+      |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) + 1e-9, 4) AS avg_k,
       |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
       |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
       |FROM events
@@ -156,14 +156,14 @@ object DocumentPipeline {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"lang").as("n_langs"),
-        round(avg($"n_chars"), 4).as("avg_chars"),
+        round(avg($"n_chars") + lit(1e-9), 4).as("avg_chars"),
         sum($"n_chars").as("total_chars"))
       .orderBy($"source")
   }
 
   val agencyRollupSql: String =
     """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-      |  round(avg(n_chars), 4) AS avg_chars, sum(n_chars) AS total_chars
+      |  round(avg(n_chars) + 1e-9, 4) AS avg_chars, sum(n_chars) AS total_chars
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin

@@ -199,7 +199,7 @@ object Events {
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
-        round(avg($"value"), 4).as("mean_value"),
+        round(avg($"value") + lit(1e-9), 4).as("mean_value"),
         round(var_samp($"value"), 4).as("var_value"),
         round(stddev_samp($"value"), 4).as("sd_value"),
         round(min($"value"), 2).as("min_value"),
@@ -209,7 +209,7 @@ object Events {
 
   val typeStatsSql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(avg(value), 4) AS mean_value,
+      |  round(avg(value) + 1e-9, 4) AS mean_value,
       |  round(var_samp(value), 4) AS var_value,
       |  round(stddev_samp(value), 4) AS sd_value,
       |  round(min(value), 2) AS min_value,

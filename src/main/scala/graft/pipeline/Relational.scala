@@ -34,8 +34,8 @@ object Relational {
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        round(avg($"l_quantity") + lit(1e-9), 4).as("avg_qty"),
+        round(avg($"l_discount") + lit(1e-9), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -45,8 +45,8 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+      |  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -209,7 +209,7 @@ object Relational {
       when($"c_mktsegment" === "BUILDING", lit(null).cast("double"))
         .otherwise($"c_acctbal").as("acctbal"))
     val overlay = c.groupBy($"c_nationkey".as("nk"))
-      .agg(round(avg($"c_acctbal"), 2).as("nation_avg"))
+      .agg(round(avg($"c_acctbal") + lit(1e-9), 2).as("nation_avg"))
     base.join(broadcast(overlay), $"c_nationkey" === $"nk", "left")
       .select(
         $"c_custkey",
@@ -224,7 +224,7 @@ object Relational {
       |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS acctbal
       |  FROM customer),
       |overlay AS (
-      |  SELECT c_nationkey AS nk, round(avg(c_acctbal), 2) AS nation_avg
+      |  SELECT c_nationkey AS nk, round(avg(c_acctbal) + 1e-9, 2) AS nation_avg
       |  FROM customer GROUP BY c_nationkey)
       |SELECT c_custkey,
       |  round(coalesce(acctbal, nation_avg, 0.0), 2) AS acctbal_filled,

@@ -163,7 +163,7 @@ object DocumentPipeline {
 
   val agencyRollupSql: String =
     """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-      |  round(avg(n_chars) + 1e-9, 4) AS avg_chars, sum(n_chars) AS total_chars
+      |  round(avg(n_chars) + 1e-9, 4) AS avg_chars, sum(n_chars)::BIGINT AS total_chars
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin

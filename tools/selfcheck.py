@@ -49,6 +49,15 @@ def main(outdir: str, sfdir: str):
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
         eq = True
         for c in a.columns:
+            # dtype KIND drift (e.g. DuckDB HUGEINT sum -> float/object while
+            # Spark emits int64) hash-mismatches driver-side even when values
+            # compare equal elementwise (str(7949.0) != str(7949)). Width-only
+            # drift (int32 vs int64) is benign — same string form.
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if ka != kb and {ka, kb} not in ({"i", "u"},):
+                print(f"  WARN {name}.{c}: dtype {a[c].dtype} vs {b[c].dtype} (hash would MISMATCH)")
+                eq = False
+        for c in a.columns:
             av, bv = a[c].values, b[c].values
             if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)

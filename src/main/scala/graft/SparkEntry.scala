@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
-      pipeline.Events.queries ++ operators.Dedup.queries ++
+      pipeline.Events.queries ++ pipeline.Analytics.queries ++
+      operators.Dedup.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
         pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
@@ -31,6 +32,7 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
-      pipeline.Events.oracles ++ operators.Dedup.oracles ++
+      pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
+      operators.Dedup.oracles ++
       operators.Similarity.oracles
 }

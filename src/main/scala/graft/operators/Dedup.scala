@@ -290,8 +290,41 @@ object Dedup {
         coalesce($"cluster_id", $"doc_id").as("cluster_id"))
   }
 
+  /** d07: transitive dedup clusters as a query — the d04 candidate pairs
+    * closed under connectivity via iterative min-label propagation. The
+    * DuckDB oracle computes the same components with a recursive-CTE
+    * transitive closure (exact cross-engine check of an iterative
+    * distributed algorithm).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(ngramJaccard(s, dir)).orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+      |  FROM documents WHERE doc_id < 80),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6) >= 0.05),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),
+    "d07_dedup_clusters" -> (dedupClusters _),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
@@ -301,6 +334,7 @@ object Dedup {
   // verified in DedupSpec against planted duplicates + brute-force Jaccard.
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSql,
+    "d07_dedup_clusters" -> dedupClustersSql,
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql)
 }

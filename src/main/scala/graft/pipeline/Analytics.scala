@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-2 analytics additions (SURVEY.md §2): multidimensional rollups,
+  * statistical aggregates, ranked top-k, range joins, histograms, outlier
+  * scoring, and the cohort/funnel event analytics a corpus-telemetry
+  * pipeline runs.
+  *
+  * Scale notes: every aggregate here is partial-aggregatable (one shuffle);
+  * the range join is a bucketed equi-join (operators.RangeJoin), never a
+  * nested loop over the fact side; z-score stats are a 5-row broadcast, not
+  * a window over a 5-partition skew.
+  */
+object Analytics {
+
+  /** q21: CUBE over (source, lang) — all four grouping sets in one pass
+    * (Catalyst expands to a single Expand + partial agg; the reference
+    * computes each rollup level with a separate pandas pass).
+    */
+  def cubeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .cube($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .select(coalesce($"source", lit("ALL")).as("source_g"),
+        coalesce($"lang", lit("ALL")).as("lang_g"),
+        $"n_docs", $"total_chars")
+      .orderBy($"source_g", $"lang_g")
+  }
+
+  val cubeRollupSql: String =
+    """SELECT coalesce(source, 'ALL') AS source_g, coalesce(lang, 'ALL') AS lang_g,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      |FROM documents
+      |GROUP BY CUBE (source, lang)
+      |ORDER BY source_g, lang_g""".stripMargin
+
+  /** q22: per-group bivariate statistics — correlation, covariance and the
+    * least-squares fit of price on quantity, all numerically-stable moment
+    * aggregates in a single partial-agg pass.
+    */
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qty_price"),
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("fit_slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("fit_intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  val corrStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS fit_slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS fit_intercept
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q23: top-3 parts per brand by revenue, rank kept in the output. The
+    * rank ordering is made fully deterministic (revenue rounded before
+    * ranking, part key as tie-break) so both engines rank identically.
+    * WindowGroupLimit pushes the top-k below the shuffle.
+    */
+  def topkRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_partkey")
+      .agg(round(sum($"l_extendedprice"), 2).as("revenue"))
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"revenue".desc, $"p_partkey")
+    rev.withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 3)
+      .select($"p_brand", $"rnk", $"p_partkey", $"revenue")
+      .orderBy($"p_brand", $"rnk")
+  }
+
+  val topkRankSql: String =
+    """WITH rev AS (
+      |  SELECT p.p_brand, l.l_partkey AS p_partkey,
+      |    round(sum(l.l_extendedprice), 2) AS revenue
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand, rnk, p_partkey, revenue
+      |FROM (
+      |  SELECT p_brand, p_partkey, revenue, rank() OVER (
+      |    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+
+  /** q24: range join — events assigned to weekly 3-day campaign windows
+    * derived from the data's own date bounds, then rolled up per campaign
+    * (empty campaigns kept). Executes as a bucketed equi-join
+    * (operators.RangeJoin), not a nested loop.
+    */
+  def rangeJoinCampaigns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val iv = ev.agg(min(to_date($"ts")).as("d0"), max(to_date($"ts")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 7 day)")).as("campaign_start"))
+      .withColumn("start_ts", $"campaign_start".cast("timestamp"))
+      .withColumn("end_ts", date_add($"campaign_start", 3).cast("timestamp"))
+    val matched = graft.operators.RangeJoin
+      .pointInInterval(ev, "ts", broadcast(iv), "start_ts", "end_ts")
+      .groupBy($"campaign_start")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("tv"))
+    iv.select($"campaign_start").join(matched, Seq("campaign_start"), "left")
+      .select($"campaign_start",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"tv", lit(0.0)).as("total_value"))
+      .orderBy($"campaign_start")
+  }
+
+  val rangeJoinCampaignsSql: String =
+    """WITH b AS (
+      |  SELECT min((ts::TIMESTAMP)::DATE) AS d0, max((ts::TIMESTAMP)::DATE) AS d1
+      |  FROM events),
+      |iv AS (
+      |  SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 7 DAY))::DATE
+      |    AS campaign_start FROM b),
+      |m AS (
+      |  SELECT iv.campaign_start, count(*) AS n, round(sum(e.value), 2) AS tv
+      |  FROM iv JOIN events e
+      |    ON e.ts::TIMESTAMP >= iv.campaign_start
+      |   AND e.ts::TIMESTAMP < iv.campaign_start + 3
+      |  GROUP BY 1)
+      |SELECT iv.campaign_start AS campaign_start,
+      |  coalesce(m.n, 0)::BIGINT AS n_events,
+      |  coalesce(m.tv, 0.0) AS total_value
+      |FROM iv LEFT JOIN m USING (campaign_start)
+      |ORDER BY campaign_start""".stripMargin
+
+  /** q25: fixed-width histogram of order totals — bucket arithmetic stays
+    * in codegen; one partial-agg shuffle regardless of bucket count.
+    */
+  def histogram(s: SparkSession, dir: String, width: Int = 500): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(floor($"o_totalprice" / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .withColumn("bucket_lo", ($"bucket" * width).cast("double"))
+      .select($"bucket", $"bucket_lo", $"n", $"min_price", $"max_price")
+      .orderBy($"bucket")
+  }
+
+  val histogramSql: String =
+    """SELECT floor(o_totalprice / 500)::BIGINT AS bucket,
+      |  (floor(o_totalprice / 500)::BIGINT * 500)::DOUBLE AS bucket_lo,
+      |  count(*) AS n,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** q26: z-score outlier flagging per event type. The per-type stats are a
+    * 5-row aggregate broadcast back onto the stream — NOT a window over
+    * partition-by-type (5 partitions = maximal skew at scale).
+    */
+  def zscoreOutliers(s: SparkSession, dir: String, cut: Double = 2.5): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy($"event_type")
+      .agg(avg($"value").as("mu"), stddev_samp($"value").as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
+      .filter(abs($"z") > cut)
+      .select($"event_id", $"event_type", $"value", $"z")
+      .orderBy($"event_id")
+  }
+
+  val zscoreOutliersSql: String =
+    """WITH st AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round((e.value - st.mu) / st.sd, 4) AS z
+      |FROM events e JOIN st USING (event_type)
+      |WHERE abs(round((e.value - st.mu) / st.sd, 4)) > 2.5
+      |ORDER BY e.event_id""".stripMargin
+
+  /** e07: day-over-day (D1) user retention — the cohort metric. Activity is
+    * reduced to distinct (user, day) first, so the self-join carries the
+    * small distinct set, not raw events.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val daily = act.groupBy($"day").agg(count(lit(1)).as("n_active"))
+    val ret = act.as("a")
+      .join(act.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .select(col("a.day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_retained"))
+    daily.join(ret, Seq("day"), "left")
+      .select($"day", $"n_active",
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        round(coalesce($"n_retained", lit(0L)) * lit(1.0) / $"n_active" + lit(1e-9), 6)
+          .as("retention_d1"))
+      .orderBy($"day")
+  }
+
+  val retentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
+      |daily AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
+      |ret AS (
+      |  SELECT a.day, count(*) AS n_retained
+      |  FROM act a JOIN act b ON a.user_id = b.user_id AND b.day = a.day + 1
+      |  GROUP BY 1)
+      |SELECT d.day AS day, d.n_active AS n_active,
+      |  coalesce(r.n_retained, 0)::BIGINT AS n_retained,
+      |  round(coalesce(r.n_retained, 0) * 1.0 / d.n_active + 1e-9, 6) AS retention_d1
+      |FROM daily d LEFT JOIN ret r USING (day)
+      |ORDER BY day""".stripMargin
+
+  /** e08: strict-order funnel (view → later click → later purchase) per
+    * user, reported as stage conversion counts. Each stage is one keyed
+    * aggregate + one join on user_id — no per-user event sorting.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_view_click,
+      |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_cube" -> cubeRollup _,
+    "q22_corr_stats" -> corrStats _,
+    "q23_topk_rank" -> topkRank _,
+    "q24_range_join" -> rangeJoinCampaigns _,
+    "q25_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
+    "q26_zscore_outliers" -> ((s: SparkSession, d: String) => zscoreOutliers(s, d)),
+    "e07_retention" -> retention _,
+    "e08_funnel" -> funnel _)
+
+  val oracles: Map[String, String] = Map(
+    "q21_cube" -> cubeRollupSql,
+    "q22_corr_stats" -> corrStatsSql,
+    "q23_topk_rank" -> topkRankSql,
+    "q24_range_join" -> rangeJoinCampaignsSql,
+    "q25_histogram" -> histogramSql,
+    "q26_zscore_outliers" -> zscoreOutliersSql,
+    "e07_retention" -> retentionSql,
+    "e08_funnel" -> funnelSql)
+}

@@ -555,19 +555,73 @@ object DocumentPipeline {
   def winnowFingerprint(s: SparkSession, dir: String, window: Int = 4): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val hashes = transform(graft.operators.Dedup.shingles($"text", 3),
-      sh => xxhash64(sh))
-    val prints = array_distinct(transform(
-      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
-      i => array_min(slice(hashes, i + 1, lit(window)))))
+    val prints = org.apache.spark.sql.graft.GraftFunctions.winnow_fingerprints(
+      graft.operators.Dedup.shingles($"text", 3), window)
     docs.select($"doc_id",
         size(prints).as("n_fingerprints"),
         md5(concat_ws(",", sort_array(prints))).as("fingerprint_digest"))
       .orderBy($"doc_id")
   }
 
+  /** t11: per-document vocabulary statistics — token count, vocabulary
+    * size, hapax legomena, type-token ratio. Lexical-diversity quality
+    * signals (a Gopher-style repetition complement). Two partial-agg
+    * shuffles: (doc, word) then doc.
+    */
+  def vocabStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+    wc.groupBy($"doc_id")
+      .agg(sum($"n").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when($"n" === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(count(lit(1)) * lit(1.0) / sum($"n") + lit(1e-9), 6).as("ttr"),
+        round(sum(when($"n" === 1, 1L).otherwise(0L)) * lit(1.0) / count(lit(1))
+          + lit(1e-9), 6).as("hapax_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val vocabStatsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*) AS vocab_size,
+      |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+      |  round(count(*) * 1.0 / sum(n) + 1e-9, 6) AS ttr,
+      |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6)
+      |    AS hapax_ratio
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t12: per-document unigram entropy in bits — H = log2(N) - Σ n·log2(n)/N
+    * (the factored form needs one pass over the word counts). Low-entropy
+    * documents are boilerplate/templated text; a standard corpus filter.
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+    wc.groupBy($"doc_id")
+      .agg(sum($"n").as("n_tokens"),
+        round(log2(sum($"n")) - sum($"n" * log2($"n")) / sum($"n") + lit(1e-9), 6)
+          .as("entropy_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val entropySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+      |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n) + 1e-9, 6) AS entropy_bits
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprint(s, d)),
+    "t11_vocab_stats" -> vocabStats _,
+    "t12_entropy" -> entropy _,
     "t09_repetition" -> repetition _,
     "d06_decontaminate" -> decontaminate _,
     "q20_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
@@ -589,6 +643,8 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t11_vocab_stats" -> vocabStatsSql,
+    "t12_entropy" -> entropySql,
     "t09_repetition" -> repetitionSql,
     "d06_decontaminate" -> decontaminateSql,
     "q20_quota_sample" -> quotaSampleSql,

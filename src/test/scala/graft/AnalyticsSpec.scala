@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Semantic checks for the round-2 analytics operators on crafted inputs
+  * (the DuckDB gate checks them on the test tables; these pin the edge
+  * cases the gate's data may not exercise).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("range join: inclusive start, exclusive end, multi-interval overlap") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start of iv A: in
+      (2L, ts("2024-01-03 23:59:59")), // inside A: in
+      (3L, ts("2024-01-04 00:00:00")), // == end of A: out
+      (4L, ts("2024-01-02 12:00:00")), // inside A and overlapping B
+      (5L, ts("2023-12-31 23:59:59"))  // before all: out
+    ).toDF("id", "ts")
+    val ivs = Seq(
+      ("A", ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00")),
+      ("B", ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00"))
+    ).toDF("iv", "start_ts", "end_ts")
+    val got = RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts")
+      .select($"id", $"iv").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (2L, "A"), (4L, "A"), (4L, "B")))
+  }
+
+  test("funnel counts only strictly-ordered stage progressions") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: click BEFORE view, purchase after — only stage 1 counts
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 3: view then click, no purchase
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", $"user_id")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = pipeline.Analytics.funnel(spark, dir).head()
+    assert(row.getLong(0) == 3L, "n_view")              // users 1,2,3 viewed
+    assert(row.getLong(1) == 2L, "n_view_click")        // users 1,3 clicked after view
+    assert(row.getLong(2) == 1L, "n_view_click_purchase") // only user 1
+  }
+
+  test("retention: day with full churn reports 0") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), // only user 1 returns on day 2
+      (3L, ts("2024-01-03 10:00:00"))  // day 2 -> 3: nobody returns
+    ).toDF("user_id", "ts")
+      .withColumn("event_id", $"user_id").withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = pipeline.Analytics.retention(spark, dir)
+      .select($"day".cast("string"), $"n_active", $"n_retained")
+      .as[(String, Long, Long)].collect()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 2L, 1L), ("2024-01-02", 1L, 0L), ("2024-01-03", 1L, 0L)))
+  }
+
+  test("winnow fingerprints: shorter-than-window doc yields one fingerprint") {
+    import org.apache.spark.sql.graft.GraftFunctions
+    val df = Seq("a b c").toDF("text")
+      .select(GraftFunctions.winnow_fingerprints(
+        graft.operators.Dedup.shingles($"text", 3), 4).as("fp"))
+    assert(df.select(size($"fp")).head().getInt(0) == 1)
+  }
+}

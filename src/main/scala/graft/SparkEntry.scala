@@ -34,5 +34,5 @@ object SparkEntry {
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++ multimodal.Multimodal.oracles
 }

@@ -26,6 +26,58 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** One-pass mergeable quantile sketch: an equi-width histogram over
+    * caller-supplied bounds. Counts merge by vector addition (fully
+    * associative + commutative → deterministic under any partitioning,
+    * unlike centroid sketches whose result depends on merge order), and a
+    * quantile is answered by walking the cumulative counts and
+    * interpolating within the hit bin — error bounded by bin width.
+    * O(bins) state per group at any data scale; out-of-range values clamp
+    * to the edge bins.
+    */
+  class QuantileHistogram(lo: Double, hi: Double, bins: Int = 256)
+      extends Aggregator[Double, Array[Long], Array[Long]] {
+    require(hi > lo && bins >= 1)
+    private def binOf(v: Double): Int = {
+      val b = ((v - lo) / (hi - lo) * bins).toInt
+      math.max(0, math.min(bins - 1, b))
+    }
+    override def zero: Array[Long] = new Array[Long](bins)
+    override def reduce(b: Array[Long], a: Double): Array[Long] = {
+      b(binOf(a)) += 1; b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bins) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    /** Interpolated quantile (q in [0,1]) from a finished histogram. */
+    def quantile(counts: Array[Long], q: Double): Double = {
+      val total = counts.sum
+      if (total == 0) return Double.NaN
+      val target = q * total
+      var cum = 0L
+      var i = 0
+      val width = (hi - lo) / bins
+      while (i < bins) {
+        if (cum + counts(i) >= target) {
+          val within = if (counts(i) == 0) 0.0
+            else (target - cum) / counts(i)
+          return lo + (i + within) * width
+        }
+        cum += counts(i)
+        i += 1
+      }
+      hi
+    }
+  }
+
   /** Log-sum-exp with the max-shift trick — the numerically-stable
     * reduction used for probability mass; buffer (max, sumExp) merges
     * associatively.

@@ -103,9 +103,37 @@ object Multimodal {
       greatest(floor($"height" * scale), lit(1)).cast("int").as("out_h"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal_meta" -> (decodeFeatures _))
+  /** m02: per-kind asset statistics over the binary media table — the
+    * metadata rollup (bytes, distinct payloads) that runs on a multimodal
+    * corpus without ever decoding; column pruning keeps the payload bytes
+    * out of the scan.
+    */
+  def mediaStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("total_bytes"),
+        countDistinct($"content_hash").as("n_distinct_payloads"))
+      .orderBy($"kind")
+  }
 
-  // Stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
-  val oracles: Map[String, String] = Map.empty
+  val mediaStatsSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS kind,
+      |  count(*) AS n_assets,
+      |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+      |  count(DISTINCT sha256(text)) AS n_distinct_payloads
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_meta" -> (decodeFeatures _),
+    "m02_media_stats" -> (mediaStats _))
+
+  // m01's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
+  val oracles: Map[String, String] = Map(
+    "m02_media_stats" -> mediaStatsSql)
 }

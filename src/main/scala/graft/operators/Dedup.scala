@@ -251,8 +251,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    // The edge set is re-read every iteration (propagation join + the
+    // convergence check): persist it, or the whole upstream pair pipeline
+    // (LSH banding / Jaccard verification) re-executes per round.
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select($"src".as("doc_id")).distinct()
     var labels = nodes.withColumn("cluster_id", $"doc_id")
     var converged = false
@@ -261,18 +265,32 @@ object Dedup {
       val msgs = edges
         .join(labels, $"src" === $"doc_id")
         .select($"dst".as("doc_id"), $"cluster_id")
-      val next = labels.unionByName(msgs)
+      val prop = labels.unionByName(msgs)
         .groupBy($"doc_id")
         .agg(min($"cluster_id").as("cluster_id"))
-      val changed = next.as("n")
+      // Pointer-jump: also adopt the label of the node the label points to
+      // (labels only decrease and stay in-component, so this is safe) —
+      // propagation+jump converges in O(log n) rounds vs O(diameter).
+      val parents = prop
+        .select($"doc_id".as("p_id"), $"cluster_id".as("p_cluster"))
+      val next = prop.join(parents, $"cluster_id" === $"p_id", "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"p_cluster", $"cluster_id"))
+            .as("cluster_id"))
+      // Lazy local checkpoint: it materializes inside the convergence-check
+      // job below, so each round costs ONE Spark action (the eager form plus
+      // a separate count was 2-3 jobs of pure scheduling overhead per round
+      // on a small candidate graph).
+      val nextCk = next.localCheckpoint(eager = false)
+      val changed = nextCk.as("n")
         .join(labels.as("o"), "doc_id")
         .filter($"n.cluster_id" =!= $"o.cluster_id")
         .limit(1).count()
-      // localCheckpoint truncates the growing iterative lineage
-      labels = next.localCheckpoint(eager = true)
+      labels = nextCk
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -265,7 +265,31 @@ object Analytics {
       |  (SELECT count(*) FROM c) AS n_view_click,
       |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
 
+  /** e09: one-pass approximate quantiles per event type via the mergeable
+    * QuantileHistogram typed Aggregator (error ≤ bin width; merge is
+    * vector addition so the answer is deterministic under any partitioning
+    * — the property that makes it safe as a 100 TB monitoring rollup).
+    * The final quantile walk runs over 5 result rows; rows-only (the
+    * sketch isn't SQL-portable), accuracy pinned in TypedAggSpec.
+    */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qh = new graft.functions.TypedAggregators.QuantileHistogram(0.0, 600.0, 256)
+    val sketch = udaf(qh, org.apache.spark.sql.Encoders.scalaDouble)
+    val quant = udf((counts: Seq[Long], q: Double) =>
+      qh.quantile(counts.toArray, q))
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(sketch($"value").as("hist"))
+      .select($"event_type",
+        round(quant($"hist", lit(0.5)), 4).as("p50_approx"),
+        round(quant($"hist", lit(0.9)), 4).as("p90_approx"),
+        round(quant($"hist", lit(0.99)), 4).as("p99_approx"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_quantile_sketch" -> quantileSketch _,
     "q21_cube" -> cubeRollup _,
     "q22_corr_stats" -> corrStats _,
     "q23_topk_rank" -> topkRank _,

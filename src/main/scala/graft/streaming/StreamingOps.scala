@@ -54,6 +54,52 @@ object StreamingOps {
       }
       .start()
 
+  /** File-source ingest: watch a directory for new parquet drops (the
+    * streaming form of the reference's "scan the download folder each run"
+    * loop), quality-gate + enrich each file incrementally, append to a
+    * parquet sink. Exactly-once per file via the checkpoint; `maxFilesPerTrigger`
+    * bounds micro-batch size so one giant drop can't stall the query.
+    */
+  def fileIngest(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, sourceWhitelist: DataFrame,
+      minChars: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(inDir)
+      .filter(length($"text") >= minChars)
+      // stream-static broadcast join: enrichment lookups never shuffle the stream
+      .join(broadcast(sourceWhitelist), Seq("source"), "left_semi")
+      .withColumn("content_hash", sha2($"text", 256))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .start(outDir)
+  }
+
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * views in the preceding hour. Both sides watermarked so the join state
+    * is purged once the interval can no longer match — bounded state, the
+    * streaming analog of the e04 as-of shape.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(v,
+      expr("""p_user = v_user AND
+              view_ts <= purchase_ts AND
+              view_ts > purchase_ts - INTERVAL 1 HOUR"""))
+      .select(col("p_user").as("user_id"), col("event_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   val gapUs: Long = 1800L * 1000000L // 30 min, matches Events.sessionize
 
   /** Gap-based sessionization over a keyed event stream. Events within a

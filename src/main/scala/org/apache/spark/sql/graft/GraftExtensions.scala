@@ -46,7 +46,11 @@ object GraftExtensions {
     "graft_word_shingles" -> (
       (new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
         (args: Seq[Expression]) =>
-          WordShingles(args(0), if (args.size > 1) intArg(args(1), "n") else 3))))
+          WordShingles(args(0), if (args.size > 1) intArg(args(1), "n") else 3))),
+    "graft_winnow_fingerprints" -> (
+      (new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fingerprints"),
+        (args: Seq[Expression]) =>
+          WinnowFingerprints(args(0), if (args.size > 1) intArg(args(1), "window") else 4))))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -20,6 +20,61 @@ class StreamingSpec extends SparkSpec {
     Ev(2, ts(5), "click", 5.0), Ev(2, ts(20), "purchase", 7.0),
     Ev(2, ts(200), "click", 1.0))                // gap → new session
 
+  test("file-source ingest processes drops incrementally with gate + enrichment") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_fs_in_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fs_out_").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_fs_ck_").toString
+    val whitelist = Seq("srcA", "srcB").toDF("source")
+    def doc(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    // The file source watches for flat files — stage each drop as a single
+    // parquet file (write to a scratch dir, move the part file in).
+    def drop(name: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fs_stage_").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, name))
+      ()
+    }
+    // drop 1: one passing doc, one too-short, one non-whitelisted source
+    drop("drop1.parquet", Seq(
+      doc(1, "a perfectly fine document body", "srcA"),
+      doc(2, "short", "srcA"),
+      doc(3, "long enough but from an unknown source", "srcX")))
+    val q = StreamingOps.fileIngest(spark, inDir, outDir, ckDir, whitelist)
+    q.processAllAvailable()
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    // drop 2 arrives later: processed incrementally (drop 1 not reread)
+    drop("drop2.parquet", Seq(
+      doc(4, "another acceptable document arriving later", "srcB")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(out.columns.contains("content_hash"))
+  }
+
+  test("stream-stream interval join matches views within the hour before purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    vs.addData(Ev(1, ts(0), "view", 0), Ev(1, ts(50), "view", 0),
+      Ev(2, ts(300), "view", 0)) // 5h later — outside every purchase window
+    ps.addData(Ev(1, ts(55), "purchase", 9), Ev(2, ts(60), "purchase", 9))
+    val joined = StreamingOps.viewPurchaseJoin(
+      vs.toDF(), ps.toDF().withColumn("event_id", $"user_id" * 100))
+    val q = joined.writeStream.format("memory").queryName("vpj")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT user_id, view_ts FROM vpj")
+      .as[(Long, Timestamp)].collect().toSet
+    // user 1: both views fall in (purchase-1h, purchase]; user 2: none
+    assert(got == Set((1L, ts(0)), (1L, ts(50))))
+  }
+
   test("streaming windowed agg matches batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

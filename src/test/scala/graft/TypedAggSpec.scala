@@ -7,6 +7,31 @@ import graft.functions.TypedAggregators
 class TypedAggSpec extends SparkSpec {
   import spark.implicits._
 
+  test("QuantileHistogram: within bin width of exact percentiles; partition-order invariant") {
+    val qh = new TypedAggregators.QuantileHistogram(0.0, 600.0, 256)
+    val binWidth = 600.0 / 256
+    val sketch = udaf(qh, org.apache.spark.sql.Encoders.scalaDouble)
+    val ev = Tables.events(spark, sf)
+    val got = ev.groupBy($"event_type").agg(sketch($"value").as("h"))
+      .select($"event_type", $"h").as[(String, Seq[Long])]
+      .collect().toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .as[(String, Double, Double)].collect()
+    exact.foreach { case (t, p50, p90) =>
+      val h = got(t).toArray
+      assert(math.abs(qh.quantile(h, 0.5) - p50) <= binWidth,
+        s"$t p50: ${qh.quantile(h, 0.5)} vs $p50")
+      assert(math.abs(qh.quantile(h, 0.9) - p90) <= binWidth,
+        s"$t p90: ${qh.quantile(h, 0.9)} vs $p90")
+    }
+    // merge-order invariance: 1-partition result == 32-partition result
+    val one = ev.repartition(1).agg(sketch($"value")).head().getSeq[Long](0)
+    val many = ev.repartition(32).agg(sketch($"value")).head().getSeq[Long](0)
+    assert(one == many)
+  }
+
   test("TopK aggregator returns the k largest per group, merged across partitions") {
     val events = Tables.events(spark, sf)
       .select($"event_type", $"value").as[(String, Double)]

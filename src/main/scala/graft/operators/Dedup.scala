@@ -248,7 +248,16 @@ object Dedup {
     * pathological chains, and the early-exit check stops as soon as labels
     * are stable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  /** Edge-count threshold below which CC runs as single-partition
+    * union-find (executor-side mapPartitions, ~32 MB of longs) instead of
+    * the iterative join loop — a dedup pair set this small doesn't justify
+    * multi-round shuffle latency. Above it: min-label propagation with
+    * pointer jumping.
+    */
+  val smallGraphEdges: Long = 2000000L
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15,
+      smallGraph: Long = smallGraphEdges): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     // The edge set is re-read every iteration (propagation join + the
@@ -257,6 +266,36 @@ object Dedup {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (edges.count() <= smallGraph) {
+      val out = edges.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        // union-find with path halving; component id = min member id
+        // (deterministic regardless of union order)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p)
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keysIterator.foreach { n =>
+          val r = find(n)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+        }
+        parent.keysIterator.map(n => (n, minOfRoot(find(n)))).toSeq.iterator
+      }.toDF("doc_id", "cluster_id")
+      val materialized = out.localCheckpoint(eager = true)
+      edges.unpersist()
+      return materialized
+    }
     val nodes = edges.select($"src".as("doc_id")).distinct()
     var labels = nodes.withColumn("cluster_id", $"doc_id")
     var converged = false

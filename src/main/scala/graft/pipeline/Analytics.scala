@@ -265,6 +265,61 @@ object Analytics {
       |  (SELECT count(*) FROM c) AS n_view_click,
       |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
 
+  /** q27: quartile segmentation of customers by spend WITHIN each nation —
+    * ntile is partitioned (a global ntile needs a total order = one
+    * reducer; per-group segmentation is the shape that survives scale).
+    */
+  def ntileSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"spend".desc, $"o_custkey")
+    spend.withColumn("quartile", ntile(4).over(w))
+      .groupBy($"c_nationkey", $"quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"spend"), 2).as("quartile_spend"))
+      .orderBy($"c_nationkey", $"quartile")
+  }
+
+  val ntileSegmentsSql: String =
+    """WITH spend AS (
+      |  SELECT o.o_custkey, c.c_nationkey, round(sum(o.o_totalprice), 2) AS spend
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT c_nationkey, spend, ntile(4) OVER (
+      |    PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey) AS quartile
+      |  FROM spend)
+      |SELECT c_nationkey, quartile, count(*) AS n_customers,
+      |  round(sum(spend), 2) AS quartile_spend
+      |FROM seg GROUP BY 1, 2
+      |ORDER BY c_nationkey, quartile""".stripMargin
+
+  /** q28: deterministic ordered string aggregation — first-5 supplier
+    * names per nation (sorted before truncation so the result is stable
+    * regardless of partitioning; collect_list alone is order-undefined).
+    */
+  def listaggSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", slice(sort_array(collect_list($"s_name")), 1, 5))
+          .as("sample_names"))
+      .orderBy($"s_nationkey")
+  }
+
+  val listaggSampleSql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  array_to_string(list_sort(list(s_name))[1:5], ',') AS sample_names
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   /** e09: one-pass approximate quantiles per event type via the mergeable
     * QuantileHistogram typed Aggregator (error ≤ bin width; merge is
     * vector addition so the answer is deterministic under any partitioning
@@ -290,6 +345,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e09_quantile_sketch" -> quantileSketch _,
+    "q27_ntile_segments" -> ntileSegments _,
+    "q28_listagg_sample" -> listaggSample _,
     "q21_cube" -> cubeRollup _,
     "q22_corr_stats" -> corrStats _,
     "q23_topk_rank" -> topkRank _,
@@ -300,6 +357,8 @@ object Analytics {
     "e08_funnel" -> funnel _)
 
   val oracles: Map[String, String] = Map(
+    "q27_ntile_segments" -> ntileSegmentsSql,
+    "q28_listagg_sample" -> listaggSampleSql,
     "q21_cube" -> cubeRollupSql,
     "q22_corr_stats" -> corrStatsSql,
     "q23_topk_rank" -> topkRankSql,

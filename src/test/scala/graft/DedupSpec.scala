@@ -68,6 +68,21 @@ class DedupSpec extends SparkSpec {
     assert(cc(5L) == 5L && cc(6L) == 5L)
   }
 
+  test("iterative CC path (smallGraph=0) agrees with union-find fast path") {
+    // a 12-node path graph (worst diameter) + a clique + singleton pair
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    val clique = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val pairs = (chain ++ clique ++ Seq((30L, 31L))).toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val iter = Dedup.connectedComponents(pairs, smallGraph = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iter)
+    assert((1L to 12L).forall(fast(_) == 1L))
+    assert((20L to 24L).forall(fast(_) == 20L))
+    assert(fast(30L) == 30L && fast(31L) == 30L)
+  }
+
   test("dedupGroups assigns every doc a cluster; singletons map to themselves") {
     val docs = mkDocs(Seq(1L -> base, 2L -> base, 3L -> nearDup, 4L -> unrelated))
     val groups = Dedup.dedupGroups(docs, minJaccard = 0.5)

@@ -320,6 +320,60 @@ object Analytics {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** q29: SCD Type-2 build — each customer's order-priority history as
+    * validity intervals [valid_from, valid_to) via lead() (NULL = current).
+    * One shuffle on the key, ordered window within partition — the
+    * standard change-capture shape for a slowly-changing dimension.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        to_date($"o_orderdate").as("valid_from"))
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(
+          Window.partitionBy($"o_custkey").orderBy($"valid_from", $"o_orderkey")),
+          to_date(lit("2200-01-01"))))
+      .withColumn("is_current", $"valid_to" === to_date(lit("2200-01-01")))
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
+  val scd2IntervalsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderpriority,
+      |  o_orderdate::DATE AS valid_from,
+      |  coalesce(lead(o_orderdate::DATE) OVER w, DATE '2200-01-01') AS valid_to,
+      |  coalesce(lead(o_orderdate::DATE) OVER w, DATE '2200-01-01') = DATE '2200-01-01'
+      |    AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate::DATE, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  /** q30: weighted corpus mixing — per-source Bernoulli sampling with
+    * deterministic, engine-portable randomness: keep a doc when the first
+    * two hex chars of md5(doc_id) fall below the source's cutoff
+    * (cutoff/256 = sampling rate). Map-only — no shuffle at any corpus
+    * size; the mixing-table join is a broadcast.
+    */
+  def weightedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // rates: even sources 75% (cutoff 0xC0), odd sources 25% (cutoff 0x40)
+    val coin = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.documents(s, dir)
+      .withColumn("cutoff",
+        when(expr("cast(substring(source, 4) AS int) % 2 = 0"), lit("c0"))
+          .otherwise(lit("40")))
+      .filter(coin < $"cutoff")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val weightedMixSql: String =
+    """SELECT doc_id, source
+      |FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+      |  CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 'c0' ELSE '40' END
+      |ORDER BY doc_id""".stripMargin
+
   /** e09: one-pass approximate quantiles per event type via the mergeable
     * QuantileHistogram typed Aggregator (error ≤ bin width; merge is
     * vector addition so the answer is deterministic under any partitioning
@@ -347,6 +401,8 @@ object Analytics {
     "e09_quantile_sketch" -> quantileSketch _,
     "q27_ntile_segments" -> ntileSegments _,
     "q28_listagg_sample" -> listaggSample _,
+    "q29_scd2_intervals" -> scd2Intervals _,
+    "q30_weighted_mix" -> weightedMix _,
     "q21_cube" -> cubeRollup _,
     "q22_corr_stats" -> corrStats _,
     "q23_topk_rank" -> topkRank _,
@@ -359,6 +415,8 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q27_ntile_segments" -> ntileSegmentsSql,
     "q28_listagg_sample" -> listaggSampleSql,
+    "q29_scd2_intervals" -> scd2IntervalsSql,
+    "q30_weighted_mix" -> weightedMixSql,
     "q21_cube" -> cubeRollupSql,
     "q22_corr_stats" -> corrStatsSql,
     "q23_topk_rank" -> topkRankSql,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicates the corpus N× (id-shifted) and times the
+  * heavyweight operators at 1× and N×, so scaling behavior is measured,
+  * not guessed (SURVEY.md §7). Replicas are exact duplicates — a realistic
+  * stress for the dedup path (every doc gains N-1 exact near-dup partners,
+  * so the pair set and CC input grow ~N× too).
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [mult]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+
+    val base = Tables.documents(spark, sfDir)
+    val big = (0 until mult).map(i =>
+        base.withColumn("doc_id", $"doc_id" + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count() // materialize outside the timings
+
+    def time(what: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"""{"probe":"$what","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+
+    time(s"curate_x$mult") {
+      pipeline.CorpusPipeline.curate(big).count()
+    }
+    time(s"winnow_x$mult") {
+      val prints = org.apache.spark.sql.graft.GraftFunctions.winnow_fingerprints(
+        operators.Dedup.shingles($"text", 3), 4)
+      big.select($"doc_id", md5(concat_ws(",", sort_array(prints))).as("d"))
+        .write.format("noop").mode("overwrite").save()
+      big.count()
+    }
+    time(s"dedup_groups_x$mult") {
+      operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
+    }
+    big.unpersist()
+    spark.stop()
+  }
+}

@@ -124,6 +124,51 @@ object hashing {
 
   private val space = UTF8String.fromString(" ")
 
+  /** Distinct word n-gram shingles hashed to 64-bit (xxhash64, seed 42 —
+    * the same value `xxhash64(shingle_string)` would produce). Carrying
+    * 8-byte hashes instead of shingle strings through persist/shuffle/
+    * verify cuts the dedup pipeline's memory traffic ~3× with identical
+    * Jaccard counts (collision odds ~(k² / 2⁶⁵) per doc).
+    */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(space, -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var cnt = 0
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) { parts(k) = words(i + k); k += 1 }
+      val h = hashUtf8(UTF8String.concatWs(space, parts: _*), 42L)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** MinHash signature from pre-hashed shingles: same construction as
+    * minhashSig but the per-shingle base hash is already computed.
+    */
+  def minhashSigFromHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val base = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val words = text.split(space, -1)
     val m = words.length - n + 1
@@ -248,6 +293,33 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct hashed word n-gram shingles (see hashing.wordShingleHashes). */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.wordShingleHashes($a, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from pre-hashed shingles (array<long>). */
+case class MinHashSigFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.minhashSigFromHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.minhashSigFromHashes($a, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint set of a shingle array (see hashing
   * .winnowFingerprints). Replaces a nested HOF pipeline that dominated
   * t10's wall-clock (8.2 s → sub-second at sf0.1).
@@ -276,4 +348,8 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(e(text), n))
   def winnow_fingerprints(shingles: Column, window: Int): Column =
     col(WinnowFingerprints(e(shingles), window))
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    col(WordShingleHashes(e(text), n))
+  def minhash_sig_from_hashes(hashes: Column, k: Int = 64): Column =
+    col(MinHashSigFromHashes(e(hashes), k))
 }

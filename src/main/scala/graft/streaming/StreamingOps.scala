@@ -43,8 +43,9 @@ object StreamingOps {
     * for the deterministic store filename.
     */
   def ingestStream(docs: DataFrame, storeDir: String,
-      queryName: String = "graft_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      queryName: String = "graft_ingest",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -52,7 +53,12 @@ object StreamingOps {
           batch.toDF(), storeDir, f"batch$batchId%06d")
         ()
       }
-      .start()
+    // With a checkpoint the query restarts from the committed offset (each
+    // source file lands in exactly one micro-batch across restarts);
+    // appendBatch's content-hash dedup additionally makes replays
+    // idempotent — the belt-and-braces exactly-once pattern.
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** File-source ingest: watch a directory for new parquet drops (the
     * streaming form of the reference's "scan the download folder each run"

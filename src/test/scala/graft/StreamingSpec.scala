@@ -139,6 +139,35 @@ class StreamingSpec extends SparkSpec {
     assert(audit.getAs[Long]("duplicate_count") == 0)
   }
 
+  test("checkpointed ingest restart: each file lands exactly once across restarts") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_eo_in_").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_eo_store_").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_eo_ck_").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_eo_stage_").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(inDir, name))
+      ()
+    }
+    def src = spark.readStream.schema(schema).parquet(inDir)
+    stage("f1.parquet", Seq(1L -> "one", 2L -> "two"))
+    val q1 = StreamingOps.ingestStream(src, store, "eo_ingest", Some(ck))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint with a new file present: only the
+    // new file forms a batch; f1's committed offset is not replayed
+    stage("f2.parquet", Seq(3L -> "three"))
+    val q2 = StreamingOps.ingestStream(src, store, "eo_ingest", Some(ck))
+    q2.processAllAvailable(); q2.stop()
+    val stored = spark.read.parquet(store + "/*.parquet")
+    assert(stored.count() == 3)
+    assert(graft.sources.IncrementalIngest.audit(spark, store)
+      .collect()(0).getAs[Long]("duplicate_count") == 0)
+  }
+
   test("batch sessionize agrees with streaming emissions + open state") {
     val batch = pipeline.Events.sessionize(spark, sf)
     val nUsers = batch.select($"user_id").distinct().count()

@@ -129,7 +129,10 @@ object Dedup {
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
 
-    val ni = size(array_intersect($"sh_a", $"sh_b"))
+    // shingle-hash arrays are sorted (WordShingleHashes) → merge-walk
+    // intersection instead of array_intersect's per-pair hash set
+    val ni = org.apache.spark.sql.graft.GraftFunctions
+      .sorted_intersection_size($"sh_a", $"sh_b")
     withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))

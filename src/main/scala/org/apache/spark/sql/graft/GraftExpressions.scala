@@ -146,7 +146,27 @@ object hashing {
       if (seen.add(h)) { out(cnt) = h; cnt += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+    // Sorted so set ops downstream can merge-walk instead of hashing
+    // (MinHash minima are order-independent, so sorting is free to add).
+    val trimmed = java.util.Arrays.copyOf(out, cnt)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+
+  /** |a ∩ b| for two SORTED long arrays via a linear merge walk — no
+    * per-pair hash-set build (what array_intersect does). The verify stage
+    * of the dedup pipeline calls this once per candidate pair.
+    */
+  def sortedIntersectionSize(a: ArrayData, b: ArrayData): Int = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** MinHash signature from pre-hashed shingles: same construction as
@@ -293,6 +313,23 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** |a ∩ b| of two sorted array<long> columns (merge walk, codegen'd). */
+case class SortedIntersectionSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    hashing.sortedIntersectionSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.sortedIntersectionSize($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct hashed word n-gram shingles (see hashing.wordShingleHashes). */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -352,4 +389,6 @@ object GraftFunctions {
     col(WordShingleHashes(e(text), n))
   def minhash_sig_from_hashes(hashes: Column, k: Int = 64): Column =
     col(MinHashSigFromHashes(e(hashes), k))
+  def sorted_intersection_size(a: Column, b: Column): Column =
+    col(SortedIntersectionSize(e(a), e(b)))
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.graft.hashing
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks of the custom expression kernels (pure JVM — no
+  * Spark jobs, so hundreds of random cases run in milliseconds). Uses
+  * scalacheck generators with a fixed seed walk (scalatestplus glue isn't
+  * on the classpath).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var tried = 0
+    while (i < n && tried < n * 3) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); i += 1 }
+      seed = seed.next
+      tried += 1
+    }
+    assert(i > 0, "generator produced no samples")
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  private def utf8Array(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("wordShingleHashes = sorted distinct xxhash64 of string shingles") {
+    forAll(Gen.zip(text, Gen.choose(1, 4))) { case (t, n) =>
+      val words = t.split(" ", -1)
+      val expected = words.sliding(n).filter(_.length == n)
+        .map(_.mkString(" "))
+        .map(s => hashing.hashUtf8(UTF8String.fromString(s), 42L))
+        .toSeq.distinct.sorted
+      val got = hashing.wordShingleHashes(UTF8String.fromString(t), n)
+        .toLongArray().toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("minhashSigFromHashes agrees with minhashSig on the same shingles") {
+    forAll(text, 150) { t =>
+      val shingleStrs = t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      val viaStrings = hashing.minhashSig(utf8Array(shingleStrs), 64).toLongArray().toSeq
+      val hashes = new GenericArrayData(
+        shingleStrs.map(s => hashing.hashUtf8(UTF8String.fromString(s), 42L))
+          .distinct.sorted.toArray)
+      val viaHashes = hashing.minhashSigFromHashes(hashes, 64).toLongArray().toSeq
+      assert(viaStrings == viaHashes)
+    }
+  }
+
+  test("sortedIntersectionSize = set intersection size") {
+    val longs = Gen.listOf(Gen.choose(-50L, 50L))
+    forAll(Gen.zip(longs, longs)) { case (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = hashing.sortedIntersectionSize(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      assert(got == sa.toSet.intersect(sb.toSet).size)
+    }
+  }
+
+  test("winnowFingerprints ⊆ shingle hashes; global min always kept") {
+    forAll(Gen.zip(text, Gen.choose(1, 6))) { case (t, w) =>
+      val shingles = hashing.wordShingles(UTF8String.fromString(t), 3)
+      val n = shingles.numElements()
+      val hashes = (0 until n)
+        .map(i => hashing.hashUtf8(shingles.getUTF8String(i), 42L)).toSet
+      val fp = hashing.winnowFingerprints(shingles, w).toLongArray().toSet
+      if (n == 0) assert(fp.isEmpty)
+      else {
+        assert(fp.nonEmpty && fp.subsetOf(hashes))
+        assert(fp.contains(hashes.min))
+      }
+    }
+  }
+
+  test("simhash of identical token multisets is permutation-invariant") {
+    forAll(Gen.nonEmptyListOf(word), 150) { ws =>
+      val a = hashing.simhash64(utf8Array(ws))
+      val b = hashing.simhash64(utf8Array(new scala.util.Random(1).shuffle(ws)))
+      assert(a == b)
+    }
+  }
+
+  test("QuantileHistogram quantiles are monotone and within bounds") {
+    val qh = new functions.TypedAggregators.QuantileHistogram(0.0, 100.0, 64)
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 100.0)), 150) { xs =>
+      val h = xs.foldLeft(qh.zero)(qh.reduce)
+      val qs = Seq(0.1, 0.5, 0.9).map(q => qh.quantile(h, q))
+      assert(qs == qs.sorted)
+      qs.foreach(v => assert(v >= 0.0 && v <= 100.0))
+    }
+  }
+}

@@ -5,10 +5,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
-    // Warm the session (codegen, file index, broadcast machinery) so the
-    // first timed query doesn't absorb startup cost.
+    // Warm the session (codegen, file indexes, broadcast machinery) so the
+    // first timed query doesn't absorb startup cost: count every table once
+    // (builds each InMemoryFileIndex + touches the parquet footers).
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a count() would let

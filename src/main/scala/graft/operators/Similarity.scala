@@ -130,8 +130,54 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max|x|/127, payload = array<tinyint> — 4× (vs float32; 8× vs the
+    * double working form) smaller at <0.5% cosine error on unit-ish
+    * vectors. At 100 TB this is the difference between an embedding store
+    * that fits the cluster and one that doesn't; search dequantizes on the
+    * fly (map-only) or re-ranks exact from the original column.
+    */
+  def quantizeInt8(vectors: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    vectors
+      .withColumn("q_scale",
+        (aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0))
+      .withColumn("q_vec",
+        transform(v, x =>
+          when(col("q_scale") === 0.0, lit(0))
+            .otherwise(round(x / col("q_scale"))).cast("byte")))
+      .drop(vecCol)
+  }
+
+  /** Dequantized double vector from (q_vec, q_scale). */
+  def dequantize(qVec: Column, qScale: Column): Column =
+    transform(qVec, b => b.cast("double") * qScale)
+
+  /** s05: exact top-k over the int8-quantized store — the storage-scale
+    * variant of s01 (identical plan shape; vectors decoded on the fly).
+    * Approximate by quantization → rows-only; SimilaritySpec measures
+    * recall vs s01 and the compression-induced cosine error.
+    */
+  def knnQuantized(s: SparkSession, dir: String,
+      queryBound: Int = 32, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val store = quantizeInt8(Tables.embeddings(s, dir))
+      .select($"vec_id", dequantize($"q_vec", $"q_scale").as("v"))
+    val queries = store.filter($"vec_id" < queryBound)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val corpus = store.select($"vec_id".as("neighbor_id"), $"v".as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    corpus.join(broadcast(queries), $"query_id" =!= $"neighbor_id")
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
+    "s05_knn_quantized" -> ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "s03_label_centroids" -> (labelCentroids _),
     "s04_knn_ivf" -> ((s: SparkSession, d: String) => IvfIndex.knnIvf(s, d)))

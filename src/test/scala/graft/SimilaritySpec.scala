@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, f"recall $recall%.3f too low even for 8-bit bands")
   }
 
+  test("int8 quantization: ≥8x payload compression, tiny cosine error, high recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(emb)
+    // round-trip error: cosine(original, dequantized) ≈ 1
+    val err = emb.join(q, "vec_id")
+      .select(avg(lit(1.0) -
+        graft.functions.VectorFunctions.cosine(
+          graft.functions.VectorFunctions.asDouble($"embedding"),
+          Similarity.dequantize($"q_vec", $"q_scale"))))
+      .as[Double].head()
+    assert(err < 5e-4, s"mean cosine error $err too high")
+    // top-k over the quantized store ≈ exact top-k
+    val quant = Similarity.knnQuantized(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(quant).size.toDouble / brute.size
+    info(f"int8 recall@5 = $recall%.3f")
+    assert(recall > 0.9, f"quantized recall $recall%.3f too low")
+  }
+
   test("ivf probes a fraction of the corpus yet finds real neighbors") {
     val ivf = graft.operators.IvfIndex.knnIvf(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet

@@ -25,9 +25,20 @@ object TextFunctions {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
-  /** Per-language stopword hit scores. */
-  def langScores(text: Column): Seq[(String, Column)] =
-    langProfiles.map { case (lang, pat) => lang -> matchCount(text, pat) }
+  private val profileWords: Seq[Seq[String]] =
+    langProfiles.map(_._2.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq)
+
+  /** Per-language stopword hit scores — one TokenProfileCounts scan for
+    * all four profiles (counts identical to the per-profile
+    * \b-alternation regexes; equivalence pinned in PropertySpec).
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val counts = org.apache.spark.sql.graft.GraftFunctions
+      .token_profile_counts(text, profileWords)
+    langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
+    }
+  }
 
   /** argmax over scores with fixed tie-break order (profile order). */
   def predictLang(scores: Seq[(String, Column)]): Column = {
@@ -64,8 +75,7 @@ object TextFunctions {
 
   /** Stopword ratio (English profile) — quality-scoring feature. */
   def stopwordRatio(text: Column): Column =
-    round(matchCount(text, langProfiles.head._2).cast("double") /
-      wsTokenCount(text), 6)
+    round(langScores(text).head._2.cast("double") / wsTokenCount(text), 6)
 
   /** Ratio of lowercase-alpha chars to all chars. */
   def alphaRatio(text: Column): Column =

@@ -78,6 +78,40 @@ object TypedAggregators {
     }
   }
 
+  /** Elementwise vector sum + count — averages embedding columns without
+    * exploding to (row × dim) shape: aggregator state is one dim-length
+    * array per group, merged by vector addition. The Lloyd-iteration /
+    * centroid primitive at any scale.
+    */
+  class VectorMean extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
+      if (b._1.isEmpty) (a.toArray, 1L)
+      else {
+        var i = 0
+        val arr = b._1
+        while (i < arr.length) { arr(i) += a(i); i += 1 }
+        (arr, b._2 + 1)
+      }
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Log-sum-exp with the max-shift trick — the numerically-stable
     * reduction used for probability mass; buffer (max, sumExp) merges
     * associatively.

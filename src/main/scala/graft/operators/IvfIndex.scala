@@ -41,14 +41,15 @@ object IvfIndex {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"cluster_id", $"v")
-      // new centroid = per-dimension mean of members (posexplode + regroup)
+      // new centroid = vector mean via the typed VectorMean aggregator:
+      // partial state is ONE dim-length array per (partition, cluster),
+      // not the (rows × dim) exploded shape — the shuffle carries
+      // K × partitions small arrays at any corpus size.
+      val vecMean = udaf(new graft.functions.TypedAggregators.VectorMean,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
       centroids = assigned
-        .select($"cluster_id", posexplode($"v"))
-        .groupBy($"cluster_id", $"pos")
-        .agg(avg($"col").as("m"))
         .groupBy($"cluster_id")
-        .agg(sort_array(collect_list(struct($"pos", $"m"))).as("dims"))
-        .select($"cluster_id", expr("transform(dims, d -> d.m)").as("centroid"))
+        .agg(vecMean($"v").as("centroid"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
     centroids

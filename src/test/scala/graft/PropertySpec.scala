@@ -83,6 +83,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TokenProfileCounts = per-profile \\b-alternation regex counts") {
+    val profiles = functions.TextFunctions.langProfiles
+    val words = profiles.map(_._2.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq)
+    val expr = org.apache.spark.sql.graft.TokenProfileCounts(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), words)
+    // text mixes profile words, other words, punctuation and digits
+    val token = Gen.oneOf(words.flatten ++ Seq("cat", "then", "a1", "_a", "x-y", "42", "!", "die2"))
+    val gen = Gen.listOf(token).map(_.mkString(" "))
+    forAll(gen, 200) { t =>
+      val got = expr.nullSafeEval(UTF8String.fromString(t))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+      val want = profiles.map { case (_, pat) =>
+        pat.r.findAllMatchIn(t).length
+      }
+      assert(got == want, s"text: '$t'")
+    }
+  }
+
   test("simhash of identical token multisets is permutation-invariant") {
     forAll(Gen.nonEmptyListOf(word), 150) { ws =>
       val a = hashing.simhash64(utf8Array(ws))

@@ -7,6 +7,21 @@ import graft.functions.TypedAggregators
 class TypedAggSpec extends SparkSpec {
   import spark.implicits._
 
+  test("VectorMean equals the exploded per-dimension average") {
+    val vecMean = udaf(new TypedAggregators.VectorMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val emb = Tables.embeddings(spark, sf)
+      .select($"label", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val viaAgg = emb.groupBy($"label").agg(vecMean($"v").as("c"))
+      .select($"label", posexplode($"c"))
+      .select($"label", $"pos", round($"col", 9).as("m"))
+      .as[(Int, Int, Double)].collect().toSet
+    val viaExplode = emb.select($"label", posexplode($"v"))
+      .groupBy($"label", $"pos").agg(round(avg($"col"), 9).as("m"))
+      .as[(Int, Int, Double)].collect().toSet
+    assert(viaAgg == viaExplode)
+  }
+
   test("QuantileHistogram: within bin width of exact percentiles; partition-order invariant") {
     val qh = new TypedAggregators.QuantileHistogram(0.0, 600.0, 256)
     val binWidth = 600.0 / 256

@@ -50,7 +50,18 @@ object GraftExtensions {
     "graft_winnow_fingerprints" -> (
       (new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow_fingerprints"),
         (args: Seq[Expression]) =>
-          WinnowFingerprints(args(0), if (args.size > 1) intArg(args(1), "window") else 4))))
+          WinnowFingerprints(args(0), if (args.size > 1) intArg(args(1), "window") else 4))),
+    "graft_word_shingle_hashes" -> (
+      (new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),
+        (args: Seq[Expression]) =>
+          WordShingleHashes(args(0), if (args.size > 1) intArg(args(1), "n") else 3))),
+    "graft_minhash_sig_from_hashes" -> (
+      (new ExpressionInfo(classOf[MinHashSigFromHashes].getName, "graft_minhash_sig_from_hashes"),
+        (args: Seq[Expression]) =>
+          MinHashSigFromHashes(args(0), if (args.size > 1) intArg(args(1), "k") else 64))),
+    "graft_sorted_intersection_size" -> (
+      (new ExpressionInfo(classOf[SortedIntersectionSize].getName, "graft_sorted_intersection_size"),
+        (args: Seq[Expression]) => SortedIntersectionSize(args(0), args(1)))))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

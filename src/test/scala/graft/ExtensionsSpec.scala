@@ -20,6 +20,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("bg")).head == "the quick")
     assert(row.getSeq[Long](row.fieldIndex("sig")).length == 8)
     assert(row.getAs[Double]("dp") == 11.0)
+    val row2 = spark.sql(
+      """SELECT graft_winnow_fingerprints(graft_word_shingles(text, 3), 4) AS fp,
+        |       graft_word_shingle_hashes(text, 3) AS sh,
+        |       graft_minhash_sig_from_hashes(graft_word_shingle_hashes(text, 3), 8) AS sig,
+        |       graft_sorted_intersection_size(
+        |         graft_word_shingle_hashes(text, 3),
+        |         graft_word_shingle_hashes(text, 3)) AS self_n
+        |FROM docs_ext""".stripMargin).collect()(0)
+    assert(row2.getSeq[Long](row2.fieldIndex("fp")).nonEmpty)
+    val sh = row2.getSeq[Long](row2.fieldIndex("sh"))
+    assert(sh == sh.sorted && sh.nonEmpty)
+    assert(row2.getSeq[Long](row2.fieldIndex("sig")).length == 8)
+    assert(row2.getAs[Int]("self_n") == sh.length)
   }
 
   test("SQL simhash agrees with the operator-level simhash") {

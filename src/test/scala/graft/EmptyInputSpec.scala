@@ -36,6 +36,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.filter($"asof_ts".isNull).count() == 1)
   }
 
+  test("range join with empty point side is empty; empty interval side too") {
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val pts = Seq((1L, ts0)).toDF("id", "ts")
+    val emptyPts = Seq.empty[(Long, java.sql.Timestamp)].toDF("id", "ts")
+    val ivs = Seq(("A", ts0, new java.sql.Timestamp(1700003600000L)))
+      .toDF("iv", "start_ts", "end_ts")
+    val emptyIvs = Seq.empty[(String, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("iv", "start_ts", "end_ts")
+    assert(operators.RangeJoin.pointInInterval(emptyPts, "ts", ivs, "start_ts", "end_ts").count() == 0)
+    assert(operators.RangeJoin.pointInInterval(pts, "ts", emptyIvs, "start_ts", "end_ts").count() == 0)
+  }
+
+  test("int8 quantization of the zero vector round-trips to zeros") {
+    val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = operators.Similarity.quantizeInt8(df)
+    val deq = q.select(operators.Similarity.dequantize($"q_vec", $"q_scale"))
+      .as[Seq[Double]].head()
+    assert(deq == Seq(0.0, 0.0, 0.0))
+  }
+
   test("shingles of degenerate texts") {
     val df = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("doc_id", "text")
     val got = df.select($"doc_id", size(operators.Dedup.shingles($"text", 3)).as("n"))

@@ -110,34 +110,50 @@ object StreamingOps {
 
   /** Gap-based sessionization over a keyed event stream. Events within a
     * batch are processed in ts order; a closed session is emitted as soon
-    * as a later event (or timeout) proves the gap. The open session rides
-    * in GroupState — O(1) state per active user.
+    * as a later event proves the gap — or when the EVENT-TIME TIMEOUT
+    * fires, i.e. the watermark has passed the open session's gap horizon.
+    * The timeout is what bounds state at scale: an idle user's session is
+    * flushed and evicted instead of parking in the state store forever.
     */
-  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev],
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    def close(userId: Long, c: SessionState): SessionOut =
+      SessionOut(userId,
+        new Timestamp(c.startUs / 1000L), new Timestamp(c.lastUs / 1000L),
+        c.n, math.round(c.totalValue * 100).toDouble / 100)
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          var cur = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            if (cur == null) {
-              cur = SessionState(us, us, 1, e.value)
-            } else if (us - cur.lastUs > gapUs) {
-              out += SessionOut(userId,
-                new Timestamp(cur.startUs / 1000L), new Timestamp(cur.lastUs / 1000L),
-                cur.n, math.round(cur.totalValue * 100).toDouble / 100)
-              cur = SessionState(us, us, 1, e.value)
-            } else {
-              cur = SessionState(cur.startUs, us, cur.n + 1, cur.totalValue + e.value)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (cur == null) {
+                cur = SessionState(us, us, 1, e.value)
+              } else if (us - cur.lastUs > gapUs) {
+                out += close(userId, cur)
+                cur = SessionState(us, us, 1, e.value)
+              } else {
+                cur = SessionState(cur.startUs, us, cur.n + 1, cur.totalValue + e.value)
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              // flush once the watermark proves no in-gap event can arrive
+              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+            } else state.remove()
+            out.iterator
           }
-          if (cur != null) state.update(cur) else state.remove()
-          out.iterator
       }
   }
 }

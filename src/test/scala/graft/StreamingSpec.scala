@@ -101,9 +101,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val emitted = spark.sql("SELECT user_id, n_events FROM sess")
       .as[(Long, Int)].collect().toSet
-    // user 1: session [0,10] closed by the 70-min event; [70] still open.
-    // user 2: session [5,20] closed by the 200-min event; [200] still open.
-    assert(emitted == Set((1L, 2), (2L, 2)))
+    // user 1: session [0,10] closed by the 70-min event; the open [70]
+    //   session is then FLUSHED BY EVENT-TIME TIMEOUT (watermark = 200min
+    //   - 30min delay = 170min > 70 + 30min gap) and its state evicted.
+    // user 2: session [5,20] closed by the 200-min event; [200] is still
+    //   within the watermark horizon → stays open in state.
+    assert(emitted == Set((1L, 2), (2L, 2), (1L, 1)))
   }
 
   test("streaming dedup within watermark drops replayed events") {

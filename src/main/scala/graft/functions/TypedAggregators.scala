@@ -112,6 +112,41 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Misra-Gries heavy-hitters sketch: at most k counters per buffer; any
+    * item with true frequency > N/k is guaranteed present, and every
+    * estimate undercounts by at most N/k. Buffers merge by counter
+    * addition followed by the standard (k+1)-th-largest subtraction — the
+    * bounded-state way to find top terms over a corpus too big to
+    * count exactly.
+    */
+  class HeavyHitters(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      b.get(a) match {
+        case Some(c) => b.updated(a, c + 1)
+        case None if b.size < k => b.updated(a, 1L)
+        case None => // decrement all, drop zeros (classic MG step)
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Log-sum-exp with the max-shift trick — the numerically-stable
     * reduction used for probability mass; buffer (max, sumExp) merges
     * associatively.

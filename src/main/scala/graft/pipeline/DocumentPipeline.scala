@@ -618,10 +618,29 @@ object DocumentPipeline {
       |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n) + 1e-9, 6) AS entropy_bits
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t13: corpus-level heavy hitters via the bounded-state Misra-Gries
+    * sketch (guaranteed superset of items with freq > N/k; estimates
+    * undercount ≤ N/k). Rows-only: merge order perturbs estimates within
+    * the bound, so exactness is pinned in TypedAggSpec instead. On this
+    * corpus (vocab « k) the sketch degenerates to exact counts.
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 256, top: Int = 10): DataFrame = {
+    import s.implicits._
+    val hh = udaf(new graft.functions.TypedAggregators.HeavyHitters(k),
+      org.apache.spark.sql.Encoders.STRING)
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .agg(hh($"w").as("sketch"))
+      .select(explode($"sketch").as(Seq("keyword", "est_count")))
+      .orderBy($"est_count".desc, $"keyword")
+      .limit(top)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprint(s, d)),
     "t11_vocab_stats" -> vocabStats _,
     "t12_entropy" -> entropy _,
+    "t13_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "t09_repetition" -> repetition _,
     "d06_decontaminate" -> decontaminate _,
     "q20_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),

@@ -7,6 +7,28 @@ import graft.functions.TypedAggregators
 class TypedAggSpec extends SparkSpec {
   import spark.implicits._
 
+  test("HeavyHitters: guaranteed capture above N/k, bounded undercount, exact when vocab <= k") {
+    val agg = new TypedAggregators.HeavyHitters(8)
+    // adversarial stream: vocab (26) > k (8); 'hot' appears 40/170 times
+    val stream = (0 until 130).map(i => ('a' + i % 26).toChar.toString) ++
+      Seq.fill(40)("hot")
+    val n = stream.size
+    // split into shards, reduce each, merge in a fixed order
+    val sketch = stream.grouped(20)
+      .map(sh => sh.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    assert(sketch.contains("hot"), "freq > N/k item must survive")
+    val err = 40L - sketch("hot")
+    assert(err >= 0 && err <= n / 8, s"undercount $err outside bound")
+    // degenerate regime: vocab <= k → exact counts
+    val exactAgg = new TypedAggregators.HeavyHitters(64)
+    val sketch2 = stream.grouped(20)
+      .map(sh => sh.foldLeft(exactAgg.zero)(exactAgg.reduce))
+      .reduce(exactAgg.merge)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch2 == truth)
+  }
+
   test("VectorMean equals the exploded per-dimension average") {
     val vecMean = udaf(new TypedAggregators.VectorMean,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())

@@ -48,19 +48,19 @@ object Analytics {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
-        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qty_price"),
-        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("fit_slope"),
-        round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("fit_intercept"))
+        round(corr($"l_quantity", $"l_extendedprice") + lit(1e-9), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice") + lit(1e-9), 2).as("covar_qty_price"),
+        round(regr_slope($"l_extendedprice", $"l_quantity") + lit(1e-9), 4).as("fit_slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity") + lit(1e-9), 2).as("fit_intercept"))
       .orderBy($"l_returnflag")
   }
 
   val corrStatsSql: String =
     """SELECT l_returnflag, count(*) AS n,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS fit_slope,
-      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS fit_intercept
+      |  round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2) AS covar_qty_price,
+      |  round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS fit_slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 2) AS fit_intercept
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -176,7 +176,7 @@ object Analytics {
     val stats = ev.groupBy($"event_type")
       .agg(avg($"value").as("mu"), stddev_samp($"value").as("sd"))
     ev.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", round(($"value" - $"mu") / $"sd", 4))
+      .withColumn("z", round(($"value" - $"mu") / $"sd" + lit(1e-9), 4))
       .filter(abs($"z") > cut)
       .select($"event_id", $"event_type", $"value", $"z")
       .orderBy($"event_id")
@@ -187,9 +187,9 @@ object Analytics {
       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
       |  FROM events GROUP BY 1)
       |SELECT e.event_id, e.event_type, e.value,
-      |  round((e.value - st.mu) / st.sd, 4) AS z
+      |  round((e.value - st.mu) / st.sd + 1e-9, 4) AS z
       |FROM events e JOIN st USING (event_type)
-      |WHERE abs(round((e.value - st.mu) / st.sd, 4)) > 2.5
+      |WHERE abs(round((e.value - st.mu) / st.sd + 1e-9, 4)) > 2.5
       |ORDER BY e.event_id""".stripMargin
 
   /** e07: day-over-day (D1) user retention — the cohort metric. Activity is

@@ -636,7 +636,101 @@ object DocumentPipeline {
       .limit(top)
   }
 
+  /** t14: unigram language-model cross-entropy / perplexity per document —
+    * the CCNet-style corpus quality filter. The LM is the corpus's own
+    * unigram distribution (in production: a reference-corpus table,
+    * broadcast); a doc's score is the mean -log2 p(w) over its tokens.
+    * Shape: one agg for the LM, broadcast join onto exploded tokens,
+    * one agg per doc — no shuffle of the corpus itself.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+      .withColumn("n_total", sum($"n_w").over())
+    words.join(broadcast(lm), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log2($"n_w" / $"n_total")) + lit(1e-9), 6).as("xent_bits"))
+      .withColumn("perplexity", round(pow(2.0, $"xent_bits") + lit(1e-9), 4))
+      .orderBy($"doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |lm AS (
+      |  SELECT w, count(*) AS n_w, sum(count(*)) OVER () AS n_total
+      |  FROM words GROUP BY w),
+      |scored AS (
+      |  SELECT words.doc_id, count(*) AS n_tokens,
+      |    round(avg(-log2(lm.n_w * 1.0 / lm.n_total)) + 1e-9, 6) AS xent_bits
+      |  FROM words JOIN lm USING (w)
+      |  GROUP BY words.doc_id)
+      |SELECT doc_id, n_tokens, xent_bits,
+      |  round(pow(2.0, xent_bits) + 1e-9, 4) AS perplexity
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  /** t15: BM25 ranking of documents against a fixed query-term set
+    * (k1 = 1.2, b = 0.75) — the retrieval scorer layered on the same
+    * stats t08's TF-IDF uses. Doc-frequency + average-length are tiny
+    * aggregates broadcast onto per-doc term frequencies; top 20 by
+    * rounded score with id tie-break keeps the output deterministic.
+    */
+  def bm25(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "table", "query"), top: Int = 20): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val docLen = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .withColumn("avgdl", avg($"dl").over())
+    val tf = words.filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+    tf.join(broadcast(idf), Seq("w"))
+      .join(docLen, Seq("doc_id"))
+      .withColumn("term_score",
+        $"idf" * ($"tf" * (k1 + 1)) /
+          ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id")
+      .agg(round(sum($"term_score") + lit(1e-9), 6).as("bm25"),
+        count(lit(1)).as("n_matched_terms"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(top)
+  }
+
+  val bm25Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |doclen AS (
+      |  SELECT doc_id, count(*) AS dl, avg(count(*)) OVER () AS avgdl
+      |  FROM words GROUP BY doc_id),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM words
+      |  WHERE w IN ('spark', 'table', 'query') GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT w, ln(((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+      |    / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+      |  FROM tf GROUP BY w)
+      |SELECT tf.doc_id,
+      |  round(sum(idf.idf * (tf.tf * 2.2) /
+      |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / doclen.avgdl))) + 1e-9, 6)
+      |    AS bm25,
+      |  count(*) AS n_matched_terms
+      |FROM tf JOIN idf USING (w) JOIN doclen USING (doc_id)
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_lm_perplexity" -> lmPerplexity _,
+    "t15_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
     "t10_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprint(s, d)),
     "t11_vocab_stats" -> vocabStats _,
     "t12_entropy" -> entropy _,
@@ -662,6 +756,8 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t14_lm_perplexity" -> lmPerplexitySql,
+    "t15_bm25" -> bm25Sql,
     "t11_vocab_stats" -> vocabStatsSql,
     "t12_entropy" -> entropySql,
     "t09_repetition" -> repetitionSql,

@@ -356,6 +356,42 @@ object Dedup {
         coalesce($"cluster_id", $"doc_id").as("cluster_id"))
   }
 
+  /** d08: shingle-containment near-dup pairs — |A∩B| / min(|A|,|B|), the
+    * asymmetric measure that catches a document EMBEDDED in a larger one
+    * (Jaccard dilutes subset duplication; containment doesn't). Same
+    * bounded candidate window as d04; production feed is the LSH pairs.
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+      idBound: Int = 80, minContainment: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .filter($"doc_id" < idBound)
+      .select($"doc_id", shingles($"text", 2).as("bg"))
+    val a = d.select($"doc_id".as("doc_a"), $"bg".as("bg_a"))
+    val b = d.select($"doc_id".as("doc_b"), $"bg".as("bg_b"))
+    val ni = size(array_intersect($"bg_a", $"bg_b"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("containment",
+        round(ni.cast("double") / least(size($"bg_a"), size($"bg_b")) + lit(1e-9), 6))
+      .filter($"containment" >= minContainment)
+      .select($"doc_a", $"doc_b", $"containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val containmentPairsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+      |  FROM documents WHERE doc_id < 80)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    least(len(a.bg), len(b.bg)) + 1e-9, 6) AS containment
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    least(len(a.bg), len(b.bg)) + 1e-9, 6) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** d07: transitive dedup clusters as a query — the d04 candidate pairs
     * closed under connectivity via iterative min-label propagation. The
     * DuckDB oracle computes the same components with a recursive-CTE
@@ -391,6 +427,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
+    "d08_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
@@ -401,6 +438,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSql,
     "d07_dedup_clusters" -> dedupClustersSql,
+    "d08_containment" -> containmentPairsSql,
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql)
 }

@@ -374,6 +374,64 @@ object Analytics {
       |  CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 'c0' ELSE '40' END
       |ORDER BY doc_id""".stripMargin
 
+  /** q31: percent_rank of customer spend within nation — the relative-
+    * standing window (partitioned, so no global sort). Rounded with the
+    * tie-break epsilon; rank basis is (rounded spend, custkey) so both
+    * engines order identically.
+    */
+  def percentRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+    val w = Window.partitionBy($"c_nationkey").orderBy($"spend", $"o_custkey")
+    spend.select($"c_nationkey", $"o_custkey", $"spend",
+        round(percent_rank().over(w) + lit(1e-9), 6).as("pct_rank"),
+        round(cume_dist().over(w) + lit(1e-9), 6).as("cume"))
+      .orderBy($"c_nationkey", $"o_custkey")
+  }
+
+  val percentRankSql: String =
+    """WITH spend AS (
+      |  SELECT o.o_custkey, c.c_nationkey, round(sum(o.o_totalprice), 2) AS spend
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_nationkey, o_custkey, spend,
+      |  round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+      |  round(cume_dist() OVER w + 1e-9, 6) AS cume
+      |FROM spend
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend, o_custkey)
+      |ORDER BY c_nationkey, o_custkey""".stripMargin
+
+  /** q32: unpivot (melt) — the q18 pivot's inverse: per-source language
+    * counts as (source, lang, n) long form via stack(). The reshaping
+    * primitive stays a map-only Expand; no shuffle beyond the input agg.
+    */
+  def unpivotLangs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langs = Seq("en", "fr", "es", "de", "zz")
+    val wide = Tables.documents(s, dir)
+      .groupBy($"source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    val stackExpr = langs.map(l => s"'$l', `$l`").mkString(", ")
+    wide.select($"source",
+        expr(s"stack(${langs.size}, $stackExpr) AS (lang, n)"))
+      .select($"source", $"lang", $"n")
+      .filter($"n" > 0)
+      .orderBy($"source", $"lang")
+  }
+
+  val unpivotLangsSql: String =
+    """SELECT source, lang, count(*) AS n
+      |FROM documents
+      |WHERE lang IN ('en', 'fr', 'es', 'de', 'zz')
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** e09: one-pass approximate quantiles per event type via the mergeable
     * QuantileHistogram typed Aggregator (error ≤ bin width; merge is
     * vector addition so the answer is deterministic under any partitioning
@@ -403,6 +461,8 @@ object Analytics {
     "q28_listagg_sample" -> listaggSample _,
     "q29_scd2_intervals" -> scd2Intervals _,
     "q30_weighted_mix" -> weightedMix _,
+    "q31_percent_rank" -> percentRank _,
+    "q32_unpivot" -> unpivotLangs _,
     "q21_cube" -> cubeRollup _,
     "q22_corr_stats" -> corrStats _,
     "q23_topk_rank" -> topkRank _,
@@ -417,6 +477,8 @@ object Analytics {
     "q28_listagg_sample" -> listaggSampleSql,
     "q29_scd2_intervals" -> scd2IntervalsSql,
     "q30_weighted_mix" -> weightedMixSql,
+    "q31_percent_rank" -> percentRankSql,
+    "q32_unpivot" -> unpivotLangsSql,
     "q21_cube" -> cubeRollupSql,
     "q22_corr_stats" -> corrStatsSql,
     "q23_topk_rank" -> topkRankSql,

@@ -14,6 +14,9 @@ run / fork := true
 // Pass forked-run output straight through (no sbt "[info] " prefix): the
 // bench/verify drivers parse the bare JSON line from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the "[success] Total time: …" epilogue so the bench JSON line
+// is the LAST line on stdout (the driver parses the tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,11 +9,35 @@ object Bench {
     // first timed query doesn't absorb startup cost: count every table once
     // (builds each InMemoryFileIndex + touches the parquet footers).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Warm the DateTimeFormatter caches + parse JIT paths (one-time JVM
+    // cost that otherwise lands on whichever query parses dates first).
+    spark.range(100).selectExpr(
+      "to_date(date_format(current_date(), 'MMMM d, yyyy'), 'MMMM d, yyyy')",
+      "to_date(date_format(current_date(), 'MM/dd/yyyy'), 'MM/dd/yyyy')",
+      "to_date(date_format(current_date(), 'yyyy-MM-dd'), 'yyyy-MM-dd')").collect()
     Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm the full execution path the timed queries use — shuffle + AQE +
+    // broadcast join + global sort + whole-stage codegen + the noop sink —
+    // so the first timed query does not absorb ~1.5 s of one-time
+    // machinery init. Twice: the second run hits the JIT-compiled paths.
+    for (_ <- 1 to 2)
+      try {
+        val n = spark.read.parquet(s"$sfDir/nation.parquet")
+        val r = spark.read.parquet(s"$sfDir/region.parquet")
+        n.join(org.apache.spark.sql.functions.broadcast(r),
+            n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name").count()
+          .orderBy("r_name")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    // Optional args = query-name filter (local iteration); the driver
+    // passes none and benches the full suite.
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a count() would let
       // Catalyst prune expensive projections out of the timed work).

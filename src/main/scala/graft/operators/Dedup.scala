@@ -156,8 +156,18 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simhashPairs(Tables.documents(s, dir), maxHamming)
 
-  /** Core of d03 over any (doc_id, text) frame. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Core of d03 over any (doc_id, text) frame.
+    *
+    * The (band, band_bits) key space is only 4 × 2^16 ≈ 262k distinct
+    * buckets, so bucket population grows O(n) with the corpus and an
+    * uncapped self-join is O(n²/262k) — quadratic at scale. Same guard
+    * as minhashPairs: one window over the banding shuffle counts the
+    * bucket, keep 2..maxBucket (singletons can't pair; oversized buckets
+    * are boilerplate skew a near-dup pass should not quadratically grind
+    * through — exact dedup handles those upstream).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     val docs = documents
@@ -169,8 +179,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
 
-    val a = banded.select($"band", $"band_bits", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
-    val b = banded.select($"band", $"band_bits", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"band_bits")))
+      .filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket)
+
+    val a = bucketed.select($"band", $"band_bits", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
+    val b = bucketed.select($"band", $"band_bits", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
     a.join(b, Seq("band", "band_bits"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",

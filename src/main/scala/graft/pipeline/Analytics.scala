@@ -73,7 +73,7 @@ object Analytics {
   def topkRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_partkey")
       .agg(round(sum($"l_extendedprice"), 2).as("revenue"))
@@ -274,8 +274,8 @@ object Analytics {
     val spend = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(round(sum($"o_totalprice"), 2).as("spend"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
     val w = Window.partitionBy($"c_nationkey")
       .orderBy($"spend".desc, $"o_custkey")
     spend.withColumn("quartile", ntile(4).over(w))
@@ -384,8 +384,8 @@ object Analytics {
     val spend = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(round(sum($"o_totalprice"), 2).as("spend"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
     val w = Window.partitionBy($"c_nationkey").orderBy($"spend", $"o_custkey")
     spend.select($"c_nationkey", $"o_custkey", $"spend",
         round(percent_rank().over(w) + lit(1e-9), 6).as("pct_rank"),

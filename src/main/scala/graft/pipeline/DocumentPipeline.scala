@@ -389,8 +389,11 @@ object DocumentPipeline {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** t08: TF-IDF top terms per document — the classic relevance scoring
-    * behind keyword surfacing. Two shuffles (term df, then per-doc top-k);
-    * df table is broadcast back. Stopword-ish terms fall out via idf.
+    * behind keyword surfacing. Two shuffles (term df, then per-doc top-k).
+    * The df join is un-hinted: the df table has one row per distinct term
+    * (multi-GB at corpus scale), so AQE picks broadcast when it fits and
+    * falls back to a shuffle join when it doesn't — a forced broadcast
+    * would OOM instead. Stopword-ish terms fall out via idf.
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -404,7 +407,7 @@ object DocumentPipeline {
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .withColumn("tfidf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3 && $"doc_id" < 100)
@@ -640,16 +643,22 @@ object DocumentPipeline {
     * the CCNet-style corpus quality filter. The LM is the corpus's own
     * unigram distribution (in production: a reference-corpus table,
     * broadcast); a doc's score is the mean -log2 p(w) over its tokens.
-    * Shape: one agg for the LM, broadcast join onto exploded tokens,
-    * one agg per doc — no shuffle of the corpus itself.
+    * Shape: one agg for the LM, join onto exploded tokens, one agg per
+    * doc. The corpus token total is a scalar aggregate cross-joined in
+    * (1 row, broadcast-nested-loop) — NOT an unpartitioned window, which
+    * would funnel the whole vocab through one task at scale. The LM join
+    * is un-hinted: at corpus scale the unigram table is vocab-sized
+    * (hundreds of millions of rows), so AQE must be free to pick a
+    * shuffle join instead of an OOM-forcing broadcast.
     */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
     val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
-      .withColumn("n_total", sum($"n_w").over())
-    words.join(broadcast(lm), Seq("w"))
+    val nTotal = words.agg(count(lit(1)).as("n_total"))
+    words.join(lm, Seq("w"))
+      .crossJoin(nTotal)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log2($"n_w" / $"n_total")) + lit(1e-9), 6).as("xent_bits"))
@@ -687,7 +696,10 @@ object DocumentPipeline {
     val nDocs = docs.count()
     val words = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
     val docLen = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      .withColumn("avgdl", avg($"dl").over())
+    // avgdl as a scalar aggregate cross-joined in (q26's stats-broadcast
+    // pattern) — an unpartitioned window here would push one row per
+    // document through a SinglePartition exchange at corpus scale.
+    val avgdl = docLen.agg(avg($"dl").as("avgdl"))
     val tf = words.filter($"w".isin(terms: _*))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
@@ -695,6 +707,7 @@ object DocumentPipeline {
         log((lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
     tf.join(broadcast(idf), Seq("w"))
       .join(docLen, Seq("doc_id"))
+      .crossJoin(avgdl)
       .withColumn("term_score",
         $"idf" * ($"tf" * (k1 + 1)) /
           ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / $"avgdl")))

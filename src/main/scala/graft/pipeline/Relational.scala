@@ -233,8 +233,14 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** q14: multi-format date normalization (generate_website_data.py:23-62):
-    * strings in M/D/Y, "Month D, Y", and ISO forms → ISO date via a
-    * try-parse fallback chain (all codegen'd expressions, no UDF).
+    * strings in M/D/Y, "Month D, Y", and ISO forms → ISO date. A cheap
+    * regex guard dispatches each row to the ONE format that can match, so
+    * the formatter parses each string exactly once — the naive
+    * coalesce(to_date, to_date, …) chain pays an internal parse-exception
+    * per non-matching format per row (~2 exceptions/row here), which made
+    * it the slowest map-only query in the suite (1.8 s vs 0.6 s). Result
+    * is identical: a guarded branch that then fails to parse still yields
+    * null, exactly like the fallback chain.
     */
   def dateNormalize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -245,10 +251,9 @@ object Relational {
         .otherwise(date_format($"o_orderdate", "yyyy-MM-dd")).as("raw_date"))
     raw.select(
         $"o_orderkey", $"raw_date",
-        coalesce(
-          to_date($"raw_date", "MM/dd/yyyy"),
-          to_date($"raw_date", "MMMM d, yyyy"),
-          to_date($"raw_date", "yyyy-MM-dd")).as("date_iso"))
+        when($"raw_date".rlike("^[0-9]{1,2}/"), to_date($"raw_date", "MM/dd/yyyy"))
+          .when($"raw_date".rlike("^[0-9]{4}-"), to_date($"raw_date", "yyyy-MM-dd"))
+          .otherwise(to_date($"raw_date", "MMMM d, yyyy")).as("date_iso"))
       .orderBy($"o_orderkey")
   }
 

@@ -98,4 +98,17 @@ class DedupSpec extends SparkSpec {
     val n = Dedup.minhashPairs(docs, maxBucket = 10, minJaccard = 0.0).count()
     assert(n == 0, "skew guard should suppress pathological bucket")
   }
+
+  test("simhash skew guard caps boilerplate buckets, keeps normal pairs") {
+    // 100 identical boilerplate docs share every band: uncapped that is
+    // 100*99/2 = 4950 candidate pairs; the cap must suppress them while a
+    // small legit near-dup bucket (ids 200/201) still pairs.
+    val docs = mkDocs((1L to 100L).map(i => i -> base) ++
+      Seq(200L -> unrelated, 201L -> unrelated))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 10)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 <= 100L && p._2 <= 100L),
+      "oversized boilerplate bucket must be suppressed")
+    assert(pairs.contains((200L, 201L)), "normal-sized bucket must still pair")
+  }
 }

@@ -26,15 +26,24 @@ object DocumentPipeline {
     * Reference: extract_document_title's prioritized pattern list and
     * boolean SIR classifier (extract_document_info.py:68-148,192-211).
     */
+  /** The q08 document-type rules as an ordered mapping table (the
+    * reference's prioritized pattern list, extract_document_info.py:68-148
+    * — data a user edits, not hard-coded CASE branches).
+    */
+  val docTypeRules: Seq[(Int, String, String)] = Seq(
+    (1, "\\bstream\\b", "streaming"),
+    (2, "\\bwindow\\b", "windowed"),
+    (3, "\\bjoin\\b", "join"),
+    (4, "\\bagg\\b", "aggregation"))
+
   def docExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(
+    val rules = docTypeRules.toDF("priority", "pattern", "label")
+    graft.operators.PatternClassifier
+      .classify(Tables.documents(s, dir), "text", rules)
+      .select(
         $"doc_id",
-        when($"text".rlike("\\bstream\\b"), "streaming")
-          .when($"text".rlike("\\bwindow\\b"), "windowed")
-          .when($"text".rlike("\\bjoin\\b"), "join")
-          .when($"text".rlike("\\bagg\\b"), "aggregation")
-          .otherwise("other").as("doc_type"),
+        $"doc_type",
         nullif(regexp_extract($"text", "\\bkey (\\w+)", 1), lit("")).as("first_key_arg"),
         $"text".rlike("\\bdup\\b").as("has_dup_mention"),
         matchCount($"text", "\\bspark\\b").as("spark_mentions"))
@@ -80,6 +89,60 @@ object DocumentPipeline {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q33: true nested-JSON flattening — the reference's API-response
+    * shape (pull_agency_info_api.py:199-241): one JSON document per
+    * agency with the content records nested as a list of dicts at
+    * returnValue.contentVersionRes, flattened to one row per record with
+    * the parent agency fields carried along. Exercises Spark's JSON
+    * struct machinery end-to-end: from_json with an explicit DDL schema,
+    * nested struct-field projection, explode of the array-of-struct.
+    * The payload column is assembled from the documents table (stand-in
+    * for the HTTP response body, which SURVEY §1 scopes out as I/O); the
+    * oracle checks round-trip identity — flattening must recover exactly
+    * the records that went in.
+    * Scale: parse + explode are map-only and codegen'd; payloads are
+    * bounded per API response by construction, so the explode fan-out is
+    * bounded per row. One shuffle for the assembly groupBy; none for the
+    * flatten itself.
+    */
+  def nestedJsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .filter($"doc_id" < 200)
+      .groupBy($"source")
+      .agg(to_json(struct(
+        struct($"source".as("name"), count(lit(1)).as("n_docs")).as("agency"),
+        struct(sort_array(collect_list(struct(
+          $"doc_id".as("Id"),
+          concat(lit("doc-"), $"doc_id").as("Title"),
+          upper($"lang").as("FileExtension"),
+          $"n_chars".as("n_chars")))).as("contentVersionRes")).as("returnValue")))
+        .as("payload"))
+      .select($"payload")
+    val schema = "agency STRUCT<name: STRING, n_docs: BIGINT>, " +
+      "returnValue STRUCT<contentVersionRes: ARRAY<STRUCT<" +
+      "Id: BIGINT, Title: STRING, FileExtension: STRING, n_chars: BIGINT>>>"
+    payloads
+      .select(from_json($"payload", schema, Map.empty[String, String]).as("j"))
+      .select($"j.agency.name".as("agency_name"),
+        $"j.agency.n_docs".as("agency_n_docs"),
+        explode($"j.returnValue.contentVersionRes").as("rec"))
+      .select($"agency_name", $"agency_n_docs",
+        $"rec.Id".as("content_id"), $"rec.Title".as("title"),
+        $"rec.FileExtension".as("file_ext"), $"rec.n_chars".as("n_chars"))
+      .orderBy($"agency_name", $"content_id")
+  }
+
+  val nestedJsonFlattenSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id, lang, n_chars FROM documents WHERE doc_id < 200),
+      |agency AS (SELECT source, count(*)::BIGINT AS n FROM base GROUP BY source)
+      |SELECT b.source AS agency_name, a.n AS agency_n_docs,
+      |  b.doc_id AS content_id, 'doc-' || b.doc_id AS title,
+      |  upper(b.lang) AS file_ext, b.n_chars AS n_chars
+      |FROM base b JOIN agency a ON b.source = a.source
+      |ORDER BY agency_name, content_id""".stripMargin
 
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
@@ -760,6 +823,7 @@ object DocumentPipeline {
     "q16_nested_agency_docs" -> nestedAgencyDocs _,
     "q08_doc_extract" -> docExtract _,
     "q09_json_extract" -> jsonExtract _,
+    "q33_nested_json_flatten" -> nestedJsonFlatten _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -784,6 +848,7 @@ object DocumentPipeline {
     "q16_nested_agency_docs" -> nestedAgencyDocsSql,
     "q08_doc_extract" -> docExtractSql,
     "q09_json_extract" -> jsonExtractSql,
+    "q33_nested_json_flatten" -> nestedJsonFlattenSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

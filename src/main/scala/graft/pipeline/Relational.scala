@@ -232,26 +232,38 @@ object Relational {
       |FROM base LEFT JOIN overlay ON c_nationkey = nk
       |ORDER BY c_custkey""".stripMargin
 
-  /** q14: multi-format date normalization (generate_website_data.py:23-62):
-    * strings in M/D/Y, "Month D, Y", and ISO forms → ISO date. A cheap
-    * regex guard dispatches each row to the ONE format that can match, so
-    * the formatter parses each string exactly once — the naive
+  /** q14: multi-format date normalization (generate_website_data.py:23-62,
+    * which also handles two-digit years): strings in M/D/Y, "Month D, Y",
+    * ISO, and M/D/YY (two-digit year) forms → ISO date. A cheap regex
+    * guard dispatches each row to the ONE format that can match, so the
+    * formatter parses each string exactly once — the naive
     * coalesce(to_date, to_date, …) chain pays an internal parse-exception
-    * per non-matching format per row (~2 exceptions/row here), which made
-    * it the slowest map-only query in the suite (1.8 s vs 0.6 s). Result
-    * is identical: a guarded branch that then fails to parse still yields
-    * null, exactly like the fallback chain.
+    * per non-matching format per row, which made it the slowest map-only
+    * query in the suite (1.8 s vs 0.6 s). Result is identical: a guarded
+    * branch that then fails to parse still yields null, exactly like the
+    * fallback chain. The two-digit-year branch uses explicit POSIX century
+    * arithmetic (< 70 → 2000s, else 1900s) via make_date rather than a
+    * "yy" pattern: engines disagree on the 2-digit pivot, the arithmetic
+    * is engine-portable.
     */
   def dateNormalize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = Tables.orders(s, dir).select(
       $"o_orderkey",
-      when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "MM/dd/yyyy"))
-        .when($"o_orderkey" % 3 === 1, date_format($"o_orderdate", "MMMM d, yyyy"))
+      when($"o_orderkey" % 4 === 0, date_format($"o_orderdate", "MM/dd/yyyy"))
+        .when($"o_orderkey" % 4 === 1, date_format($"o_orderdate", "MMMM d, yyyy"))
+        .when($"o_orderkey" % 4 === 2, date_format($"o_orderdate", "M/d/yy"))
         .otherwise(date_format($"o_orderdate", "yyyy-MM-dd")).as("raw_date"))
+    val y2 = regexp_extract($"raw_date", "/([0-9]{2})$", 1).cast("int")
     raw.select(
         $"o_orderkey", $"raw_date",
-        when($"raw_date".rlike("^[0-9]{1,2}/"), to_date($"raw_date", "MM/dd/yyyy"))
+        when($"raw_date".rlike("^[0-9]{2}/[0-9]{2}/[0-9]{4}$"),
+            to_date($"raw_date", "MM/dd/yyyy"))
+          .when($"raw_date".rlike("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{2}$"),
+            make_date(
+              when(y2 < 70, y2 + 2000).otherwise(y2 + 1900),
+              regexp_extract($"raw_date", "^([0-9]{1,2})/", 1).cast("int"),
+              regexp_extract($"raw_date", "^[0-9]{1,2}/([0-9]{1,2})/", 1).cast("int")))
           .when($"raw_date".rlike("^[0-9]{4}-"), to_date($"raw_date", "yyyy-MM-dd"))
           .otherwise(to_date($"raw_date", "MMMM d, yyyy")).as("date_iso"))
       .orderBy($"o_orderkey")
@@ -261,17 +273,28 @@ object Relational {
     """WITH raw AS (
       |  SELECT o_orderkey,
       |    CASE
-      |      WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
-      |      WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%B ')
+      |      WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+      |      WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%B ')
       |        || day(o_orderdate) || ', ' || year(o_orderdate)
+      |      WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%-m/%-d/%y')
       |      ELSE strftime(o_orderdate, '%Y-%m-%d')
       |    END AS raw_date
       |  FROM orders)
       |SELECT o_orderkey, raw_date,
-      |  coalesce(
-      |    try_strptime(raw_date, '%m/%d/%Y'),
-      |    try_strptime(raw_date, '%B %d, %Y'),
-      |    try_strptime(raw_date, '%Y-%m-%d'))::DATE AS date_iso
+      |  CASE
+      |    WHEN regexp_matches(raw_date, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+      |      THEN try_strptime(raw_date, '%m/%d/%Y')::DATE
+      |    WHEN regexp_matches(raw_date, '^[0-9]{1,2}/[0-9]{1,2}/[0-9]{2}$')
+      |      THEN make_date(
+      |        CASE WHEN regexp_extract(raw_date, '/([0-9]{2})$', 1)::INT < 70
+      |          THEN regexp_extract(raw_date, '/([0-9]{2})$', 1)::INT + 2000
+      |          ELSE regexp_extract(raw_date, '/([0-9]{2})$', 1)::INT + 1900 END,
+      |        regexp_extract(raw_date, '^([0-9]{1,2})/', 1)::INT,
+      |        regexp_extract(raw_date, '^[0-9]{1,2}/([0-9]{1,2})/', 1)::INT)
+      |    WHEN regexp_matches(raw_date, '^[0-9]{4}-')
+      |      THEN try_strptime(raw_date, '%Y-%m-%d')::DATE
+      |    ELSE try_strptime(raw_date, '%B %d, %Y')::DATE
+      |  END AS date_iso
       |FROM raw
       |ORDER BY o_orderkey""".stripMargin
 

@@ -33,14 +33,13 @@ object IvfIndex {
       .select($"v").as[Seq[Double]].collect().toSeq.zipWithIndex.map(_.swap)
 
     for (_ <- 1 to iters) {
-      val cDf = s.createDataFrame(centroids.map { case (id, c) => (id, c) })
-        .toDF("cluster_id", "centroid")
-      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id")
-      val assigned = v.crossJoin(broadcast(cDf))
-        .withColumn("sim", cosine($"v", $"centroid"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"cluster_id", $"v")
+      // Map-only assignment: NearestCentroid evaluates the argmax against
+      // the plan-literal centroid matrix in one tight loop per row — no
+      // crossJoin(K), no window, no shuffle of K copies of every vector.
+      val assigned = v.select(
+        org.apache.spark.sql.graft.GraftFunctions
+          .nearest_centroid($"v", centroids).as("cluster_id"),
+        $"v")
       // new centroid = vector mean via the typed VectorMean aggregator:
       // partial state is ONE dim-length array per (partition, cluster),
       // not the (rows × dim) exploded shape — the shuffle carries
@@ -55,18 +54,15 @@ object IvfIndex {
     centroids
   }
 
-  /** Assign every vector to its nearest centroid — the IVF index column. */
+  /** Assign every vector to its nearest centroid — the IVF index column.
+    * Map-only (see train): the centroid matrix rides in the expression.
+    */
   def assign(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
-    val cDf = s.createDataFrame(centroids).toDF("cluster_id", "centroid")
-    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id")
-    v.crossJoin(broadcast(cDf))
-      .withColumn("sim", cosine($"v", $"centroid"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"cluster_id")
+    vectors.select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("cluster_id",
+        org.apache.spark.sql.graft.GraftFunctions.nearest_centroid($"v", centroids))
   }
 
   /** s04: IVF top-k — probe the nprobe nearest clusters per query, exact

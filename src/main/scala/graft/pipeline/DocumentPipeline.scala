@@ -144,6 +144,57 @@ object DocumentPipeline {
       |FROM base b JOIN agency a ON b.source = a.source
       |ORDER BY agency_name, content_id""".stripMargin
 
+  /** p02: sequence packing — the concat-and-chunk layout step of an LLM
+    * training pipeline: documents are concatenated in a deterministic
+    * order within each source and cut into fixed token-budget sequences;
+    * a doc belongs to the sequence its first token lands in, and
+    * boundary-crossers are counted (they cost truncation/attention-mask
+    * complexity downstream). Per-sequence rollup: doc count, token count,
+    * boundary-crossers.
+    * Scale: one window prefix-sum per source partition (packing order is
+    * inherently sequential within a pack group — at 100 TB the pack group
+    * is (source, shard) so no partition outgrows an executor), one
+    * partial-agg shuffle for the rollup.
+    */
+  def sequencePack(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", floor($"cum_before" / budget).cast("long"))
+      .withColumn("crosses",
+        floor(($"cum_before" + $"n_tokens" - 1) / budget).cast("long") =!= $"seq_id")
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("seq_tokens"),
+        sum($"crosses".cast("long")).as("n_boundary_crossers"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  val sequencePackSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, coalesce(sum(n_tokens) OVER (
+      |    PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM d),
+      |p AS (
+      |  SELECT *, (cum_before // 512)::BIGINT AS seq_id,
+      |    ((cum_before + n_tokens - 1) // 512)::BIGINT != (cum_before // 512)::BIGINT
+      |      AS crosses
+      |  FROM c)
+      |SELECT source, seq_id, count(*) AS n_docs,
+      |  sum(n_tokens)::BIGINT AS seq_tokens,
+      |  sum(crosses::INT)::BIGINT AS n_boundary_crossers
+      |FROM p GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
     * reduced = discard). Broadcast at any scale.
@@ -824,6 +875,7 @@ object DocumentPipeline {
     "q08_doc_extract" -> docExtract _,
     "q09_json_extract" -> jsonExtract _,
     "q33_nested_json_flatten" -> nestedJsonFlatten _,
+    "p02_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -849,6 +901,7 @@ object DocumentPipeline {
     "q08_doc_extract" -> docExtractSql,
     "q09_json_extract" -> jsonExtractSql,
     "q33_nested_json_flatten" -> nestedJsonFlattenSql,
+    "p02_sequence_pack" -> sequencePackSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

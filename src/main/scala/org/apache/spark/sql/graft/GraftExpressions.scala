@@ -411,6 +411,66 @@ case class TokenProfileCounts(child: Expression, profiles: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Map-only IVF coarse assignment: the id of the max-cosine centroid in a
+  * plan-literal centroid matrix, for an array<double> vector (ties break
+  * to the first entry). Replaces the crossJoin(K) + per-vector window
+  * argmax, which shuffled K copies of every vector per Lloyd round — this
+  * is zero-shuffle and the cosine arithmetic matches VectorFunctions
+  * .cosine exactly (dot / (sqrt·sqrt), sequential fold), so assignments
+  * are bit-identical to the join form. `ids` carries the cluster ids so
+  * a Lloyd round that empties a cluster (non-contiguous ids) stays
+  * correct.
+  */
+case class NearestCentroid(child: Expression, ids: Seq[Int],
+    centroids: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && ids.length == centroids.length)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val idArr: Array[Int] = ids.toArray
+  @transient private lazy val cNorms: Array[Double] = matrix.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = v.getDouble(i); i += 1 }
+    var vn = 0.0; i = 0
+    while (i < n) { vn += arr(i) * arr(i); i += 1 }
+    val vNorm = math.sqrt(vn)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var k = 0
+    while (k < matrix.length) {
+      val c = matrix(k)
+      val m = math.min(n, c.length)
+      var d = 0.0; var j = 0
+      while (j < m) { d += arr(j) * c(j); j += 1 }
+      val sim = d / (vNorm * cNorms(k))
+      if (sim > bestSim) { bestSim = sim; best = k }
+      k += 1
+    }
+    java.lang.Integer.valueOf(idArr(best))
+  }
+  // Same reference-obj pattern as TokenProfileCounts: the centroid matrix
+  // lives on the expression instance; eval is one tight loop per row.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = ((java.lang.Integer) $ref.nullSafeEval($a)).intValue();")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint set of a shingle array (see hashing
   * .winnowFingerprints). Replaces a nested HOF pipeline that dominated
   * t10's wall-clock (8.2 s → sub-second at sf0.1).
@@ -447,4 +507,6 @@ object GraftFunctions {
     col(SortedIntersectionSize(e(a), e(b)))
   def token_profile_counts(text: Column, profiles: Seq[Seq[String]]): Column =
     col(TokenProfileCounts(e(text), profiles))
+  def nearest_centroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    col(NearestCentroid(e(v), centroids.map(_._1), centroids.map(_._2)))
 }

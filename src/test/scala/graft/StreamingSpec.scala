@@ -109,6 +109,39 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Set((1L, 2), (2L, 2), (1L, 1)))
   }
 
+  test("sessionizer state stays bounded under key churn (eviction works)") {
+    // Waves of 100 FRESH users each, 2 events per user, 2h apart: every
+    // wave's watermark advance pushes the previous wave past its gap
+    // horizon, so its sessions must be emitted by timeout and the keys
+    // EVICTED. Without eviction the state store grows with total distinct
+    // keys ever seen — the 100 TB failure mode this guards against.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("churn")
+      .outputMode("append").start()
+    val waves = 3
+    val perWave = 100
+    for (wv <- 0 until waves) {
+      val users = (wv * perWave) until ((wv + 1) * perWave)
+      mem.addData(users.flatMap(u => Seq(
+        Ev(u.toLong + 1000L, ts(wv * 120L), "click", 1.0),
+        Ev(u.toLong + 1000L, ts(wv * 120L + 5), "view", 2.0))): _*)
+      q.processAllAvailable()
+    }
+    // one trailing event so the post-watermark-advance batch runs and
+    // times out wave 3
+    mem.addData(Ev(9999L, ts(waves * 120L), "click", 1.0))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT user_id FROM churn").count()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(emitted == (waves * perWave).toLong,
+      s"every churned wave must flush: emitted=$emitted")
+    assert(stateRows <= 5,
+      s"state must hold only live keys after eviction, found $stateRows")
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -129,11 +129,25 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  /** m03: the decode-downstream work plan — resize geometry per asset plus
+    * the sampled-frame work-unit count (frameSamplePlan collapsed to a
+    * per-doc rollup). One decode pass feeds both; rows-only (the stub
+    * decode is not SQL-expressible), plumbing pinned by MultimodalSpec.
+    */
+  def framePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = decodeFeatures(s, dir)
+    val frames = frameSamplePlan(f)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sampled_frames"))
+    resizePlan(f).join(frames, Seq("doc_id")).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (decodeFeatures _),
-    "m02_media_stats" -> (mediaStats _))
+    "m02_media_stats" -> (mediaStats _),
+    "m03_frame_resize_plan" -> (framePlan _))
 
-  // m01's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
+  // m01/m03's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
   val oracles: Map[String, String] = Map(
     "m02_media_stats" -> mediaStatsSql)
 }

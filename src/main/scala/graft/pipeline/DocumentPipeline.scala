@@ -195,6 +195,44 @@ object DocumentPipeline {
       |FROM p GROUP BY source, seq_id
       |ORDER BY source, seq_id""".stripMargin
 
+  /** t16: text normalization — the cleanup pass ahead of dedup/scoring:
+    * trim + lowercase, then collapse runs of adjacently repeated tokens
+    * ("batch batch batch" → "batch", classic boilerplate noise). The
+    * collapse is an indexed array filter (keep token i iff i == 0 or
+    * token != previous) rather than a backreference regex: RE2-based
+    * engines (the DuckDB oracle among them) don't support backrefs, the
+    * indexed-lambda form is engine-portable. Map-only, no shuffle; emits
+    * token counts + a digest of the normalized text.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim(lower($"text")), " ")
+    val kept = filter(toks, (x, i) =>
+      (i === 0) || (x =!= element_at(toks, greatest(i, lit(1)))))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_after"),
+        md5(concat_ws(" ", kept)).as("norm_digest"))
+      .withColumn("n_collapsed", $"n_tokens_before" - $"n_tokens_after")
+      .orderBy($"doc_id")
+  }
+
+  val normalizeTextSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |    list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS kept
+      |  FROM t)
+      |SELECT doc_id, len(toks)::BIGINT AS n_tokens_before,
+      |  len(kept)::BIGINT AS n_tokens_after,
+      |  md5(array_to_string(kept, ' ')) AS norm_digest,
+      |  (len(toks) - len(kept))::BIGINT AS n_collapsed
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
     * reduced = discard). Broadcast at any scale.
@@ -876,6 +914,7 @@ object DocumentPipeline {
     "q09_json_extract" -> jsonExtract _,
     "q33_nested_json_flatten" -> nestedJsonFlatten _,
     "p02_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
+    "t16_normalize" -> normalizeText _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -902,6 +941,7 @@ object DocumentPipeline {
     "q09_json_extract" -> jsonExtractSql,
     "q33_nested_json_flatten" -> nestedJsonFlattenSql,
     "p02_sequence_pack" -> sequencePackSql,
+    "t16_normalize" -> normalizeTextSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

@@ -233,6 +233,46 @@ object DocumentPipeline {
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
+  /** p03: deterministic stratified train/val/test split — every doc lands
+    * in exactly one split, assignment is a pure function of doc_id (md5,
+    * engine-portable like q20/q30's sampling), so the split is stable
+    * across runs, engines and re-shards, and adding documents never moves
+    * existing ones between splits (the leakage-safety property an LLM
+    * data pipeline needs). 90/5/5 by the first 4 hex digits of
+    * md5(doc_id): uniform in [0, 65536). Output: per (source, split)
+    * counts + token totals for mixture accounting. Map-only + one
+    * partial-agg shuffle.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") // uniform in [0, 65536)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        when(u < lit((65536 * 0.90).toInt), "train")
+          .when(u < lit((65536 * 0.95).toInt), "val")
+          .otherwise("test").as("split"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"source", $"split")
+  }
+
+  val stratifiedSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    CASE
+      |      WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT < 58982
+      |        THEN 'train'
+      |      WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT < 62259
+      |        THEN 'val'
+      |      ELSE 'test'
+      |    END AS split
+      |  FROM documents)
+      |SELECT source, split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+      |FROM d GROUP BY source, split
+      |ORDER BY source, split""".stripMargin
+
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
     * reduced = discard). Broadcast at any scale.
@@ -915,6 +955,7 @@ object DocumentPipeline {
     "q33_nested_json_flatten" -> nestedJsonFlatten _,
     "p02_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "t16_normalize" -> normalizeText _,
+    "p03_stratified_split" -> stratifiedSplit _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -942,6 +983,7 @@ object DocumentPipeline {
     "q33_nested_json_flatten" -> nestedJsonFlattenSql,
     "p02_sequence_pack" -> sequencePackSql,
     "t16_normalize" -> normalizeTextSql,
+    "p03_stratified_split" -> stratifiedSplitSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

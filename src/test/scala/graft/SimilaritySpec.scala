@@ -68,6 +68,25 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed.select($"vec_id").distinct().count() == emb.count())
   }
 
+  test("NearestCentroid expression matches brute-force argmax assignment") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = graft.operators.IvfIndex.train(emb, k = 8, iters = 1)
+    val got = graft.operators.IvfIndex.assign(emb, centroids)
+      .select($"vec_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    // Scala-side reference: same cosine arithmetic, same lowest-id tie-break
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.foreach { case (id, v) =>
+      val expected = centroids.map { case (cid, c) => (cid, cos(v, c)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      assert(got(id) == expected, s"vec $id: got ${got(id)}, expected $expected")
+    }
+  }
+
   test("lsh sims match brute sims where pairs overlap") {
     val b = Similarity.knnBrute(spark, sf)
       .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]

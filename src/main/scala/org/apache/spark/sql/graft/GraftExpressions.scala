@@ -36,6 +36,23 @@ object hashing {
   // already a tight JVM loop, so a static call keeps the surrounding
   // operators inside whole-stage codegen at zero extra cost).
 
+  /** Keep the first token of every adjacent run of equal tokens. */
+  def collapseAdjacentRepeats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n)
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i == 0 || (cur == null && prev != null) || (cur != null && !cur.equals(prev)))
+        out.add(cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
@@ -471,6 +488,24 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Keep the first token of each adjacent run of equal tokens (boilerplate
+  * collapse, t16). One tight walk per row. The indexed-lambda HOF form
+  * (`filter(toks, (x, i) -> x != element_at(toks, i))`) re-evaluates the
+  * `toks` child per element inside the lambda — O(tokens²) per document,
+  * which made t16 the second-slowest query in the suite (3.7 s → 0.3 s).
+  */
+case class CollapseAdjacentRepeats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    hashing.collapseAdjacentRepeats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.collapseAdjacentRepeats($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint set of a shingle array (see hashing
   * .winnowFingerprints). Replaces a nested HOF pipeline that dominated
   * t10's wall-clock (8.2 s → sub-second at sf0.1).
@@ -509,4 +544,6 @@ object GraftFunctions {
     col(TokenProfileCounts(e(text), profiles))
   def nearest_centroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     col(NearestCentroid(e(v), centroids.map(_._1), centroids.map(_._2)))
+  def collapse_adjacent_repeats(tokens: Column): Column =
+    col(CollapseAdjacentRepeats(e(tokens)))
 }

@@ -61,7 +61,10 @@ object GraftExtensions {
           MinHashSigFromHashes(args(0), if (args.size > 1) intArg(args(1), "k") else 64))),
     "graft_sorted_intersection_size" -> (
       (new ExpressionInfo(classOf[SortedIntersectionSize].getName, "graft_sorted_intersection_size"),
-        (args: Seq[Expression]) => SortedIntersectionSize(args(0), args(1)))))
+        (args: Seq[Expression]) => SortedIntersectionSize(args(0), args(1)))),
+    "graft_collapse_adjacent_repeats" -> (
+      (new ExpressionInfo(classOf[CollapseAdjacentRepeats].getName, "graft_collapse_adjacent_repeats"),
+        (args: Seq[Expression]) => CollapseAdjacentRepeats(args(0)))))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

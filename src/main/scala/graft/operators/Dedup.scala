@@ -440,9 +440,61 @@ object Dedup {
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** d09: canonical-document selection — the decision step after
+    * clustering: per dup cluster keep exactly one survivor (longest doc,
+    * lowest-id tie-break; docs with no near-dup are their own canonical).
+    * Per-cluster window over cluster-sized partitions (bounded — a dup
+    * cluster is small by construction once the LSH threshold is
+    * meaningful), so no skew at scale. Oracle: d07's recursive-CTE
+    * closure + the same window rule in DuckDB.
+    */
+  def canonicalPerCluster(s: SparkSession, dir: String,
+      idBound: Int = 80): DataFrame = {
+    import s.implicits._
+    val cc = connectedComponents(ngramJaccard(s, dir))
+    val docs = Tables.documents(s, dir)
+      .filter($"doc_id" < idBound)
+      .select($"doc_id", $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    docs.join(cc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"n_chars")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .orderBy($"doc_id")
+  }
+
+  val canonicalPerClusterSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS bg
+      |  FROM documents WHERE doc_id < 80),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.bg, b.bg)) * 1.0 /
+      |    (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6) >= 0.05),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT doc_id, coalesce(cc.cluster_id, doc_id) AS cluster_id, n_chars,
+      |  row_number() OVER (
+      |    PARTITION BY coalesce(cc.cluster_id, doc_id)
+      |    ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+      |FROM documents LEFT JOIN cc USING (doc_id)
+      |WHERE doc_id < 80
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
+    "d09_canonical" -> ((s: SparkSession, d: String) => canonicalPerCluster(s, d)),
     "d08_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
@@ -454,6 +506,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> dedupExactSql,
     "d07_dedup_clusters" -> dedupClustersSql,
+    "d09_canonical" -> canonicalPerClusterSql,
     "d08_containment" -> containmentPairsSql,
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql)

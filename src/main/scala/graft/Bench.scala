@@ -34,21 +34,42 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     // Optional args = query-name filter (local iteration); the driver
-    // passes none and benches the full suite.
+    // passes none and benches the full suite. Misspelled names fail fast
+    // rather than silently benching nothing.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = wanted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every output column (a count() would let
-      // Catalyst prune expensive projections out of the timed work).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Median of `reps` back-to-back runs: the VM shows >2x run-to-run
+      // swings, so a single sample is noise; the median pins it down.
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes every output column (a count() would let
+        // Catalyst prune expensive projections out of the timed work).
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query detail goes on its OWN line (and into a file) because
+    // the driver keeps only the final ~2000 chars of stdout: the LAST line
+    // must stay short so it always fits the tail buffer and parses.
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    println(detail)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

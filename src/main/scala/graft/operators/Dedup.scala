@@ -164,22 +164,14 @@ object Dedup {
     * as minhashPairs: one window over the banding shuffle counts the
     * bucket, keep 2..maxBucket (singletons can't pair; oversized buckets
     * are boilerplate skew a near-dup pass should not quadratically grind
-    * through — exact dedup handles those upstream).
+    * through — exact dedup handles those upstream). Pruned buckets are
+    * not silent: `simhashDroppedBuckets` reports them.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val docs = documents
-      .select($"doc_id", simhash($"text").as("fp"))
-
-    val banded = docs.select($"doc_id", $"fp",
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => shru($"fp", b * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_bits")
-
-    val bucketed = banded
+    val bucketed = simhashBanded(documents)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy($"band", $"band_bits")))
@@ -194,6 +186,39 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter($"hamming" <= maxHamming)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash fingerprints exploded into 4 × 16-bit band buckets — shared
+    * by the pair generator and the dropped-bucket diagnostic.
+    */
+  private def simhashBanded(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id", simhash($"text").as("fp"))
+      .select($"doc_id", $"fp",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => shru($"fp", b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+  }
+
+  /** Observability for d03's bucket cap: the (band, band_bits) buckets the
+    * pair generator prunes as oversized (bucket_n > maxBucket), with their
+    * populations — so capped near-dup mass is a visible metric, not a
+    * silent disappearance. A genuinely large legitimate near-dup cluster
+    * shows up here; route it to exact dedup or raise the cap. One
+    * partial-aggregatable groupBy, no window.
+    */
+  def simhashDroppedBuckets(documents: DataFrame,
+      maxBucket: Int = 64): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    simhashBanded(documents)
+      .groupBy($"band", $"band_bits")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .orderBy($"band", $"band_bits")
   }
 
   /** d04: exact n-gram (bigram) Jaccard similarity over a bounded candidate
@@ -443,24 +468,28 @@ object Dedup {
   /** d09: canonical-document selection — the decision step after
     * clustering: per dup cluster keep exactly one survivor (longest doc,
     * lowest-id tie-break; docs with no near-dup are their own canonical).
-    * Per-cluster window over cluster-sized partitions (bounded — a dup
-    * cluster is small by construction once the LSH threshold is
-    * meaningful), so no skew at scale. Oracle: d07's recursive-CTE
-    * closure + the same window rule in DuckDB.
+    * The survivor is a partial-aggregatable `max_by(doc_id,
+    * struct(n_chars, -doc_id))` per cluster — map-side combine, no
+    * per-cluster sort+window — joined back on cluster_id (same shuffle
+    * key as the aggregate, and AQE broadcasts the survivor side when it
+    * fits). Oracle: d07's recursive-CTE closure + the equivalent
+    * window rule in DuckDB (same ordering semantics).
     */
   def canonicalPerCluster(s: SparkSession, dir: String,
       idBound: Int = 80): DataFrame = {
     import s.implicits._
     val cc = connectedComponents(ngramJaccard(s, dir))
-    val docs = Tables.documents(s, dir)
+    val clustered = Tables.documents(s, dir)
       .filter($"doc_id" < idBound)
       .select($"doc_id", $"n_chars")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
-    docs.join(cc, Seq("doc_id"), "left")
+      .join(cc, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"cluster_id", $"doc_id").as("cluster_id"), $"n_chars")
-      .withColumn("is_canonical", row_number().over(w) === 1)
+    val survivors = clustered.groupBy($"cluster_id")
+      .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("canonical_id"))
+    clustered.join(survivors, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"n_chars",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
       .orderBy($"doc_id")
   }
 

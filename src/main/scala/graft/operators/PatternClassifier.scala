@@ -25,7 +25,9 @@ object PatternClassifier {
 
   /** Compile an ordered rule list into a first-match-wins column. */
   def firstMatch(text: Column, rules: Seq[Rule], default: String): Column = {
-    val ordered = rules.sortBy(_.priority)
+    // Secondary (pattern, label) key: equal-priority rules arrive in
+    // arbitrary collect() order, and the when-chain order decides ties.
+    val ordered = rules.sortBy(r => (r.priority, r.pattern, r.label))
     ordered.foldLeft(Option.empty[Column]) { (acc, r) =>
       val c = text.rlike(r.pattern)
       Some(acc.fold(when(c, r.label))(_.when(c, r.label)))
@@ -38,7 +40,11 @@ object PatternClassifier {
     */
   def classify(df: DataFrame, textCol: String, rulesDf: DataFrame,
       default: String = "other", outCol: String = "doc_type"): DataFrame = {
-    val rules = rulesDf.select("priority", "pattern", "label")
+    // Explicit casts: a rules table written by another tool often carries
+    // BIGINT priority (JSON/parquet default) — getInt on it would throw.
+    val rules = rulesDf.select(
+        col("priority").cast("int"), col("pattern").cast("string"),
+        col("label").cast("string"))
       .collect()
       .map(r => Rule(r.getInt(0), r.getString(1), r.getString(2)))
       .toSeq

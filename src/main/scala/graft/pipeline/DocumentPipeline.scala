@@ -146,25 +146,53 @@ object DocumentPipeline {
 
   /** p02: sequence packing — the concat-and-chunk layout step of an LLM
     * training pipeline: documents are concatenated in a deterministic
-    * order within each source and cut into fixed token-budget sequences;
-    * a doc belongs to the sequence its first token lands in, and
-    * boundary-crossers are counted (they cost truncation/attention-mask
-    * complexity downstream). Per-sequence rollup: doc count, token count,
-    * boundary-crossers.
-    * Scale: one window prefix-sum per source partition (packing order is
-    * inherently sequential within a pack group — at 100 TB the pack group
-    * is (source, shard) so no partition outgrows an executor), one
-    * partial-agg shuffle for the rollup.
+    * order and cut into fixed token-budget sequences; a doc belongs to
+    * the sequence its first token lands in, and boundary-crossers are
+    * counted (they cost truncation/attention-mask complexity downstream).
+    * Per-sequence rollup: doc count, token count, boundary-crossers.
+    *
+    * Scale: the pack group is (source, shard), NOT source alone — a
+    * per-source prefix-sum window funnels the whole corpus through
+    * |sources| reducers. The shard is a pure function of doc_id (md5,
+    * engine-portable like p03's split), so the concat order
+    * (source, shard, doc_id) is deterministic and re-shard-stable, and
+    * no window partition outgrows an executor. The global token offset
+    * is two-pass: (1) a local prefix sum within each (source, shard);
+    * (2) per-shard token totals — a tiny |sources|×shards aggregate —
+    * cumulated into base offsets and broadcast back. seq_id is then
+    * globally consistent with packing the full (source, shard, doc_id)
+    * concatenation order; sequences may span shard boundaries exactly as
+    * they would in the unsharded concat. One bounded window per shard +
+    * one partial-agg shuffle for the rollup.
     */
-  def sequencePack(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def sequencePack(s: SparkSession, dir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    // Uniform in [0, 65536) and bit-for-bit reproducible in the DuckDB
+    // oracle (same pattern as p03's split hash).
+    val shardCol = (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long") % shards).cast("int")
+    val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        shardCol.as("shard"))
+    // Pass 1: prefix sum local to the (source, shard) pack group.
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs
+      .withColumn("local_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+    // Pass 2: per-shard totals (|sources|×shards rows) → cumulative base
+    // offsets. The window here runs over the tiny aggregate, not the
+    // corpus; broadcast is bounded by |sources|×shards by construction.
+    val wb = Window.partitionBy($"source").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy($"source", $"shard")
+      .agg(sum($"n_tokens").as("shard_tokens"))
+      .withColumn("base", coalesce(sum($"shard_tokens").over(wb), lit(0L)))
+      .select($"source", $"shard", $"base")
+    local.join(broadcast(bases), Seq("source", "shard"))
+      .withColumn("cum_before", $"base" + $"local_before")
       .withColumn("seq_id", floor($"cum_before" / budget).cast("long"))
       .withColumn("crosses",
         floor(($"cum_before" + $"n_tokens" - 1) / budget).cast("long") =!= $"seq_id")
@@ -177,22 +205,33 @@ object DocumentPipeline {
 
   val sequencePackSql: String =
     """WITH d AS (
-      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8)::INT AS shard
       |  FROM documents),
       |c AS (
       |  SELECT *, coalesce(sum(n_tokens) OVER (
-      |    PARTITION BY source ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |    PARTITION BY source, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_before
       |  FROM d),
+      |b AS (
+      |  SELECT source, shard,
+      |    coalesce(sum(shard_tokens) OVER (
+      |      PARTITION BY source ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM (SELECT source, shard, sum(n_tokens) AS shard_tokens
+      |        FROM d GROUP BY source, shard)),
       |p AS (
+      |  SELECT c.source, c.n_tokens, c.local_before + b.base AS cum_before
+      |  FROM c JOIN b ON c.source = b.source AND c.shard = b.shard),
+      |q AS (
       |  SELECT *, (cum_before // 512)::BIGINT AS seq_id,
       |    ((cum_before + n_tokens - 1) // 512)::BIGINT != (cum_before // 512)::BIGINT
       |      AS crosses
-      |  FROM c)
+      |  FROM p)
       |SELECT source, seq_id, count(*) AS n_docs,
       |  sum(n_tokens)::BIGINT AS seq_tokens,
       |  sum(crosses::INT)::BIGINT AS n_boundary_crossers
-      |FROM p GROUP BY source, seq_id
+      |FROM q GROUP BY source, seq_id
       |ORDER BY source, seq_id""".stripMargin
 
   /** t16: text normalization — the cleanup pass ahead of dedup/scoring:

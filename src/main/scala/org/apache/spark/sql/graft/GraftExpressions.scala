@@ -442,6 +442,8 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
     centroids: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes {
   require(centroids.nonEmpty && ids.length == centroids.length)
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroids must share one dimensionality")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
 
@@ -457,20 +459,27 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // Schema drift must fail loudly — a truncated dot product would hand
+    // out plausible-looking but wrong assignments.
+    if (n != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"NearestCentroid: vector dim $n != centroid dim ${matrix(0).length}")
     val arr = new Array[Double](n)
     var i = 0
     while (i < n) { arr(i) = v.getDouble(i); i += 1 }
     var vn = 0.0; i = 0
     while (i < n) { vn += arr(i) * arr(i); i += 1 }
     val vNorm = math.sqrt(vn)
+    // Zero-norm vector: cosine is undefined (every sim NaN); assign the
+    // first cluster deliberately rather than by NaN-comparison accident.
+    if (vNorm == 0.0) return java.lang.Integer.valueOf(idArr(0))
     var best = 0
     var bestSim = Double.NegativeInfinity
     var k = 0
     while (k < matrix.length) {
       val c = matrix(k)
-      val m = math.min(n, c.length)
       var d = 0.0; var j = 0
-      while (j < m) { d += arr(j) * c(j); j += 1 }
+      while (j < n) { d += arr(j) * c(j); j += 1 }
       val sim = d / (vNorm * cNorms(k))
       if (sim > bestSim) { bestSim = sim; best = k }
       k += 1
@@ -493,6 +502,12 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
   * (`filter(toks, (x, i) -> x != element_at(toks, i))`) re-evaluates the
   * `toks` child per element inside the lambda — O(tokens²) per document,
   * which made t16 the second-slowest query in the suite (3.7 s → 0.3 s).
+  *
+  * Null contract (differs from the indexed-lambda form, whose null
+  * comparison yields NULL and so DROPS the element after a null): null
+  * elements are values — a run of adjacent nulls collapses to one null,
+  * and a non-null token following a null is KEPT. t16 feeds `split()`
+  * output, which never contains nulls, so the two forms agree there.
   */
 case class CollapseAdjacentRepeats(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -111,4 +111,18 @@ class DedupSpec extends SparkSpec {
       "oversized boilerplate bucket must be suppressed")
     assert(pairs.contains((200L, 201L)), "normal-sized bucket must still pair")
   }
+
+  test("simhash dropped-bucket diagnostic reports the capped buckets") {
+    // The 100 identical docs fill all 4 bands of one fingerprint; the
+    // diagnostic must surface exactly those buckets with their population
+    // (capped mass is a metric, not a silent disappearance), and the
+    // small legit bucket (ids 200/201) must NOT be reported.
+    val docs = mkDocs((1L to 100L).map(i => i -> base) ++
+      Seq(200L -> unrelated, 201L -> unrelated))
+    val dropped = Dedup.simhashDroppedBuckets(docs, maxBucket = 10)
+      .select($"band", $"bucket_n").as[(Int, Long)].collect()
+    assert(dropped.length == 4, s"expected 4 capped band buckets: ${dropped.toSeq}")
+    assert(dropped.forall(_._2 == 100L))
+    assert(dropped.map(_._1).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
 }

@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
-      operators.Dedup.queries ++
+      operators.Dedup.queries ++ operators.KeywordSearch.queries ++
       operators.Similarity.queries ++ multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
         pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
@@ -33,6 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
-      operators.Dedup.oracles ++
+      operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
       operators.Similarity.oracles ++ multimodal.Multimodal.oracles
 }

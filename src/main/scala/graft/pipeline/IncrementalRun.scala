@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.sources.IncrementalIngest
+
+/** The composed end-to-end incremental pass (run_full_pipeline.py:353-431:
+  * detect-new → backfill missing hashes on already-known records → ingest
+  * new content → cumulative metadata → rollup), built from the pieces the
+  * library already proves individually (q04 anti-join detect-new, q13
+  * backfill-merge, IncrementalIngest hash-dedup append, IncrementalAgg
+  * mergeable rollup) — composed so that NO step rescans prior batches'
+  * content:
+  *
+  *  - detect-new reads the metadata table's id column (metadata-sized);
+  *  - backfill joins metadata against the feed (both ≪ corpus);
+  *  - ingest anti-joins the store's hash projection (column-pruned);
+  *  - the rollup merges the prior rollup (rollup-sized) with ONLY the
+  *    batch file this run wrote — never the whole store.
+  *
+  * Re-running with an already-processed feed is a no-op (ids are known →
+  * nothing ingested → rollup unchanged): the resumability contract of the
+  * reference's cumulative metadata_by_id, as a dataflow.
+  */
+object IncrementalRun {
+
+  /** What one pass did. Every count is feed- or delta-sized by
+    * construction; `nRollupDeltaRows` is the number of rows that entered
+    * the rollup merge — equal to this run's ingested delta, NOT the store
+    * size (the no-rescan property, assertable by callers/specs).
+    */
+  final case class Summary(nFeed: Long, nNewIds: Long, nBackfilled: Long,
+      nIngested: Long, nSkippedDuplicate: Long, nRollupDeltaRows: Long)
+
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", org.apache.spark.sql.types.LongType),
+    StructField("source", StringType),
+    StructField("sha256", StringType),
+    StructField("status", StringType)))
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Overwrite a small state table via a temp dir (the input may be lazily
+    * read from the same path being replaced).
+    */
+  private def rewrite(df: DataFrame, path: String): Unit = {
+    val tmp = path + "_rewrite"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val spark = df.sparkSession
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    deleteRec(new java.io.File(tmp))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
+  /** One incremental pass over `feed` (doc_id, source, text columns).
+    * State: `storeDir` (IncrementalIngest batch store), `metaPath`
+    * (cumulative per-id metadata), `rollupPath` (per-source rollup).
+    */
+  def run(spark: SparkSession, feed: DataFrame, storeDir: String,
+      metaPath: String, rollupPath: String, batchId: String): Summary = {
+    import spark.implicits._
+    val f = feed.select($"doc_id", $"source", $"text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFeed = f.count()
+    val meta = readOrEmpty(spark, metaPath, metaSchema)
+
+    // 1. Detect-new (q04 shape): feed ids the metadata doesn't know.
+    //    Metadata is id-keyed and metadata-sized — never the corpus.
+    val newRecords = f.join(meta.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNewIds = newRecords.count()
+
+    // 2. Backfill (q13 shape): known rows missing sha256 take it from the
+    //    feed's content — "backfilled_existing", not re-ingested.
+    val feedSha = f.select($"doc_id".as("f_id"), sha2($"text", 256).as("f_sha"))
+    val backfilled = meta.join(feedSha, $"doc_id" === $"f_id", "left")
+      .select($"doc_id", $"source",
+        coalesce($"sha256", $"f_sha").as("sha256"),
+        when($"sha256".isNull && $"f_sha".isNotNull, lit("backfilled_existing"))
+          .otherwise($"status").as("status"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBackfilled =
+      backfilled.filter($"status" === "backfilled_existing").count() -
+        meta.filter($"status" === "backfilled_existing").count()
+
+    // 3. Ingest the genuinely new records; content-hash dedup against the
+    //    store's column-pruned hash projection lives in appendBatch.
+    val nIngested = IncrementalIngest.appendBatch(newRecords, storeDir, batchId)
+
+    // 4. Cumulative metadata: every new id gets a row (ingested or
+    //    skipped_duplicate) so the NEXT run's detect-new skips it — the
+    //    resumability contract.
+    val batchFile = s"$storeDir/$batchId.parquet"
+    val ingestedIds =
+      if (nIngested > 0)
+        spark.read.parquet(batchFile).select($"doc_id", lit("ingested").as("status"))
+      else Seq.empty[(Long, String)].toDF("doc_id", "status")
+    val newMeta = newRecords
+      .join(ingestedIds, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", sha2($"text", 256).as("sha256"),
+        coalesce($"status", lit("skipped_duplicate")).as("status"))
+    val nSkippedDuplicate = nNewIds - nIngested
+    rewrite(backfilled.unionByName(newMeta), metaPath)
+
+    // 5. Rollup: prior rollup (rollup-sized) merged with ONLY this run's
+    //    batch file — the delta, not the store.
+    val rollupSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_docs", org.apache.spark.sql.types.LongType),
+      StructField("total_chars", org.apache.spark.sql.types.LongType)))
+    val existing = readOrEmpty(spark, rollupPath, rollupSchema)
+    val delta =
+      if (nIngested > 0)
+        spark.read.parquet(batchFile)
+          .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+      else Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    val nRollupDeltaRows = delta.count()
+    rewrite(IncrementalAgg.merge(existing, delta), rollupPath)
+
+    f.unpersist(); newRecords.unpersist(); backfilled.unpersist()
+    Summary(nFeed, nNewIds, nBackfilled, nIngested, nSkippedDuplicate,
+      nRollupDeltaRows)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline.{IncrementalAgg, IncrementalRun}
+import graft.sources.IncrementalIngest
+
+/** The composed incremental pass (run_full_pipeline.py:353-431 as a
+  * dataflow): detect-new, backfill, hash-dedup ingest, cumulative
+  * metadata, mergeable rollup — and the no-rescan property: a re-run
+  * touches only the delta (row counts prove it), and the merged rollup
+  * equals a from-scratch recompute.
+  */
+class IncrementalRunSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, src: String) = (id, src, s"unique content $id")
+
+  test("composed incremental run: backfill + delta-only re-run + merge==recompute") {
+    val root = Files.createTempDirectory("graft_irun_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+
+    // Pre-seed metadata: ids 1-5 are already known but missing sha256
+    // (the reference's rows awaiting backfill). Their content is NOT in
+    // the store — known ids are never re-ingested.
+    Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"))
+      .toDF("doc_id", "source")
+      .select($"doc_id", $"source",
+        lit(null).cast("string").as("sha256"), lit("pending").as("status"))
+      .write.parquet(meta)
+
+    // Run 1: feed has the 5 known ids + 20 new docs.
+    val feed1 = (Seq(doc(1, "A"), doc(2, "A"), doc(3, "B"), doc(4, "B"), doc(5, "B")) ++
+      (6L to 25L).map(i => doc(i, if (i % 2 == 0) "A" else "B")))
+      .toDF("doc_id", "source", "text")
+    val s1 = IncrementalRun.run(spark, feed1, store, meta, rollup, "b0001")
+    assert(s1.nFeed == 25 && s1.nNewIds == 20 && s1.nBackfilled == 5)
+    assert(s1.nIngested == 20 && s1.nSkippedDuplicate == 0)
+    assert(s1.nRollupDeltaRows == 20, "rollup must consume the delta only")
+
+    // Run 2: same feed + 10 new ids + 3 new ids whose content duplicates
+    // stored docs (content dedup must skip them but metadata must still
+    // learn the ids, so run 3 won't re-attempt).
+    val feed2 = feed1.unionByName(
+      ((26L to 35L).map(i => doc(i, "A")) ++
+        Seq((101L, "B", "unique content 6"), (102L, "B", "unique content 7"),
+          (103L, "A", "unique content 8")))
+        .toDF("doc_id", "source", "text"))
+    val s2 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0002")
+    assert(s2.nFeed == 38 && s2.nNewIds == 13 && s2.nBackfilled == 0)
+    assert(s2.nIngested == 10 && s2.nSkippedDuplicate == 3)
+    assert(s2.nRollupDeltaRows == 10,
+      s"re-run must merge 10 delta rows, not rescan the ${20 + 10}-row store")
+
+    // Run 3: identical feed → resumable no-op.
+    val s3 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0003")
+    assert(s3.nNewIds == 0 && s3.nIngested == 0 && s3.nBackfilled == 0)
+    assert(s3.nRollupDeltaRows == 0)
+    assert(!new java.io.File(s"$store/b0003.parquet").exists(),
+      "a no-op run must not write a batch file")
+
+    // Cumulative metadata: every id seen exactly once, statuses correct.
+    val m = spark.read.parquet(meta)
+    assert(m.count() == 38 && m.select("doc_id").distinct().count() == 38)
+    assert(m.filter($"status" === "backfilled_existing").count() == 5)
+    assert(m.filter($"status" === "skipped_duplicate").count() == 3)
+    assert(m.filter($"status" === "ingested").count() == 30)
+    assert(m.filter($"sha256".isNull).count() == 0)
+
+    // Incremental rollup == from-scratch recompute over the whole store.
+    val scratch = IncrementalAgg.sourceAgg(
+      spark.read.parquet(s"$store/*.parquet")
+        .select($"source", length($"text").cast("long").as("n_chars")))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    val merged = spark.read.parquet(rollup)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(merged == scratch, s"merged=$merged scratch=$scratch")
+
+    // Store-wide hash uniqueness still audits clean.
+    val audit = IncrementalIngest.audit(spark, store).collect()(0)
+    assert(audit.getAs[Long]("duplicate_count") == 0)
+  }
+}

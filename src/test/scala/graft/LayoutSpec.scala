@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import graft.operators.KeywordSearch
 import graft.sources.{IncrementalIngest, Layout}
 
 /** Storage layout: bucketed join without exchange, partition pruning,
@@ -55,5 +56,28 @@ class LayoutSpec extends SparkSpec {
     assert(after.select("content_hash").distinct().count() == 6)
     val audit = IncrementalIngest.audit(spark, store).collect()(0)
     assert(audit.getAs[Long]("duplicate_count") == 0)
+  }
+
+  test("keyword store prefix search prunes to one partition and pushes the predicate") {
+    val out = Files.createTempDirectory("graft_kws_").toString + "/keywords"
+    val stats = Seq(
+      ("alpha", 5L), ("apple", 9L), ("apply", 9L), ("append", 2L),
+      ("banana", 7L), ("batch", 3L), ("remote", 4L), ("remove", 4L),
+      ("render", 8L), ("retry", 1L)).toDF("keyword", "n_docs")
+    KeywordSearch.writeKeywordStore(stats, out)
+    val top = KeywordSearch.prefixTopK(spark, out, "ap", k = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    // trie level 1 = hive partition: only the k1=a directory is scanned
+    assert(plan.contains("PartitionFilters: [isnotnull(k1"),
+      s"expected first-char partition pruning in:\n$plan")
+    // trie descent below level 1 = pushed range predicate on the sorted key
+    assert(plan.contains("StringStartsWith(keyword,ap)"),
+      s"expected pushed prefix predicate in:\n$plan")
+    // top-k is per-partition k + merge, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    // count-desc, keyword-asc tie-break — the trie's search() ordering
+    assert(top.as[(String, Long)].collect().toSeq ==
+      Seq(("apple", 9L), ("apply", 9L), ("append", 2L)))
   }
 }

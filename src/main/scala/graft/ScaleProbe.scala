@@ -44,6 +44,26 @@ object ScaleProbe {
     time(s"dedup_groups_x$mult") {
       operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
     }
+    time(s"sequence_pack_x$mult") {
+      pipeline.DocumentPipeline.sequencePackOf(big).count()
+    }
+    // Shard balance evidence for p02: the pack-group row counts must stay
+    // flat as the corpus multiplies (the r3 defect was one group per
+    // source — |corpus|/|sources| rows per reducer).
+    locally {
+      val docs = big.count()
+      val groups = big
+        .select($"source",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("shard"))
+        .groupBy($"source", $"shard").count()
+        .agg(max($"count").as("max_group"), avg($"count").as("avg_group"))
+        .collect()(0)
+      println(f"""{"probe":"pack_shard_balance_x$mult","docs":$docs,"max_group":${groups.getAs[Long]("max_group")},"avg_group":${groups.getAs[Double]("avg_group")}%.1f}""")
+    }
+    time(s"hot_ngram_mask_x$mult") {
+      operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
+    }
     big.unpersist()
     spark.stop()
   }

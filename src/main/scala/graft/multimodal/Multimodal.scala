@@ -129,6 +129,47 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  /** m04: payload-level exact-dedup accounting — a multimodal corpus
+    * carries the same bytes under many ids (mirrored assets, re-posts);
+    * hash-dedup of the payload column is the first storage win at 100 TB,
+    * and this rollup quantifies it per kind BEFORE anyone moves bytes:
+    * asset count, distinct payloads, duplicate assets, raw vs deduped
+    * storage. Two partial-agg shuffles — (kind, hash) then kind — over the
+    * payload-pruned metadata columns only.
+    */
+  def payloadDedupStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .groupBy($"kind", $"content_hash")
+      // identical payload → identical size; max() just picks that value
+      .agg(count(lit(1)).as("n"), max($"n_bytes").as("bytes"))
+      .groupBy($"kind")
+      .agg(sum($"n").as("n_assets"),
+        count(lit(1)).as("n_unique_payloads"),
+        (sum($"n") - count(lit(1))).as("n_dup_assets"),
+        sum($"n" * $"bytes").as("bytes_total"),
+        sum(($"n" - 1) * $"bytes").as("bytes_saved"))
+      .orderBy($"kind")
+  }
+
+  val payloadDedupStatsSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |    sha256(text) AS content_hash,
+      |    octet_length(encode(text))::BIGINT AS n_bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT kind, content_hash, count(*) AS n, max(n_bytes) AS bytes
+      |  FROM m GROUP BY kind, content_hash)
+      |SELECT kind, sum(n)::BIGINT AS n_assets, count(*) AS n_unique_payloads,
+      |  (sum(n) - count(*))::BIGINT AS n_dup_assets,
+      |  sum(n * bytes)::BIGINT AS bytes_total,
+      |  sum((n - 1) * bytes)::BIGINT AS bytes_saved
+      |FROM g GROUP BY kind
+      |ORDER BY kind""".stripMargin
+
   /** m03: the decode-downstream work plan — resize geometry per asset plus
     * the sampled-frame work-unit count (frameSamplePlan collapsed to a
     * per-doc rollup). One decode pass feeds both; rows-only (the stub
@@ -145,9 +186,11 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (decodeFeatures _),
     "m02_media_stats" -> (mediaStats _),
-    "m03_frame_resize_plan" -> (framePlan _))
+    "m03_frame_resize_plan" -> (framePlan _),
+    "m04_payload_dedup" -> (payloadDedupStats _))
 
   // m01/m03's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
   val oracles: Map[String, String] = Map(
-    "m02_media_stats" -> mediaStatsSql)
+    "m02_media_stats" -> mediaStatsSql,
+    "m04_payload_dedup" -> payloadDedupStatsSql)
 }

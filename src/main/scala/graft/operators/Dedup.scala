@@ -221,6 +221,77 @@ object Dedup {
       .orderBy($"band", $"band_bits")
   }
 
+  /** d10: corpus-level duplicated-n-gram masking stats — the
+    * "remove duplicated substrings" pass of an LLM dedup pipeline
+    * (exact-substring dedup à la Lee et al. 2022, approximated at
+    * fixed-n granularity, which is how it distributes): any n-token
+    * gram appearing in ≥ minDf distinct documents is boilerplate; each
+    * document reports how many of its token positions are covered by a
+    * hot gram (the mask a cleaning pass would cut).
+    *
+    * Scale shape: grams travel as xxhash64 of the joined token window
+    * (the gram string never shuffles; the hash is computed off a
+    * materialized token-array column — NOT off an expression re-evaluated
+    * inside the lambda, the O(tokens²) trap). Two partial-agg shuffles
+    * (gram docfreq, per-doc covered positions) + one join against the hot
+    * set, which is df-thresholded small by construction (AQE broadcasts
+    * it). The oracle carries gram STRINGS — outputs only contain counts,
+    * so they match unless xxhash64 collides.
+    */
+  def hotNgramMask(s: SparkSession, dir: String, n: Int = 8,
+      minDf: Int = 2): DataFrame =
+    hotNgramMaskOf(Tables.documents(s, dir), n, minDf)
+
+  /** Core of d10 over any (doc_id, text) frame. */
+  def hotNgramMaskOf(documents: DataFrame, n: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val t = documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = t
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(sequence(lit(0), size($"toks") - n)).as("i"),
+        $"toks")
+      .select($"doc_id", $"i",
+        xxhash64(concat_ws(" ", slice($"toks", $"i" + 1, lit(n)))).as("gram"))
+    val hot = grams.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDf)
+      .select($"gram")
+    val masked = grams.join(hot, Seq("gram"))
+      .select($"doc_id", explode(sequence($"i", $"i" + (n - 1))).as("pos"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"pos").as("n_masked"))
+    t.select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+      .join(masked, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_masked", lit(0L)).as("n_masked"),
+        round(coalesce($"n_masked", lit(0L)) / $"n_tokens" + lit(1e-9), 6)
+          .as("masked_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val hotNgramMaskSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(toks)-7, 0))) AS i, toks
+      |  FROM t),
+      |ng AS (
+      |  SELECT doc_id, i, array_to_string(toks[i+1:i+8], ' ') AS gram FROM g),
+      |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM ng GROUP BY gram),
+      |hot AS (SELECT gram FROM df WHERE df >= 2),
+      |cov AS (
+      |  SELECT ng.doc_id, unnest(range(ng.i, ng.i+8)) AS pos
+      |  FROM ng JOIN hot USING (gram)),
+      |m AS (SELECT doc_id, count(DISTINCT pos) AS n_masked FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+      |  coalesce(m.n_masked, 0)::BIGINT AS n_masked,
+      |  round(coalesce(m.n_masked, 0) * 1.0 / len(t.toks) + 1e-9, 6) AS masked_frac
+      |FROM t LEFT JOIN m USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** d04: exact n-gram (bigram) Jaccard similarity over a bounded candidate
     * window — the verification stage of a near-dup pipeline, SQL-checkable.
     */
@@ -528,7 +599,8 @@ object Dedup {
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
-    "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)))
+    "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)),
+    "d10_hot_ngram_mask" -> ((s: SparkSession, d: String) => hotNgramMask(s, d)))
 
   // d02/d03 are hash-family-dependent (xxhash64 seeds) → not SQL-portable;
   // verified in DedupSpec against planted duplicates + brute-force Jaccard.
@@ -538,5 +610,6 @@ object Dedup {
     "d09_canonical" -> canonicalPerClusterSql,
     "d08_containment" -> containmentPairsSql,
     "d04_ngram_jaccard" -> ngramJaccardSql,
-    "d05_embed_neardup" -> embedNeardupSql)
+    "d05_embed_neardup" -> embedNeardupSql,
+    "d10_hot_ngram_mask" -> hotNgramMaskSql)
 }

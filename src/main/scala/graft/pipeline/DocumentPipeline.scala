@@ -166,14 +166,20 @@ object DocumentPipeline {
     * one partial-agg shuffle for the rollup.
     */
   def sequencePack(s: SparkSession, dir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame =
+    sequencePackOf(Tables.documents(s, dir), budget, shards)
+
+  /** Core of p02 over any (doc_id, source, text) frame. */
+  def sequencePackOf(documents: DataFrame, budget: Int = 512,
       shards: Int = 8): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // Uniform in [0, 65536) and bit-for-bit reproducible in the DuckDB
     // oracle (same pattern as p03's split hash).
     val shardCol = (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
       .cast("long") % shards).cast("int")
-    val docs = Tables.documents(s, dir)
+    val docs = documents
       .select($"doc_id", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"),
         shardCol.as("shard"))
@@ -974,6 +980,45 @@ object DocumentPipeline {
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** t17: bigram-LM estimation — the model-BUILDING counterpart of t14's
+    * scoring pass: corpus-wide conditional probabilities
+    * p(w2|w1) = c(w1,w2) / c(w1,·). The context count is derived from the
+    * same bigram rows (count of positions where w1 leads), so a single
+    * explode feeds both aggregations. Two partial-agg shuffles + one join
+    * on w1 (the unigram side is vocab-sized — AQE broadcasts it). Output
+    * is vocab²-bounded: model-sized, never corpus-sized, at any SF.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Tables.documents(s, dir)
+      .select(split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      // toks is a materialized column: the lambda below reads an attribute,
+      // not a re-evaluated child expression (the O(tokens²) HOF trap).
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
+    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("n_context"))
+    c12.join(c1, Seq("w1"))
+      .select($"w1", $"w2", $"n_bigram", $"n_context",
+        round($"n_bigram" / $"n_context" + lit(1e-9), 6).as("p"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |b AS (
+      |  SELECT toks[i+1] AS w1, toks[i+2] AS w2
+      |  FROM (SELECT toks, unnest(range(0, greatest(len(toks)-1, 0))) AS i FROM t)),
+      |c12 AS (SELECT w1, w2, count(*) AS n_bigram FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS n_context FROM b GROUP BY w1)
+      |SELECT c12.w1, w2, n_bigram, n_context,
+      |  round(n_bigram * 1.0 / n_context + 1e-9, 6) AS p
+      |FROM c12 JOIN c1 USING (w1)
+      |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_lm_perplexity" -> lmPerplexity _,
     "t15_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
@@ -996,6 +1041,7 @@ object DocumentPipeline {
     "q33_nested_json_flatten" -> nestedJsonFlatten _,
     "p02_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "t16_normalize" -> normalizeText _,
+    "t17_bigram_lm" -> bigramLm _,
     "p03_stratified_split" -> stratifiedSplit _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
@@ -1024,6 +1070,7 @@ object DocumentPipeline {
     "q33_nested_json_flatten" -> nestedJsonFlattenSql,
     "p02_sequence_pack" -> sequencePackSql,
     "t16_normalize" -> normalizeTextSql,
+    "t17_bigram_lm" -> bigramLmSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,

@@ -112,6 +112,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((200L, 201L)), "normal-sized bucket must still pair")
   }
 
+  test("hot-ngram mask covers exactly the shared boilerplate span") {
+    // Three docs share a 10-token boilerplate prefix (hot at minDf=3 via
+    // overlapping 8-grams at i=0,1,2 → positions 0..9), with unique tails
+    // that must stay unmasked. A fourth doc is too short for any gram.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler tail one unique tokens here alpha"),
+      (2L, s"$boiler tail two distinct words there beta"),
+      (3L, s"$boiler completely different ending gamma delta x"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val m = Dedup.hotNgramMaskOf(docs, n = 8, minDf = 3)
+      .select($"doc_id", $"n_tokens", $"n_masked")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nt, nm) => id -> ((nt, nm)) }.toMap
+    assert(m(1L) == (16L, 10L), s"got $m")
+    assert(m(2L) == (16L, 10L))
+    assert(m(3L) == (16L, 10L))
+    assert(m(4L) == (2L, 0L))
+  }
+
   test("simhash dropped-bucket diagnostic reports the capped buckets") {
     // The 100 identical docs fill all 4 bands of one fingerprint; the
     // diagnostic must surface exactly those buckets with their population

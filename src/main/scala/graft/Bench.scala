@@ -43,9 +43,21 @@ object Bench {
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Shuffle-bytes-written per query (summed over stages, averaged over
+    // reps): unlike wall-clock — which swings >2x on this VM — shuffle
+    // volume is deterministic, so it's the reliable regression signal.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     val results = wanted.map { case (name, fn) =>
       // Median of `reps` back-to-back runs: the VM shows >2x run-to-run
       // swings, so a single sample is noise; the median pins it down.
+      val sh0 = shuffleBytes.get()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (a count() would let
@@ -54,13 +66,19 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // Listener events are async; the short drain keeps stage metrics
+      // attributed to the query that produced them.
+      Thread.sleep(50)
+      val shuffleMb = (shuffleBytes.get() - sh0) / reps.toDouble / 1e6
+      (name, times(times.length / 2), shuffleMb)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, m) => "\"" + k + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val detail =
-      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
     // Full per-query detail goes on its OWN line (and into a file) because
     // the driver keeps only the final ~2000 chars of stdout: the LAST line
     // must stay short so it always fits the tail buffer and parses.

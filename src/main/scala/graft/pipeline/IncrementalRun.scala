@@ -61,6 +61,21 @@ object IncrementalRun {
     f.delete()
   }
 
+  private val rollupSchema = StructType(Seq(
+    StructField("source", StringType),
+    StructField("n_docs", org.apache.spark.sql.types.LongType),
+    StructField("total_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Merge a delta-docs frame (source, n_chars columns) into the persisted
+    * per-source rollup — the rollup-maintenance step shared by the batch
+    * run and the streaming form (StreamingOps.rollupStream).
+    */
+  def mergeRollup(spark: SparkSession, deltaDocs: DataFrame,
+      rollupPath: String): Unit = {
+    val existing = readOrEmpty(spark, rollupPath, rollupSchema)
+    rewrite(IncrementalAgg.merge(existing, deltaDocs), rollupPath)
+  }
+
   /** One incremental pass over `feed` (doc_id, source, text columns).
     * State: `storeDir` (IncrementalIngest batch store), `metaPath`
     * (cumulative per-id metadata), `rollupPath` (per-source rollup).
@@ -113,18 +128,13 @@ object IncrementalRun {
 
     // 5. Rollup: prior rollup (rollup-sized) merged with ONLY this run's
     //    batch file — the delta, not the store.
-    val rollupSchema = StructType(Seq(
-      StructField("source", StringType),
-      StructField("n_docs", org.apache.spark.sql.types.LongType),
-      StructField("total_chars", org.apache.spark.sql.types.LongType)))
-    val existing = readOrEmpty(spark, rollupPath, rollupSchema)
     val delta =
       if (nIngested > 0)
         spark.read.parquet(batchFile)
           .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
       else Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
     val nRollupDeltaRows = delta.count()
-    rewrite(IncrementalAgg.merge(existing, delta), rollupPath)
+    mergeRollup(spark, delta, rollupPath)
 
     f.unpersist(); newRecords.unpersist(); backfilled.unpersist()
     Summary(nFeed, nNewIds, nBackfilled, nIngested, nSkippedDuplicate,

@@ -60,6 +60,36 @@ object StreamingOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Continuous form of IncrementalRun's store + rollup maintenance: every
+    * micro-batch appends to the hash-dedup store, then merges ONLY the
+    * batch file it just wrote into the persistent per-source rollup — the
+    * streaming version of the batch pipeline's delta-only contract. Per
+    * trigger this touches the store's hash projection (column-pruned), the
+    * new batch file, and the rollup-sized table; never prior batches'
+    * content.
+    */
+  def rollupStream(docs: DataFrame, storeDir: String, rollupPath: String,
+      queryName: String = "graft_rollup",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bid = f"batch$batchId%06d"
+        val n = graft.sources.IncrementalIngest.appendBatch(
+          batch.toDF(), storeDir, bid)
+        if (n > 0) {
+          val delta = spark.read.parquet(s"$storeDir/$bid.parquet")
+            .select($"source", length($"text").cast("long").as("n_chars"))
+          graft.pipeline.IncrementalRun.mergeRollup(spark, delta, rollupPath)
+        }
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** File-source ingest: watch a directory for new parquet drops (the
     * streaming form of the reference's "scan the download folder each run"
     * loop), quality-gate + enrich each file incrementally, append to a

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.DocumentPipeline
+import graft.operators.Dedup
+
+/** Cross-parameter invariants of the round-4 operators — properties that
+  * must hold for ANY shard count / corpus, beyond the fixed-parameter
+  * oracle check.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("p02: token totals are conserved for any shard count") {
+    val docs = Tables.documents(spark, sf)
+    val totalTokens = docs
+      .select(sum(size(split($"text", " ")).cast("long"))).as[Long].collect()(0)
+    for (shards <- Seq(1, 4, 8)) {
+      val packed = DocumentPipeline.sequencePackOf(docs, shards = shards)
+      val (seqTokens, nDocs) = packed
+        .agg(sum($"seq_tokens"), sum($"n_docs")).as[(Long, Long)].collect()(0)
+      assert(seqTokens == totalTokens,
+        s"shards=$shards lost tokens: $seqTokens != $totalTokens")
+      assert(nDocs == docs.count(), s"shards=$shards lost docs")
+    }
+  }
+
+  test("p02: seq ids start at 0 and never exceed the token-span boundary") {
+    // A doc's first token lands in seq floor(cum_before/budget). The first
+    // doc of each source has cum_before 0 → seq 0; no doc can start past
+    // the last token of its source's concatenation → seq_id ≤
+    // floor((total-1)/budget). (Equality is NOT guaranteed: a long doc
+    // can span the final sequences with no doc starting inside them.)
+    val docs = Tables.documents(spark, sf)
+    val packed = DocumentPipeline.sequencePackOf(docs, budget = 512, shards = 8)
+    val bySource = packed.groupBy($"source")
+      .agg(min($"seq_id").as("min_seq"), max($"seq_id").as("max_seq"),
+        sum($"seq_tokens").as("tok"))
+      .as[(String, Long, Long, Long)].collect()
+    bySource.foreach { case (src, minSeq, maxSeq, tok) =>
+      assert(minSeq == 0L, s"$src: first sequence must be 0")
+      assert(maxSeq <= (tok - 1) / 512,
+        s"$src: max seq_id $maxSeq past the boundary of $tok tokens")
+    }
+  }
+
+  test("t17: conditional probabilities sum to ~1 per context") {
+    val lm = DocumentPipeline.bigramLm(spark, sf)
+    val sums = lm.groupBy($"w1").agg(sum($"n_bigram" / $"n_context").as("s"))
+      .as[(String, Double)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (w1, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"p(.|$w1) sums to $s")
+    }
+  }
+
+  test("d10: masked positions are bounded by token count and monotone in minDf") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val loose = Dedup.hotNgramMaskOf(docs, n = 8, minDf = 2)
+      .select($"doc_id", $"n_tokens", $"n_masked")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val strict = Dedup.hotNgramMaskOf(docs, n = 8, minDf = 3)
+      .select($"doc_id", $"n_masked").as[(Long, Long)].collect().toMap
+    loose.values.foreach { case (id, nt, nm) =>
+      assert(nm <= nt, s"doc $id: masked $nm > tokens $nt")
+      assert(strict(id) <= nm,
+        s"doc $id: stricter df threshold must mask no more ($nm -> ${strict(id)})")
+    }
+  }
+}

@@ -141,6 +141,35 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Observability for d02's bucket cap (same contract as
+    * `simhashDroppedBuckets`): the (band, band_hash) buckets minhashPairs
+    * prunes as oversized, with their populations. One partial-agg groupBy
+    * over a fresh banding pass — a diagnostic scan, not part of the pair
+    * pipeline.
+    */
+  def minhashDroppedBuckets(documents: DataFrame, bands: Int = 16,
+      rows: Int = 4, maxBucket: Int = 64): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .word_shingle_hashes($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .minhash_sig_from_hashes($"sh").as("sig"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .groupBy($"band", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .orderBy($"band", $"band_hash")
+  }
+
   /** 64-bit SimHash fingerprint from the token multiset (custom Catalyst
     * expression — one xxhash64 per token + 64 counters in a tight loop;
     * the HOF form of the same math cost 385 s at sf0.1, this runs in ~2 s).

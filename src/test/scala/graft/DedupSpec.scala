@@ -97,6 +97,11 @@ class DedupSpec extends SparkSpec {
     val docs = mkDocs((1L to 100L).map(i => i -> base))
     val n = Dedup.minhashPairs(docs, maxBucket = 10, minJaccard = 0.0).count()
     assert(n == 0, "skew guard should suppress pathological bucket")
+    // ...and the cap is observable: all 16 bands report a 100-doc bucket
+    val dropped = Dedup.minhashDroppedBuckets(docs, maxBucket = 10)
+      .select($"band", $"bucket_n").as[(Int, Long)].collect()
+    assert(dropped.length == 16, s"expected 16 capped buckets: ${dropped.length}")
+    assert(dropped.forall(_._2 == 100L))
   }
 
   test("simhash skew guard caps boilerplate buckets, keeps normal pairs") {

@@ -1019,6 +1019,50 @@ object DocumentPipeline {
       |FROM c12 JOIN c1 USING (w1)
       |ORDER BY w1, w2""".stripMargin
 
+  /** q35: mixture-drift detection — KL divergence of each source's
+    * doc-length distribution against the corpus distribution: the
+    * monitoring statistic a data-mixture pipeline tracks per ingest slice
+    * to catch a drifting source (broken scraper, boilerplate flood)
+    * before it pollutes a training mix. Fixed-width 100-char bins (q25's
+    * binning); KL(p_source ‖ p_corpus) is exact, no sampling.
+    *
+    * Scale: one partial-agg shuffle over the corpus builds the
+    * (source, bin) table; everything after runs on bin-bounded frames —
+    * the global-bin side is broadcast, the corpus total is a scalar
+    * crossJoin (q26's stats pattern, no unpartitioned window).
+    */
+  def mixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sb = Tables.documents(s, dir)
+      .select($"source", floor($"n_chars" / 100).as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("n_sb"))
+    val stot = sb.groupBy($"source").agg(sum($"n_sb").as("n_s"))
+    val gb = sb.groupBy($"bin").agg(sum($"n_sb").as("n_b"))
+    val total = gb.agg(sum($"n_b").as("n_total"))
+    sb.join(stot, Seq("source"))
+      .join(broadcast(gb), Seq("bin"))
+      .crossJoin(total)
+      .withColumn("term",
+        ($"n_sb" / $"n_s") * log(($"n_sb" / $"n_s") / ($"n_b" / $"n_total")))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_docs"),
+        round(sum($"term") + lit(1e-9), 6).as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  val mixtureDriftSql: String =
+    """WITH b AS (SELECT source, (n_chars // 100) AS bin FROM documents),
+      |sb AS (SELECT source, bin, count(*) AS n_sb FROM b GROUP BY source, bin),
+      |st AS (SELECT source, sum(n_sb) AS n_s FROM sb GROUP BY source),
+      |gb AS (SELECT bin, sum(n_sb) AS n_b FROM sb GROUP BY bin),
+      |t AS (SELECT sum(n_b) AS n_total FROM gb)
+      |SELECT sb.source, max(st.n_s)::BIGINT AS n_docs,
+      |  round(sum((n_sb * 1.0 / n_s) * ln((n_sb * 1.0 / n_s) / (n_b * 1.0 / n_total)))
+      |    + 1e-9, 6) AS kl_nats
+      |FROM sb JOIN st USING (source) JOIN gb USING (bin) CROSS JOIN t
+      |GROUP BY sb.source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_lm_perplexity" -> lmPerplexity _,
     "t15_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
@@ -1042,6 +1086,7 @@ object DocumentPipeline {
     "p02_sequence_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "t16_normalize" -> normalizeText _,
     "t17_bigram_lm" -> bigramLm _,
+    "q35_mixture_drift" -> mixtureDrift _,
     "p03_stratified_split" -> stratifiedSplit _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
@@ -1071,6 +1116,7 @@ object DocumentPipeline {
     "p02_sequence_pack" -> sequencePackSql,
     "t16_normalize" -> normalizeTextSql,
     "t17_bigram_lm" -> bigramLmSql,
+    "q35_mixture_drift" -> mixtureDriftSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,

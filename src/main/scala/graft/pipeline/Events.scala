@@ -218,7 +218,38 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** e10: sliding-window aggregation (2-hour windows every hour) — the
+    * batch form of the streaming sliding window; each event contributes
+    * to len/slide = 2 overlapping windows. Spark's `window()` expands
+    * membership MAP-SIDE (len/slide rows per event) into one partial-agg
+    * shuffle — no self-join, no range join, no calendar table.
+    */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  // Epoch-aligned 2h/1h windows: an event at ts belongs to the windows
+  // starting at trunc(ts, hour) and trunc(ts, hour) - 1h.
+  val slidingWindowAggSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    unnest([date_trunc('hour', ts::TIMESTAMP),
+      |            date_trunc('hour', ts::TIMESTAMP) - INTERVAL 1 HOUR])
+      |      AS window_start
+      |  FROM events)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_sliding_window" -> slidingWindowAgg _,
     "e06_type_stats" -> typeStats _,
     "e05_daily_gapfill" -> dailyGapfill _,
     "e01_window_agg" -> windowAgg _,
@@ -227,6 +258,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e10_sliding_window" -> slidingWindowAggSql,
     "e06_type_stats" -> typeStatsSql,
     "e05_daily_gapfill" -> dailyGapfillSql,
     "e01_window_agg" -> windowAggSql,

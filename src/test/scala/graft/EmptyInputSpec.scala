@@ -27,6 +27,37 @@ class EmptyInputSpec extends SparkSpec {
     assert(pipeline.CorpusPipeline.curate(emptyDocs).count() == 0)
   }
 
+  test("hot-ngram mask on empty input is empty; short docs report zero masked") {
+    assert(operators.Dedup.hotNgramMaskOf(emptyDocs).count() == 0)
+    val short = Seq((1L, "just three words"), (2L, "just three words"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.hotNgramMaskOf(short, n = 8, minDf = 2)
+      .select($"doc_id", $"n_masked").as[(Long, Long)].collect().toMap
+    // identical but shorter than n: no gram exists, nothing to mask
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("sequence packing of an empty corpus is empty") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(pipeline.DocumentPipeline.sequencePackOf(empty).count() == 0)
+  }
+
+  test("dropped-bucket diagnostics on empty input are empty") {
+    assert(operators.Dedup.minhashDroppedBuckets(emptyDocs).count() == 0)
+    assert(operators.Dedup.simhashDroppedBuckets(emptyDocs).count() == 0)
+  }
+
+  test("incremental run over an empty feed is a structural no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_emptyrun_").toString
+    val store = s"$root/store"; new java.io.File(store).mkdirs()
+    val feed = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val s1 = pipeline.IncrementalRun.run(spark, feed, store,
+      s"$root/meta", s"$root/rollup", "b0001")
+    assert(s1.nFeed == 0 && s1.nNewIds == 0 && s1.nIngested == 0)
+    assert(s1.nRollupDeltaRows == 0)
+    assert(!new java.io.File(s"$store/b0001.parquet").exists())
+  }
+
   test("asof join with empty right side keeps left rows with null asof_ts") {
     val left = Seq((1L, new java.sql.Timestamp(1700000000000L), 10L))
       .toDF("user_id", "ts", "event_id")

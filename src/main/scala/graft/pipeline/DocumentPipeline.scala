@@ -1063,6 +1063,64 @@ object DocumentPipeline {
       |GROUP BY sb.source
       |ORDER BY source""".stripMargin
 
+  /** t18: PMI co-occurrence — collocation strength of token pairs by
+    * document co-occurrence: pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) over
+    * per-doc distinct tokens. The phrase-induction / association-mining
+    * primitive (which pairs travel together more than chance predicts).
+    *
+    * Scale: the pair generation is a self-join on doc_id over per-doc
+    * DISTINCT tokens — quadratic in per-doc distinct-token count, so in
+    * production the token set is first thresholded to the top-df vocab
+    * (same bounded-candidate contract as d04's verify window); the
+    * doc-frequency side is vocab-sized, the corpus total a scalar
+    * crossJoin. Output is vocab²-bounded.
+    */
+  def pmiCooccur(s: SparkSession, dir: String, minPairDf: Int = 5,
+      top: Int = 50): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .filter(length($"w") > 0)
+    val dfw = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val a = toks.select($"doc_id", $"w".as("w_a"))
+    val b = toks.select($"doc_id", $"w".as("w_b"))
+    a.join(b, Seq("doc_id")).filter($"w_a" < $"w_b")
+      .groupBy($"w_a", $"w_b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minPairDf)
+      // no broadcast hint: dfw grows with the real vocabulary — AQE
+      // decides (the t08 rule: never force-broadcast an SF-scaled table)
+      .join(dfw.select($"w".as("w_a"), $"n_w".as("n_a")), Seq("w_a"))
+      .join(dfw.select($"w".as("w_b"), $"n_w".as("n_b")), Seq("w_b"))
+      .crossJoin(nDocs)
+      .select($"w_a", $"w_b", $"n_ab",
+        round(log($"n_ab" * $"n_docs" / ($"n_a" * $"n_b")) + lit(1e-9), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"w_a", $"w_b")
+      .limit(top)
+  }
+
+  val pmiCooccurSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+      |dfw AS (SELECT w, count(*) AS n_w FROM t GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |p AS (
+      |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_ab
+      |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY a.w, b.w
+      |  HAVING count(*) >= 5)
+      |SELECT w_a, w_b, n_ab,
+      |  round(ln(n_ab * n_docs * 1.0 / (da.n_w * db.n_w)) + 1e-9, 6) AS pmi
+      |FROM p
+      |JOIN dfw da ON p.w_a = da.w
+      |JOIN dfw db ON p.w_b = db.w
+      |CROSS JOIN n
+      |ORDER BY pmi DESC, w_a, w_b
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_lm_perplexity" -> lmPerplexity _,
     "t15_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
@@ -1087,6 +1145,7 @@ object DocumentPipeline {
     "t16_normalize" -> normalizeText _,
     "t17_bigram_lm" -> bigramLm _,
     "q35_mixture_drift" -> mixtureDrift _,
+    "t18_pmi_cooccur" -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "p03_stratified_split" -> stratifiedSplit _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
@@ -1117,6 +1176,7 @@ object DocumentPipeline {
     "t16_normalize" -> normalizeTextSql,
     "t17_bigram_lm" -> bigramLmSql,
     "q35_mixture_drift" -> mixtureDriftSql,
+    "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,

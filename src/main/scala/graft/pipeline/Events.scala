@@ -248,7 +248,45 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** e11: recency-weighted (exponential-decay) activity stats per event
+    * type — the monitoring statistic that tracks "current" behavior
+    * without a window cutoff: weight = exp(-age/τ) relative to the
+    * corpus max timestamp, τ = 24 h. The reference point is a scalar
+    * aggregate cross-joined in (q26's pattern — never an unpartitioned
+    * window); the weighting is map-side arithmetic into one partial-agg
+    * shuffle.
+    */
+  def ewmaTypeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val tmax = ev.agg(max($"ts").as("t_max"))
+    val tauSec = 86400.0
+    ev.crossJoin(tmax)
+      .withColumn("wt",
+        exp(-(unix_micros($"t_max") - unix_micros($"ts")) / lit(tauSec * 1e6)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"wt") + lit(1e-9), 6).as("effective_n"),
+        round(sum($"wt" * $"value") / sum($"wt") + lit(1e-9), 6)
+          .as("ewma_value"))
+      .orderBy($"event_type")
+  }
+
+  val ewmaTypeStatsSql: String =
+    """WITH t AS (SELECT max(ts::TIMESTAMP) AS t_max FROM events),
+      |w AS (
+      |  SELECT event_type, value,
+      |    exp(-epoch_us(t_max - ts::TIMESTAMP) / (86400.0 * 1e6)) AS wt
+      |  FROM events CROSS JOIN t)
+      |SELECT event_type, count(*) AS n,
+      |  round(sum(wt) + 1e-9, 6) AS effective_n,
+      |  round(sum(wt * value) / sum(wt) + 1e-9, 6) AS ewma_value
+      |FROM w
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_ewma_stats" -> ewmaTypeStats _,
     "e10_sliding_window" -> slidingWindowAgg _,
     "e06_type_stats" -> typeStats _,
     "e05_daily_gapfill" -> dailyGapfill _,
@@ -258,6 +296,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e11_ewma_stats" -> ewmaTypeStatsSql,
     "e10_sliding_window" -> slidingWindowAggSql,
     "e06_type_stats" -> typeStatsSql,
     "e05_daily_gapfill" -> dailyGapfillSql,

@@ -57,6 +57,9 @@ object KeywordSearch {
     */
   def writeKeywordStore(stats: DataFrame, path: String): Unit =
     stats
+      // an empty keyword would land in Hive's default-partition dir and
+      // never be reachable by a prefix query — drop it at write time
+      .filter(length(col("keyword")) > 0)
       .withColumn("k1", substring(col("keyword"), 1, 1))
       .repartition(col("k1"))
       .sortWithinPartitions("keyword")

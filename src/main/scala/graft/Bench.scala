@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The output contract is JSON: number formatting must not follow a
+    // locale that renders decimal commas.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
@@ -54,6 +57,9 @@ object Bench {
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
+    // Flush warmup stage events so they don't land in the first query's
+    // shuffle delta.
+    org.apache.spark.sql.graft.SparkInternals.drainListenerBus(spark.sparkContext)
     val results = wanted.map { case (name, fn) =>
       // Median of `reps` back-to-back runs: the VM shows >2x run-to-run
       // swings, so a single sample is noise; the median pins it down.
@@ -66,9 +72,10 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      // Listener events are async; the short drain keeps stage metrics
-      // attributed to the query that produced them.
-      Thread.sleep(50)
+      // Deterministic listener drain (a fixed sleep can under-wait on a
+      // backlogged bus and credit this query's stages to the next one).
+      org.apache.spark.sql.graft.SparkInternals
+        .drainListenerBus(spark.sparkContext)
       val shuffleMb = (shuffleBytes.get() - sh0) / reps.toDouble / 1e6
       (name, times(times.length / 2), shuffleMb)
     }

@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // JSON output contract: no locale-dependent decimal commas.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -54,8 +56,7 @@ object ScaleProbe {
       val docs = big.count()
       val groups = big
         .select($"source",
-          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-            .cast("long") % 8).as("shard"))
+          pipeline.DocumentPipeline.packShard(8).as("shard"))
         .groupBy($"source", $"shard").count()
         .agg(max($"count").as("max_group"), avg($"count").as("avg_group"))
         .collect()(0)
@@ -64,6 +65,10 @@ object ScaleProbe {
     time(s"hot_ngram_mask_x$mult") {
       operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
     }
+    // The probed operators persist internal frames (p02's tokenized
+    // projection, d10's token arrays) that outlive their query — clear
+    // them so successive probes don't measure a cache-pressured store.
+    spark.catalog.clearCache()
     big.unpersist()
     spark.stop()
   }

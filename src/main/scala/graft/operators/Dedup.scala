@@ -91,24 +91,9 @@ object Dedup {
     // spill-safe. Shingles are carried as 64-bit hashes, not strings
     // (WordShingleHashes): ~3× less cache + verify-join traffic with
     // identical Jaccard counts.
-    val docs = documents
-      .select($"doc_id",
-        org.apache.spark.sql.graft.GraftFunctions
-          .word_shingle_hashes($"text", 3).as("sh"))
-      .filter(size($"sh") > 0)
+    val docs = shingleFrame(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Materialize the signature before band-explode: inside the transform
-    // lambda it would be recomputed once per band (16×).
-    val banded = docs
-      .select($"doc_id",
-        org.apache.spark.sql.graft.GraftFunctions
-          .minhash_sig_from_hashes($"sh").as("sig"))
-      .select($"doc_id",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = minhashBandedFrom(docs, bands, rows)
 
     // One shuffle on the bucket key: count per bucket, keep 2..maxBucket
     // (singleton buckets can't pair; oversized ones are boilerplate skew).
@@ -141,6 +126,38 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The hashed-shingle frame minhash banding runs over. */
+  private def shingleFrame(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .word_shingle_hashes($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  /** MinHash signatures banded into (doc_id, band, band_hash) — shared by
+    * the pair generator and the dropped-bucket diagnostic so both always
+    * see exactly the same buckets. The signature is materialized before
+    * the band-explode: inside the transform lambda it would be recomputed
+    * once per band (16×).
+    */
+  private def minhashBandedFrom(shingled: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    val s = shingled.sparkSession
+    import s.implicits._
+    shingled
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .minhash_sig_from_hashes($"sh").as("sig"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   /** Observability for d02's bucket cap (same contract as
     * `simhashDroppedBuckets`): the (band, band_hash) buckets minhashPairs
     * prunes as oversized, with their populations. One partial-agg groupBy
@@ -151,19 +168,7 @@ object Dedup {
       rows: Int = 4, maxBucket: Int = 64): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    documents
-      .select($"doc_id",
-        org.apache.spark.sql.graft.GraftFunctions
-          .word_shingle_hashes($"text", 3).as("sh"))
-      .filter(size($"sh") > 0)
-      .select($"doc_id",
-        org.apache.spark.sql.graft.GraftFunctions
-          .minhash_sig_from_hashes($"sh").as("sig"))
-      .select($"doc_id",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    minhashBandedFrom(shingleFrame(documents), bands, rows)
       .groupBy($"band", $"band_hash")
       .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" > maxBucket)

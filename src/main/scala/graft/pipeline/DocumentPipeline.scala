@@ -169,20 +169,29 @@ object DocumentPipeline {
       shards: Int = 8): DataFrame =
     sequencePackOf(Tables.documents(s, dir), budget, shards)
 
+  /** p02's shard assignment: uniform in [0, 65536) and bit-for-bit
+    * reproducible in the DuckDB oracle (same pattern as p03's split
+    * hash). Exposed so diagnostics (ScaleProbe's balance probe) measure
+    * the SAME layout the packer uses.
+    */
+  def packShard(shards: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % shards).cast("int")
+
   /** Core of p02 over any (doc_id, source, text) frame. */
   def sequencePackOf(documents: DataFrame, budget: Int = 512,
       shards: Int = 8): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // Uniform in [0, 65536) and bit-for-bit reproducible in the DuckDB
-    // oracle (same pattern as p03's split hash).
-    val shardCol = (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-      .cast("long") % shards).cast("int")
+    // Persisted: the tokenize projection feeds BOTH the window pass and
+    // the per-shard totals — without the (narrow, 4-column) cache the
+    // corpus would be scanned and split() twice.
     val docs = documents
       .select($"doc_id", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"),
-        shardCol.as("shard"))
+        packShard(shards).as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 1: prefix sum local to the (source, shard) pack group.
     val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -76,6 +76,47 @@ object IncrementalRun {
     rewrite(IncrementalAgg.merge(existing, deltaDocs), rollupPath)
   }
 
+  /** Idempotently merge ONE store batch file into the rollup, tracked by
+    * a per-batch marker under `<rollupPath>_merged/`. This is what makes
+    * the rollup replay-safe: appendBatch deduplicates content, so a
+    * replayed batch (streaming epoch redelivery, or a re-run after a
+    * crash between append and merge) ingests 0 rows — the merge decision
+    * therefore keys off "batch file exists and is unmarked", never off
+    * this attempt's ingest count. The marker lands after the merge; the
+    * residual window between those two small writes is where a
+    * transactional table format slots in at production scale.
+    *
+    * @return true iff the batch was merged by this call.
+    */
+  def commitBatch(spark: SparkSession, storeDir: String, rollupPath: String,
+      batchId: String): Boolean = {
+    import spark.implicits._
+    val batchDir = new java.io.File(s"$storeDir/$batchId.parquet")
+    val marker = new java.io.File(s"${rollupPath}_merged/$batchId")
+    if (!batchDir.exists() || marker.exists()) return false
+    val delta = spark.read.parquet(batchDir.getPath)
+      .select($"source", length($"text").cast("long").as("n_chars"))
+    mergeRollup(spark, delta, rollupPath)
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    true
+  }
+
+  /** Crash repair: merge every store batch file that has no merged
+    * marker (oldest first). Run at the start of each pass so a crash
+    * between a prior append and its merge heals before new work.
+    *
+    * @return number of batches repaired.
+    */
+  def repairRollup(spark: SparkSession, storeDir: String,
+      rollupPath: String): Int = {
+    val files = Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted
+    files.count(bid => commitBatch(spark, storeDir, rollupPath, bid))
+  }
+
   /** One incremental pass over `feed` (doc_id, source, text columns).
     * State: `storeDir` (IncrementalIngest batch store), `metaPath`
     * (cumulative per-id metadata), `rollupPath` (per-source rollup).
@@ -83,7 +124,17 @@ object IncrementalRun {
   def run(spark: SparkSession, feed: DataFrame, storeDir: String,
       metaPath: String, rollupPath: String, batchId: String): Summary = {
     import spark.implicits._
+    // Heal first: a prior crash between append and merge leaves an
+    // unmarked batch file — merge it before processing new work.
+    repairRollup(spark, storeDir, rollupPath)
+    // One row per feed id (deterministic keeper): a feed unioned from
+    // several listings can carry an id twice, and the metadata contract
+    // is one row per id forever.
+    val idw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"source", $"text")
     val f = feed.select($"doc_id", $"source", $"text")
+      .withColumn("_rn", row_number().over(idw))
+      .filter($"_rn" === 1).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFeed = f.count()
     val meta = readOrEmpty(spark, metaPath, metaSchema)
@@ -127,14 +178,15 @@ object IncrementalRun {
     rewrite(backfilled.unionByName(newMeta), metaPath)
 
     // 5. Rollup: prior rollup (rollup-sized) merged with ONLY this run's
-    //    batch file — the delta, not the store.
-    val delta =
-      if (nIngested > 0)
-        spark.read.parquet(batchFile)
-          .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
-      else Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
-    val nRollupDeltaRows = delta.count()
-    mergeRollup(spark, delta, rollupPath)
+    //    batch file — the delta, not the store — via the marker-tracked
+    //    idempotent commit.
+    val nRollupDeltaRows =
+      if (nIngested > 0) spark.read.parquet(batchFile).count() else 0L
+    commitBatch(spark, storeDir, rollupPath, batchId)
+    // An empty first run must still leave a readable (empty) rollup.
+    if (!new java.io.File(rollupPath).exists())
+      mergeRollup(spark,
+        Seq.empty[(String, Long)].toDF("source", "n_chars"), rollupPath)
 
     f.unpersist(); newRecords.unpersist(); backfilled.unpersist()
     Summary(nFeed, nNewIds, nBackfilled, nIngested, nSkippedDuplicate,

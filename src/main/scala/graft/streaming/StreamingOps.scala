@@ -76,15 +76,15 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         val bid = f"batch$batchId%06d"
-        val n = graft.sources.IncrementalIngest.appendBatch(
-          batch.toDF(), storeDir, bid)
-        if (n > 0) {
-          val delta = spark.read.parquet(s"$storeDir/$bid.parquet")
-            .select($"source", length($"text").cast("long").as("n_chars"))
-          graft.pipeline.IncrementalRun.mergeRollup(spark, delta, rollupPath)
-        }
+        graft.sources.IncrementalIngest.appendBatch(batch.toDF(), storeDir, bid)
+        // Marker-tracked idempotent merge: foreachBatch is at-least-once,
+        // and a replayed epoch ingests 0 rows (content dedup) — keying
+        // the merge off this attempt's ingest count would permanently
+        // drop the batch from the rollup. commitBatch merges iff the
+        // batch file exists and is unmarked, so replays heal instead.
+        graft.pipeline.IncrementalRun.commitBatch(
+          spark, storeDir, rollupPath, bid)
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

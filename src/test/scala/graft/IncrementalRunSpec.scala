@@ -81,4 +81,44 @@ class IncrementalRunSpec extends SparkSpec {
     val audit = IncrementalIngest.audit(spark, store).collect()(0)
     assert(audit.getAs[Long]("duplicate_count") == 0)
   }
+
+  test("duplicate feed ids collapse to one deterministic metadata row") {
+    val root = Files.createTempDirectory("graft_irun_dup_").toString
+    val store = s"$root/store"; new java.io.File(store).mkdirs()
+    // id 1 appears twice (a feed unioned from two listings)
+    val feed = Seq((1L, "A", "payload one"), (1L, "B", "payload other"),
+      (2L, "A", "payload two")).toDF("doc_id", "source", "text")
+    val s1 = IncrementalRun.run(spark, feed, store,
+      s"$root/meta", s"$root/rollup", "b0001")
+    assert(s1.nFeed == 2 && s1.nNewIds == 2 && s1.nIngested == 2)
+    val m = spark.read.parquet(s"$root/meta")
+    assert(m.count() == 2 && m.select("doc_id").distinct().count() == 2)
+    // deterministic keeper: (source, text) ordering picks ("A", "payload one")
+    assert(m.filter($"doc_id" === 1L).select("source").as[String].head() == "A")
+  }
+
+  test("crash between append and rollup merge heals on the next run") {
+    val root = Files.createTempDirectory("graft_irun_crash_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+    val feed1 = (1L to 10L).map(i => doc(i, "A")).toDF("doc_id", "source", "text")
+    IncrementalRun.run(spark, feed1, store, meta, rollup, "b0001")
+    // Simulated crash: a batch lands in the store but its rollup merge
+    // (and metadata) never happened.
+    IncrementalIngest.appendBatch(
+      (11L to 15L).map(i => doc(i, "B")).toDF("doc_id", "source", "text"),
+      store, "b0002")
+    // The next run repairs the unmerged batch before its own work...
+    IncrementalRun.run(spark, feed1, store, meta, rollup, "b0003")
+    val scratch = IncrementalAgg.sourceAgg(
+      spark.read.parquet(s"$store/*.parquet")
+        .select($"source", length($"text").cast("long").as("n_chars")))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    val merged = spark.read.parquet(rollup)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(merged == scratch, s"merged=$merged scratch=$scratch")
+    // ...and the commit is idempotent: an already-merged batch is a no-op.
+    assert(!IncrementalRun.commitBatch(spark, store, rollup, "b0002"))
+    assert(!IncrementalRun.commitBatch(spark, store, rollup, "b0001"))
+  }
 }

@@ -1078,22 +1078,52 @@ object DocumentPipeline {
     * primitive (which pairs travel together more than chance predicts).
     *
     * Scale: the pair generation is a self-join on doc_id over per-doc
-    * DISTINCT tokens — quadratic in per-doc distinct-token count, so in
-    * production the token set is first thresholded to the top-df vocab
-    * (same bounded-candidate contract as d04's verify window); the
+    * DISTINCT tokens — quadratic in per-doc distinct-token count, so the
+    * token set is first restricted IN CODE to the top-`vocab` tokens by
+    * document frequency (deterministic `(n_w desc, w)` cutoff, a
+    * TakeOrderedAndProject over the vocab-sized df table, broadcast
+    * semi-join back). A pathological document can then contribute at
+    * most vocab·(vocab−1)/2 pairs — bounded by a parameter, not by
+    * corpus luck (PmiBoundSpec proves a 10k-distinct-token doc stays
+    * capped). df counts for the pmi math stay full-corpus. The
     * doc-frequency side is vocab-sized, the corpus total a scalar
-    * crossJoin. Output is vocab²-bounded.
+    * crossJoin. Output is vocab²-bounded. All count products are cast
+    * to double before multiplying — long·long overflows at corpus scale.
     */
   def pmiCooccur(s: SparkSession, dir: String, minPairDf: Int = 5,
-      top: Int = 50): DataFrame = {
+      top: Int = 50, vocab: Int = 2000): DataFrame =
+    pmiCooccurOf(Tables.documents(s, dir), minPairDf, top, vocab)
+
+  /** t18's pair-side token feed: per-doc distinct tokens restricted to
+    * the top-`vocab` by document frequency (ties broken by token — a
+    * total, engine-portable order). Exposed so PmiBoundSpec can assert
+    * the bound on the self-join input directly.
+    */
+  private[graft] def pmiVocabTokens(documents: DataFrame,
+      vocab: Int): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val toks = Tables.documents(s, dir)
+    val toks = documents
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
       .filter(length($"w") > 0)
     val dfw = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val a = toks.select($"doc_id", $"w".as("w_a"))
-    val b = toks.select($"doc_id", $"w".as("w_b"))
+    val topVocab = dfw.orderBy($"n_w".desc, $"w").limit(vocab).select($"w")
+    toks.join(broadcast(topVocab), Seq("w"), "left_semi")
+  }
+
+  /** Core of t18 over any (doc_id, text) frame. */
+  def pmiCooccurOf(documents: DataFrame, minPairDf: Int = 5,
+      top: Int = 50, vocab: Int = 2000): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .filter(length($"w") > 0)
+    val dfw = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val bounded = pmiVocabTokens(documents, vocab)
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val a = bounded.select($"doc_id", $"w".as("w_a"))
+    val b = bounded.select($"doc_id", $"w".as("w_b"))
     a.join(b, Seq("doc_id")).filter($"w_a" < $"w_b")
       .groupBy($"w_a", $"w_b").agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= minPairDf)
@@ -1103,7 +1133,8 @@ object DocumentPipeline {
       .join(dfw.select($"w".as("w_b"), $"n_w".as("n_b")), Seq("w_b"))
       .crossJoin(nDocs)
       .select($"w_a", $"w_b", $"n_ab",
-        round(log($"n_ab" * $"n_docs" / ($"n_a" * $"n_b")) + lit(1e-9), 6)
+        round(log(($"n_ab".cast("double") * $"n_docs") /
+          ($"n_a".cast("double") * $"n_b")) + lit(1e-9), 6)
           .as("pmi"))
       .orderBy($"pmi".desc, $"w_a", $"w_b")
       .limit(top)
@@ -1115,10 +1146,12 @@ object DocumentPipeline {
       |  FROM documents),
       |t AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
       |dfw AS (SELECT w, count(*) AS n_w FROM t GROUP BY w),
+      |vocab AS (SELECT w FROM dfw ORDER BY n_w DESC, w LIMIT 2000),
+      |tv AS (SELECT doc_id, w FROM t WHERE w IN (SELECT w FROM vocab)),
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |p AS (
       |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_ab
-      |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.w < b.w
       |  GROUP BY a.w, b.w
       |  HAVING count(*) >= 5)
       |SELECT w_a, w_b, n_ab,

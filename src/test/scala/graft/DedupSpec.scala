@@ -150,4 +150,40 @@ class DedupSpec extends SparkSpec {
     assert(dropped.forall(_._2 == 100L))
     assert(dropped.map(_._1).sorted.toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("d07 and d09 share ONE materialized cluster table per (session, dir)") {
+    Dedup.clearClusterCache()
+    // First call computes CC and runs Spark jobs; the second is a pure
+    // map lookup returning the SAME materialized frame — so d07 and d09
+    // (both built on clusterTable) execute the iterative CC exactly once.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val first = Dedup.clusterTable(spark, sf)
+      org.apache.spark.sql.graft.SparkInternals
+        .drainListenerBus(spark.sparkContext)
+      val jobsAfterFirst = jobs.get()
+      assert(jobsAfterFirst > 0, "first clusterTable call must compute CC")
+      val second = Dedup.clusterTable(spark, sf)
+      org.apache.spark.sql.graft.SparkInternals
+        .drainListenerBus(spark.sparkContext)
+      assert(second eq first, "memoized cluster table must be the same frame")
+      assert(jobs.get() == jobsAfterFirst,
+        "second clusterTable call must run zero Spark jobs")
+      // and both public queries agree on the clustering they derive from
+      val viaD07 = Dedup.dedupClusters(spark, sf).collect().toSeq
+      val viaD09 = Dedup.canonicalPerCluster(spark, sf)
+        .filter($"cluster_id" =!= $"doc_id" || $"is_canonical")
+        .select($"doc_id", $"cluster_id").collect().toSeq
+      val d07Map = viaD07.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaD09.foreach { r =>
+        assert(d07Map.getOrElse(r.getLong(0), r.getLong(0)) == r.getLong(1))
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -64,28 +64,42 @@ object Bench {
       // Median of `reps` back-to-back runs: the VM shows >2x run-to-run
       // swings, so a single sample is noise; the median pins it down.
       val sh0 = shuffleBytes.get()
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (a count() would let
         // Catalyst prune expensive projections out of the timed work).
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // A throwing query must NOT bench as ~0 s: record it loudly
+          // (stderr + "failed" list + -1 median) instead of swallowing.
+          failed = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // Operators that persist internal frames (d02's shingles, d10's
+      // token arrays, p02's tokenize projection) would otherwise pile up
+      // MEMORY_AND_DISK blocks across 86 queries × reps in one session.
+      // Memoized cluster tables survive this (localCheckpoint, not
+      // catalog cache) — which is their intent.
+      spark.catalog.clearCache()
       // Deterministic listener drain (a fixed sleep can under-wait on a
       // backlogged bus and credit this query's stages to the next one).
       org.apache.spark.sql.graft.SparkInternals
         .drainListenerBus(spark.sparkContext)
       val shuffleMb = (shuffleBytes.get() - sh0) / reps.toDouble / 1e6
-      (name, times(times.length / 2), shuffleMb)
+      val median = if (failed) -1.0 else times(times.length / 2)
+      (name, median, shuffleMb)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, m) => "\"" + k + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedNames = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"shuffle_mb":$sh,"failed":${failedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // Full per-query detail goes on its OWN line (and into a file) because
     // the driver keeps only the final ~2000 chars of stdout: the LAST line
     // must stay short so it always fits the tail buffer and parses.
@@ -94,7 +108,7 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${failedNames.size},"reps":$reps,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

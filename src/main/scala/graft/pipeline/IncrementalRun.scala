@@ -120,6 +120,16 @@ object IncrementalRun {
   /** One incremental pass over `feed` (doc_id, source, text columns).
     * State: `storeDir` (IncrementalIngest batch store), `metaPath`
     * (cumulative per-id metadata), `rollupPath` (per-source rollup).
+    *
+    * Crash-replay contract: re-running after a crash is safe with the
+    * SAME batchId and the same feed (the batch file is rewritten
+    * identically, statuses recover from the store, the rollup merge is
+    * marker-idempotent). Reusing a COMPLETED batch's id with new content
+    * fails fast. The one unguarded corner: a crash after the rollup
+    * merge but before the metadata rewrite, replayed with a feed that
+    * gained extra docs under the same batchId — the extra rows land in
+    * the already-marked batch file and never reach the rollup; replay
+    * the original feed first, then ingest new content as a fresh batch.
     */
   def run(spark: SparkSession, feed: DataFrame, storeDir: String,
       metaPath: String, rollupPath: String, batchId: String): Summary = {
@@ -160,21 +170,37 @@ object IncrementalRun {
 
     // 3. Ingest the genuinely new records; content-hash dedup against the
     //    store's column-pruned hash projection lives in appendBatch.
+    //    Reuse guard: appendBatch rewrites `<batchId>.parquet` (replay
+    //    idempotence), so refuse to send NEW content into a batch whose
+    //    ids the metadata already fully recorded — that's a completed
+    //    batch being reused by mistake, and rewriting it would silently
+    //    drop its stored rows.
+    val batchFile = s"$storeDir/$batchId.parquet"
+    if (nNewIds > 0 && new java.io.File(batchFile).exists()) {
+      val unrecorded = spark.read.parquet(batchFile).select($"doc_id")
+        .join(meta.select($"doc_id"), Seq("doc_id"), "left_anti").count()
+      require(unrecorded > 0,
+        s"batchId '$batchId' was already completed; refusing to rewrite " +
+          "its batch file with new content — use a fresh batchId")
+    }
     val nIngested = IncrementalIngest.appendBatch(newRecords, storeDir, batchId)
 
-    // 4. Cumulative metadata: every new id gets a row (ingested or
-    //    skipped_duplicate) so the NEXT run's detect-new skips it — the
-    //    resumability contract.
-    val batchFile = s"$storeDir/$batchId.parquet"
-    val ingestedIds =
-      if (nIngested > 0)
-        spark.read.parquet(batchFile).select($"doc_id", lit("ingested").as("status"))
-      else Seq.empty[(Long, String)].toDF("doc_id", "status")
+    // 4. Cumulative metadata: every new id gets a row so the NEXT run's
+    //    detect-new skips it — the resumability contract. Status comes
+    //    from the STORE, not from this attempt's write: an id whose row
+    //    exists in any batch file is 'ingested' (covers a prior crash
+    //    between append and this rewrite — possibly under an older
+    //    batchId); an id absent from the store duplicated another
+    //    record's content and is 'skipped_duplicate'.
+    val inStore = IncrementalIngest.storedIds(spark, storeDir)
+      .withColumn("status", lit("ingested"))
     val newMeta = newRecords
-      .join(ingestedIds, Seq("doc_id"), "left")
+      .join(inStore, Seq("doc_id"), "left")
       .select($"doc_id", $"source", sha2($"text", 256).as("sha256"),
         coalesce($"status", lit("skipped_duplicate")).as("status"))
-    val nSkippedDuplicate = nNewIds - nIngested
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSkippedDuplicate =
+      newMeta.filter($"status" === "skipped_duplicate").count()
     rewrite(backfilled.unionByName(newMeta), metaPath)
 
     // 5. Rollup: prior rollup (rollup-sized) merged with ONLY this run's
@@ -189,6 +215,7 @@ object IncrementalRun {
         Seq.empty[(String, Long)].toDF("source", "n_chars"), rollupPath)
 
     f.unpersist(); newRecords.unpersist(); backfilled.unpersist()
+    newMeta.unpersist()
     Summary(nFeed, nNewIds, nBackfilled, nIngested, nSkippedDuplicate,
       nRollupDeltaRows)
   }

@@ -20,12 +20,22 @@ object IncrementalIngest {
 
   val hashCol = "content_hash"
 
-  /** All content hashes currently in the store (empty frame if none). */
-  def processedHashes(spark: SparkSession, storeDir: String): DataFrame = {
+  private def batchFiles(storeDir: String,
+      excludeBatchId: Option[String]): Array[String] = {
     val dir = new java.io.File(storeDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !excludeBatchId.contains(f.getName.stripSuffix(".parquet")))
       .map(_.getPath)
+  }
+
+  /** All content hashes currently in the store (empty frame if none).
+    * `excludeBatchId` leaves one batch's own file out of the scan — the
+    * dedup feed for a replay of that same batch (see [[appendBatch]]).
+    */
+  def processedHashes(spark: SparkSession, storeDir: String,
+      excludeBatchId: Option[String] = None): DataFrame = {
+    val files = batchFiles(storeDir, excludeBatchId)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -34,10 +44,34 @@ object IncrementalIngest {
       spark.read.parquet(files.toIndexedSeq: _*).select(col(hashCol)).distinct()
   }
 
+  /** Distinct record ids currently in the store (column-pruned scan,
+    * same shape as [[processedHashes]]) — lets a caller distinguish "this
+    * id's content is in the store" (ingested, possibly by a crashed run
+    * whose metadata write never landed) from "this id duplicated another
+    * record's content" (skipped).
+    */
+  def storedIds(spark: SparkSession, storeDir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val files = batchFiles(storeDir, None)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).select(col(idCol)).distinct()
+  }
+
   /** Append one ingest batch: hash the content column, drop records whose
     * hash exists in the store or earlier in this batch (keep min id — the
     * reference keeps first-seen), write `<batchId>.parquet`. Returns the
     * number of newly written records.
+    *
+    * The dedup scan EXCLUDES `<batchId>.parquet` itself, so replaying a
+    * batchId with the same feed is idempotent (the file is rewritten with
+    * identical content — the crash-recovery path) instead of throwing
+    * Spark's overwrite-a-read-path error. Reusing a batchId for a
+    * DIFFERENT feed replaces that batch's rows; IncrementalRun.run guards
+    * against doing that to a completed batch.
     */
   def appendBatch(records: DataFrame, storeDir: String, batchId: String,
       idCol: String = "doc_id", contentCol: String = "text"): Long = {
@@ -52,7 +86,7 @@ object IncrementalIngest {
       .filter(col("_rn") === 1).drop("_rn")
 
     val fresh = firstPerHash.join(
-      processedHashes(spark, storeDir), Seq(hashCol), "left_anti")
+      processedHashes(spark, storeDir, Some(batchId)), Seq(hashCol), "left_anti")
 
     val n = fresh.count()
     if (n > 0) {

@@ -121,4 +121,66 @@ class IncrementalRunSpec extends SparkSpec {
     assert(!IncrementalRun.commitBatch(spark, store, rollup, "b0002"))
     assert(!IncrementalRun.commitBatch(spark, store, rollup, "b0001"))
   }
+
+  test("crash-recovered ids are labeled 'ingested', not 'skipped_duplicate'") {
+    val root = Files.createTempDirectory("graft_irun_label_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+    // Simulated crash: batch b0001 landed in the store, but the run died
+    // before the metadata rewrite — the ids exist in the store with no
+    // metadata row.
+    val feed = (1L to 5L).map(i => doc(i, "A")).toDF("doc_id", "source", "text")
+    IncrementalIngest.appendBatch(feed, store, "b0001")
+    // The re-run (same batchId, same feed) must record them as ingested —
+    // their content IS in the store — and the rollup must merge once.
+    val s1 = IncrementalRun.run(spark, feed, store, meta, rollup, "b0001")
+    assert(s1.nNewIds == 5 && s1.nSkippedDuplicate == 0,
+      s"recovered ids must not count as skipped: $s1")
+    val m = spark.read.parquet(meta)
+    assert(m.filter($"status" === "ingested").count() == 5)
+    assert(m.filter($"status" === "skipped_duplicate").count() == 0)
+    val merged = spark.read.parquet(rollup).as[(String, Long, Long)].collect()
+    assert(merged.toSeq == Seq(("A", 5L, feed.agg(
+      org.apache.spark.sql.functions.sum(length($"text"))).as[Long].head())))
+    // genuine content duplicates under NEW ids still label as skipped
+    val feed2 = feed.unionByName(
+      Seq((11L, "A", "unique content 1")).toDF("doc_id", "source", "text"))
+    val s2 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0002")
+    assert(s2.nNewIds == 1 && s2.nIngested == 0 && s2.nSkippedDuplicate == 1)
+    assert(spark.read.parquet(meta)
+      .filter($"doc_id" === 11L).select("status").as[String].head()
+      == "skipped_duplicate")
+  }
+
+  test("reusing a completed batchId with new content fails fast") {
+    val root = Files.createTempDirectory("graft_irun_reuse_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+    val feed1 = (1L to 5L).map(i => doc(i, "A")).toDF("doc_id", "source", "text")
+    IncrementalRun.run(spark, feed1, store, meta, rollup, "b0001")
+    val feed2 = feed1.unionByName(
+      (6L to 8L).map(i => doc(i, "B")).toDF("doc_id", "source", "text"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRun.run(spark, feed2, store, meta, rollup, "b0001")
+    }
+    assert(e.getMessage.contains("fresh batchId"))
+    // the store is untouched by the refused run
+    assert(spark.read.parquet(s"$store/b0001.parquet").count() == 5)
+    // and the same feed under a fresh batchId proceeds normally
+    val s2 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0002")
+    assert(s2.nIngested == 3)
+  }
+
+  test("replaying an identical completed run is a no-op, not an error") {
+    val root = Files.createTempDirectory("graft_irun_replay_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+    val feed = (1L to 4L).map(i => doc(i, "A")).toDF("doc_id", "source", "text")
+    IncrementalRun.run(spark, feed, store, meta, rollup, "b0001")
+    val before = spark.read.parquet(rollup).collect().toSeq
+    // epoch redelivery: same feed, same batchId, everything already done
+    val s2 = IncrementalRun.run(spark, feed, store, meta, rollup, "b0001")
+    assert(s2.nNewIds == 0 && s2.nIngested == 0)
+    assert(spark.read.parquet(rollup).collect().toSeq == before)
+  }
 }

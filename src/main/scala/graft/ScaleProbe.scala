@@ -65,6 +65,31 @@ object ScaleProbe {
     time(s"hot_ngram_mask_x$mult") {
       operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
     }
+    // Adversarial single-document probes (VERDICT r4 #3): one pathological
+    // doc must degrade the whole job gracefully, not blow up one task.
+    // d10: two identical 20k-token docs make EVERY 8-gram hot (df=2) — the
+    // hot-join emits every gram occurrence of those docs and the coverage
+    // explode concentrates 2×(20k−7)×8 ≈ 320k rows in two doc_id groups.
+    locally {
+      val longText = (0 until 20000).map(i => s"tok$i").mkString(" ")
+      val withHot = big.select($"doc_id", $"text").unionByName(
+        Seq((900000001L, longText), (900000002L, longText))
+          .toDF("doc_id", "text"))
+      time(s"hot_ngram_adversarial_x$mult") {
+        operators.Dedup.hotNgramMaskOf(withHot).count()
+      }
+    }
+    // t18: one 50k-distinct-token doc — without the top-df vocab bound
+    // this is ~1.25×10⁹ pairs in one task; with it the doc contributes at
+    // most vocab tokens to the self-join.
+    locally {
+      val monster = (0 until 50000).map(i => s"rare$i").mkString(" ")
+      val withMonster = big.select($"doc_id", $"text").unionByName(
+        Seq((900000003L, monster)).toDF("doc_id", "text"))
+      time(s"pmi_adversarial_x$mult") {
+        pipeline.DocumentPipeline.pmiCooccurOf(withMonster).count()
+      }
+    }
     // The probed operators persist internal frames (p02's tokenized
     // projection, d10's token arrays) that outlive their query — clear
     // them so successive probes don't measure a cache-pressured store.

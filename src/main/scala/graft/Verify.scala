@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same hygiene as Bench: operators persist internal frames (t18's
+      // toks/dfw, d02's shingles, d10's token arrays) whose lifecycle is
+      // caller-owned — drop them so 87 queries don't stack cache blocks.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

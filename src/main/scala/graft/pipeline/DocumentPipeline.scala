@@ -1094,21 +1094,45 @@ object DocumentPipeline {
       top: Int = 50, vocab: Int = 2000): DataFrame =
     pmiCooccurOf(Tables.documents(s, dir), minPairDf, top, vocab)
 
+  /** t18's tokenize step: per-doc distinct tokens. Factored so the
+    * expensive scan→split→explode→distinct pipeline has exactly one
+    * definition — pmiCooccurOf persists its output and every downstream
+    * branch (df counts, vocab cutoff, both self-join sides) reads the
+    * cached frame instead of re-deriving it from `documents`.
+    */
+  private def pmiTokens(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .filter(length($"w") > 0)
+  }
+
   /** t18's pair-side token feed: per-doc distinct tokens restricted to
     * the top-`vocab` by document frequency (ties broken by token — a
-    * total, engine-portable order). Exposed so PmiBoundSpec can assert
-    * the bound on the self-join input directly.
+    * total, engine-portable order). Takes the already-computed (and, in
+    * pmiCooccurOf, persisted) `toks`/`dfw` frames so the cutoff never
+    * re-tokenizes the corpus.
+    */
+  private[graft] def pmiVocabTokensFrom(toks: DataFrame, dfw: DataFrame,
+      vocab: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val topVocab = dfw.orderBy($"n_w".desc, $"w").limit(vocab).select($"w")
+    toks.join(broadcast(topVocab), Seq("w"), "left_semi")
+  }
+
+  /** Convenience wrapper over a raw (doc_id, text) frame — kept for
+    * PmiBoundSpec, which asserts the vocab bound on the self-join input
+    * directly.
     */
   private[graft] def pmiVocabTokens(documents: DataFrame,
       vocab: Int): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val toks = documents
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
-      .filter(length($"w") > 0)
+    val toks = pmiTokens(documents)
     val dfw = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
-    val topVocab = dfw.orderBy($"n_w".desc, $"w").limit(vocab).select($"w")
-    toks.join(broadcast(topVocab), Seq("w"), "left_semi")
+    pmiVocabTokensFrom(toks, dfw, vocab)
   }
 
   /** Core of t18 over any (doc_id, text) frame. */
@@ -1116,11 +1140,19 @@ object DocumentPipeline {
       top: Int = 50, vocab: Int = 2000): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val toks = documents
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
-      .filter(length($"w") > 0)
+    // Tokenize ONCE: toks feeds dfw, the vocab cutoff, and both sides of
+    // the pair self-join — unpersisted, the scan→explode→distinct
+    // pipeline recomputes ~6x per run (r5's 4.2x regression). dfw is
+    // likewise read three times (cutoff + n_a + n_b joins). The caller's
+    // action populates the cache; Bench/Verify clearCache() afterwards.
+    val toks = pmiTokens(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfw = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
-    val bounded = pmiVocabTokens(documents, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = pmiVocabTokensFrom(toks, dfw, vocab)
+    // n_docs counts ALL documents (even token-less ones) — must come from
+    // `documents`, not toks; a count-only scan reads no columns, so the
+    // extra pass is footer-cheap.
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val a = bounded.select($"doc_id", $"w".as("w_a"))
     val b = bounded.select($"doc_id", $"w".as("w_b"))

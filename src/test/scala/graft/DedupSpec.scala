@@ -186,4 +186,27 @@ class DedupSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus 1: docs 1/2 near-dup -> cluster {1,2}
+    write(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val ids1 = Dedup.clusterTable(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == Set(1L, 2L), s"corpus-1 cluster members: $ids1")
+    // corpus rewritten IN PLACE (same dir string, same session) with
+    // different docs: the memo must notice — NO clearClusterCache() call.
+    write(Seq(10L -> base, 11L -> nearDup))
+    val ids2 = Dedup.clusterTable(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(10L, 11L),
+      s"memo served stale clusters after in-place corpus rewrite: $ids2")
+    // unchanged corpus still memo-hits (same frame instance back)
+    val again = Dedup.clusterTable(spark, dir)
+    val again2 = Dedup.clusterTable(spark, dir)
+    assert(again eq again2, "unchanged corpus must still hit the memo")
+  }
 }

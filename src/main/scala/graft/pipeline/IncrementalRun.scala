@@ -122,14 +122,16 @@ object IncrementalRun {
     * (cumulative per-id metadata), `rollupPath` (per-source rollup).
     *
     * Crash-replay contract: re-running after a crash is safe with the
-    * SAME batchId and the same feed (the batch file is rewritten
-    * identically, statuses recover from the store, the rollup merge is
-    * marker-idempotent). Reusing a COMPLETED batch's id with new content
-    * fails fast. The one unguarded corner: a crash after the rollup
-    * merge but before the metadata rewrite, replayed with a feed that
-    * gained extra docs under the same batchId — the extra rows land in
-    * the already-marked batch file and never reach the rollup; replay
-    * the original feed first, then ingest new content as a fresh batch.
+    * SAME batchId, whether or not the feed grew in between. The repair
+    * pass first merges (and marks) any batch file a prior crash left
+    * unmerged; ingest then targets the EFFECTIVE batch id — the first of
+    * `batchId`, `batchId.1`, `batchId.2`, … with no merged marker — so
+    * new content never rewrites an already-merged file (where the marker
+    * would block it from the rollup forever, the r5-documented corner).
+    * Old feed rows content-dedup against the healed batch; genuinely new
+    * rows land in the fresh sub-batch and merge normally. The same
+    * mechanism makes reusing a completed batchId with new content safe:
+    * it appends a sub-batch instead of clobbering the stored rows.
     */
   def run(spark: SparkSession, feed: DataFrame, storeDir: String,
       metaPath: String, rollupPath: String, batchId: String): Summary = {
@@ -170,20 +172,19 @@ object IncrementalRun {
 
     // 3. Ingest the genuinely new records; content-hash dedup against the
     //    store's column-pruned hash projection lives in appendBatch.
-    //    Reuse guard: appendBatch rewrites `<batchId>.parquet` (replay
-    //    idempotence), so refuse to send NEW content into a batch whose
-    //    ids the metadata already fully recorded — that's a completed
-    //    batch being reused by mistake, and rewriting it would silently
-    //    drop its stored rows.
-    val batchFile = s"$storeDir/$batchId.parquet"
-    if (nNewIds > 0 && new java.io.File(batchFile).exists()) {
-      val unrecorded = spark.read.parquet(batchFile).select($"doc_id")
-        .join(meta.select($"doc_id"), Seq("doc_id"), "left_anti").count()
-      require(unrecorded > 0,
-        s"batchId '$batchId' was already completed; refusing to rewrite " +
-          "its batch file with new content — use a fresh batchId")
-    }
-    val nIngested = IncrementalIngest.appendBatch(newRecords, storeDir, batchId)
+    //    The effective batch id skips every already-MERGED id in the
+    //    family (post-repair, every existing batch file is marked), so
+    //    appendBatch only ever (re)writes a file the rollup hasn't
+    //    consumed — a replayed-and-grown feed's extra docs reach the
+    //    rollup through the sub-batch instead of vanishing into a
+    //    marked file.
+    val effBatchId = (Iterator(batchId) ++
+      Iterator.from(1).map(k => s"$batchId.$k"))
+      .find(id => !new java.io.File(s"${rollupPath}_merged/$id").exists())
+      .get
+    val batchFile = s"$storeDir/$effBatchId.parquet"
+    val nIngested =
+      IncrementalIngest.appendBatch(newRecords, storeDir, effBatchId)
 
     // 4. Cumulative metadata: every new id gets a row so the NEXT run's
     //    detect-new skips it — the resumability contract. Status comes
@@ -208,7 +209,7 @@ object IncrementalRun {
     //    idempotent commit.
     val nRollupDeltaRows =
       if (nIngested > 0) spark.read.parquet(batchFile).count() else 0L
-    commitBatch(spark, storeDir, rollupPath, batchId)
+    commitBatch(spark, storeDir, rollupPath, effBatchId)
     // An empty first run must still leave a readable (empty) rollup.
     if (!new java.io.File(rollupPath).exists())
       mergeRollup(spark,

@@ -152,7 +152,38 @@ class IncrementalRunSpec extends SparkSpec {
       == "skipped_duplicate")
   }
 
-  test("reusing a completed batchId with new content fails fast") {
+  test("a feed that grew during a crash recovers under the same batchId") {
+    val root = Files.createTempDirectory("graft_irun_grow_").toString
+    val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
+    new java.io.File(store).mkdirs()
+    // Simulated crash: b0001's batch file landed, but neither the
+    // metadata rewrite nor the rollup merge happened. Before this round
+    // the replay below lost docs 6-8 forever: repair merges+marks b0001,
+    // and the grown feed's extra rows were rewritten into the MARKED
+    // file, which the rollup never reads again (SURVEY §7.5's corner).
+    val feed1 = (1L to 5L).map(i => doc(i, "A")).toDF("doc_id", "source", "text")
+    IncrementalIngest.appendBatch(feed1, store, "b0001")
+    val grown = feed1.unionByName(
+      (6L to 8L).map(i => doc(i, "B")).toDF("doc_id", "source", "text"))
+    // Replay with the SAME batchId and the grown feed — no workaround.
+    val s1 = IncrementalRun.run(spark, grown, store, meta, rollup, "b0001")
+    assert(s1.nNewIds == 8 && s1.nIngested == 3 && s1.nSkippedDuplicate == 0)
+    // the healed batch keeps its rows; the growth landed in a sub-batch
+    assert(spark.read.parquet(s"$store/b0001.parquet").count() == 5)
+    assert(spark.read.parquet(s"$store/b0001.1.parquet").count() == 3)
+    // rollup saw BOTH the healed batch and the growth
+    val scratch = IncrementalAgg.sourceAgg(
+      spark.read.parquet(s"$store/*.parquet")
+        .select($"source", length($"text").cast("long").as("n_chars")))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    val merged = spark.read.parquet(rollup)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(merged == scratch, s"merged=$merged scratch=$scratch")
+    assert(spark.read.parquet(meta)
+      .filter($"status" === "ingested").count() == 8)
+  }
+
+  test("reusing a completed batchId appends a sub-batch, never clobbers") {
     val root = Files.createTempDirectory("graft_irun_reuse_").toString
     val store = s"$root/store"; val meta = s"$root/meta"; val rollup = s"$root/rollup"
     new java.io.File(store).mkdirs()
@@ -160,15 +191,24 @@ class IncrementalRunSpec extends SparkSpec {
     IncrementalRun.run(spark, feed1, store, meta, rollup, "b0001")
     val feed2 = feed1.unionByName(
       (6L to 8L).map(i => doc(i, "B")).toDF("doc_id", "source", "text"))
-    val e = intercept[IllegalArgumentException] {
-      IncrementalRun.run(spark, feed2, store, meta, rollup, "b0001")
-    }
-    assert(e.getMessage.contains("fresh batchId"))
-    // the store is untouched by the refused run
-    assert(spark.read.parquet(s"$store/b0001.parquet").count() == 5)
-    // and the same feed under a fresh batchId proceeds normally
-    val s2 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0002")
+    // b0001 is completed (merged + recorded); reusing it must not rewrite
+    // its file — the new docs go to b0001.1 and reach the rollup.
+    val s2 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0001")
     assert(s2.nIngested == 3)
+    assert(spark.read.parquet(s"$store/b0001.parquet").count() == 5)
+    assert(spark.read.parquet(s"$store/b0001.1.parquet").count() == 3)
+    val scratch = IncrementalAgg.sourceAgg(
+      spark.read.parquet(s"$store/*.parquet")
+        .select($"source", length($"text").cast("long").as("n_chars")))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    val merged = spark.read.parquet(rollup)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(merged == scratch, s"merged=$merged scratch=$scratch")
+    // and replaying the reuse is a no-op (content already stored)
+    val s3 = IncrementalRun.run(spark, feed2, store, meta, rollup, "b0001")
+    assert(s3.nIngested == 0)
+    assert(!new java.io.File(s"$store/b0001.2.parquet").exists(),
+      "an all-duplicate replay must not write another sub-batch")
   }
 
   test("replaying an identical completed run is a no-op, not an error") {

@@ -715,11 +715,20 @@ object Dedup {
       entries.sorted.mkString(";")
     }
   }
+  // Memo observability: lookups vs builds, so a bench harness can mark
+  // queries whose timing reflects a cache hit rather than CC work
+  // (lookups - builds > 0 over a query's reps → it consumed the memo).
+  private[graft] val ccLookups = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val ccBuilds = new java.util.concurrent.atomic.AtomicLong
   def clusterTable(s: SparkSession, dir: String): DataFrame = {
+    ccLookups.incrementAndGet()
     val fp = corpusFingerprint(s, dir)
     ccCache.compute((s, dir), (_, old) =>
       if (old != null && old._1 == fp) old
-      else (fp, connectedComponents(ngramJaccard(s, dir))))._2
+      else {
+        ccBuilds.incrementAndGet()
+        (fp, connectedComponents(ngramJaccard(s, dir)))
+      })._2
   }
   /** Drop memoized cluster tables (tests; stale entries are otherwise
     * replaced automatically when the corpus fingerprint changes).

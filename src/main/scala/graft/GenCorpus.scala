@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Deterministic generated corpus for scale probes (VERDICT r5 #5).
+  *
+  * The ×N replicated probe corpus is pathological for the dedup family —
+  * every doc has N−1 exact twins, so the pair set is maximal and the
+  * measured numbers say little about a realistic dup rate. This generator
+  * synthesizes an sf1-scale `documents` table (10× sf0.1's 5,000 docs by
+  * default) from hashes — fully distributed, no driver-side data — with a
+  * controlled ~5% planted NEAR-dup rate: each planted doc copies a spread
+  * base doc's token sequence plus a 2-token deterministic suffix
+  * (3-gram-shingle Jaccard ≈ 0.93–0.98 — above dedupGroups' 0.8 verify
+  * threshold, below exact equality), mimicking the real table's shape (30–90
+  * space-separated tokens, skewed common/rare vocabulary, 5 langs,
+  * 20 sources).
+  *
+  * Usage: runMain graft.GenCorpus [outDir] [nBase] [dupPct]
+  * Default: /tmp/graftdata/sf1 47500 5  → 50,000 docs total.
+  */
+object GenCorpus {
+
+  /** Token sequence for a doc id, derivable for any id column — the dup
+    * rows re-derive their base doc's tokens from its id. 30–90 tokens;
+    * 75% draws from a 50-word common tier, 25% from a 5000-word rare
+    * tier (the skew that makes n-gram/df statistics non-degenerate).
+    */
+  private def tokensFor(id: Column): Column = {
+    val n = pmod(xxhash64(id, lit(1)), lit(61)) + lit(30)
+    transform(sequence(lit(0), (n - 1).cast("int")), { j =>
+      val h = pmod(xxhash64(id, j, lit(2)), lit(1000000L))
+      when(h % 100 < 75, concat(lit("c"), (h % 50).cast("string")))
+        .otherwise(concat(lit("r"), ((h / 100) % 5000).cast("string")))
+    })
+  }
+
+  private def finish(toks: Column): List[Column] = {
+    val text = array_join(toks, " ")
+    List(text.as("text"),
+      element_at(
+        array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+        (pmod(xxhash64(col("doc_id"), lit(11)), lit(5)) + 1).cast("int"))
+        .as("lang"),
+      concat(lit("src"),
+        pmod(xxhash64(col("doc_id"), lit(12)), lit(20)).cast("string"))
+        .as("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  def generate(spark: org.apache.spark.sql.SparkSession, nBase: Long,
+      dupPct: Int): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(nBase).select($"id".as("doc_id"))
+      .select(col("doc_id") :: finish(tokensFor($"doc_id")): _*)
+    val nDup = nBase * dupPct / (100 - dupPct)
+    // spread the dup'd bases across the id space (stride keeps them
+    // collision-free for any dupPct ≤ 50)
+    val stride = math.max(nBase / math.max(nDup, 1L), 1L)
+    val dups = spark.range(nDup)
+      .select(($"id" + nBase).as("doc_id"), ($"id" * stride).as("src_id"))
+      .withColumn("toks", tokensFor($"src_id"))
+      .withColumn("mut", concat($"toks", array(
+        concat(lit("m"), pmod(xxhash64($"doc_id", lit(7)), lit(1000)).cast("string")),
+        concat(lit("m"), pmod(xxhash64($"doc_id", lit(8)), lit(1000)).cast("string")))))
+      .select(col("doc_id") :: finish($"mut"): _*)
+    base.unionByName(dups)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val outDir = args.headOption.getOrElse("/tmp/graftdata/sf1")
+    val nBase = if (args.length > 1) args(1).toLong else 47500L
+    val dupPct = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    val docs = generate(spark, nBase, dupPct)
+    docs.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/documents.parquet")
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
+    println(s"""{"generated":$n,"base":$nBase,"planted_neardups":${n - nBase},"dir":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -46,6 +46,17 @@ object ScaleProbe {
     time(s"dedup_groups_x$mult") {
       operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
     }
+    // Measured dup mass: docs sitting in size>1 clusters. On a generated
+    // corpus with a planted near-dup rate (GenCorpus) this is the
+    // found-vs-planted evidence; on a ×N replica corpus it is ~100% by
+    // construction.
+    locally {
+      val g = operators.Dedup.dedupGroups(big.select($"doc_id", $"text"))
+      val clustered = g.groupBy($"cluster_id").count()
+        .filter($"count" > 1)
+        .agg(coalesce(sum($"count"), lit(0L)).as("n")).as[Long].head()
+      println(s"""{"probe":"dup_mass_x$mult","clustered_docs":$clustered}""")
+    }
     time(s"sequence_pack_x$mult") {
       pipeline.DocumentPipeline.sequencePackOf(big).count()
     }
@@ -64,6 +75,13 @@ object ScaleProbe {
     }
     time(s"hot_ngram_mask_x$mult") {
       operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
+    }
+    // m01's batched decode at scale: count() cannot prune through the
+    // typed mapPartitions, so every payload crosses the batch-decode
+    // boundary — the work-scheduling number for the multimodal path.
+    time(s"decode_batched_x$mult") {
+      multimodal.Multimodal.decodeFeaturesOf(
+        multimodal.Multimodal.mediaTableOf(big.select($"doc_id", $"text"))).count()
     }
     // Adversarial single-document probes (VERDICT r4 #3): one pathological
     // doc must degrade the whole job gracefully, not blow up one task.

@@ -45,9 +45,14 @@ object Multimodal {
   /** Build a binary media table from `documents` (payload = utf8 bytes;
     * in production this column arrives from the object store).
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    mediaTableOf(Tables.documents(s, dir))
+
+  /** Core of [[mediaTable]] over any (doc_id, text) frame. */
+  def mediaTableOf(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    Tables.documents(s, dir).select(
+    documents.select(
       $"doc_id",
       when($"doc_id" % 3 === 0, "image")
         .when($"doc_id" % 3 === 1, "audio")
@@ -57,22 +62,62 @@ object Multimodal {
       sha2($"text", 256).as("content_hash"))
   }
 
+  /** Vectorized STUB decode: ONE call per batch of payloads — where a
+    * real pipeline hands the whole batch to the codec/accelerator in one
+    * FFI crossing (the mapInPandas/Arrow record-batch shape). The stub
+    * maps the scalar fake over the array; the batch SIGNATURE is the
+    * production-shaped part.
+    */
+  def decodeBatchStub(payloads: Array[Array[Byte]]): Array[MediaFeatures] =
+    payloads.map(decodeStub)
+
   /** m01: decode/feature-extract over the binary column, batched per
     * partition. Output keeps doc identity + typed feature struct.
+    *
+    * Batch shape: within each partition, payloads cross the decode
+    * boundary in fixed-size batches (`grouped` keeps the iterator
+    * streaming — at most batchSize payloads live at once), so per-call
+    * codec/FFI overhead amortizes over batchSize rows and per-call
+    * memory is bounded by batchSize × payload, independent of partition
+    * size. One decoder init per partition would precede the loop.
     */
-  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+  def decodeFeatures(s: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame =
+    decodeFeaturesOf(mediaTable(s, dir), batchSize)
+
+  /** Core of [[decodeFeatures]] over any media-record frame. */
+  def decodeFeaturesOf(mediaDf: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = mediaDf.sparkSession
     import s.implicits._
-    val media: Dataset[MediaRecord] = mediaTable(s, dir).as[MediaRecord]
+    val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
-      // one-time per-partition decoder init would go here
-      it.map { r =>
-        val f = decodeStub(r.payload)
-        (r.doc_id, r.kind, r.n_bytes, r.content_hash,
-          f.width, f.height, f.nFrames, f.meanLuma)
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decodeBatchStub(batch.map(_.payload).toArray)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          (r.doc_id, r.kind, r.n_bytes, r.content_hash,
+            f.width, f.height, f.nFrames, f.meanLuma)
+        }
       }
     }.toDF("doc_id", "kind", "n_bytes", "content_hash",
         "width", "height", "n_frames", "mean_luma")
       .orderBy("doc_id")
+  }
+
+  /** Batch-boundary trace for specs/probes: which (partition, batch)
+    * each doc's decode ran in and how full that batch was — the
+    * work-scheduling evidence for the batched path (every batch ≤
+    * batchSize; every partition fills all batches but its last).
+    */
+  def decodeBatchTrace(s: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRecord] = mediaTable(s, dir).as[MediaRecord]
+    media.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, ord) =>
+        batch.map(r => (r.doc_id, pid, ord, batch.size))
+      }
+    }.toDF("doc_id", "partition_id", "batch_ord", "batch_size")
   }
 
   /** Frame sampling shape: explode n_frames into (doc_id, frame_idx) work
@@ -184,7 +229,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal_meta" -> (decodeFeatures _),
+    "m01_multimodal_meta" ->
+      ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "m02_media_stats" -> (mediaStats _),
     "m03_frame_resize_plan" -> (framePlan _),
     "m04_payload_dedup" -> (payloadDedupStats _))

@@ -24,6 +24,47 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Double]("mean_luma") >= 0 && r.getAs[Double]("mean_luma") <= 1))
   }
 
+  test("batched decode matches per-row stub decode exactly") {
+    // parity: the batch boundary must not change any feature value
+    val batched = Multimodal.decodeFeatures(spark, sf, batchSize = 7).collect()
+    val expected = Multimodal.mediaTable(spark, sf)
+      .select("doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Multimodal.decodeStub(r.getAs[Array[Byte]]("payload"))).toMap
+    assert(batched.length == expected.size)
+    batched.foreach { r =>
+      val f = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("width") == f.width &&
+        r.getAs[Int]("height") == f.height &&
+        r.getAs[Int]("n_frames") == f.nFrames &&
+        r.getAs[Double]("mean_luma") == f.meanLuma)
+    }
+  }
+
+  test("decode batches respect size bound and fill every non-final batch") {
+    val bs = 16
+    val trace = Multimodal.decodeBatchTrace(spark, sf, batchSize = bs)
+      .persist()
+    try {
+      // every doc decoded exactly once
+      assert(trace.count() == Tables.documents(spark, sf).count())
+      assert(trace.select("doc_id").distinct().count() == trace.count())
+      // no batch exceeds the bound
+      assert(trace.filter($"batch_size" > bs).count() == 0)
+      // within a partition only the LAST batch may be short — i.e. every
+      // batch with a successor is exactly full (the amortization claim)
+      val perPart = trace.groupBy($"partition_id")
+        .agg(max($"batch_ord").as("last_ord")).withColumnRenamed("partition_id", "pid")
+      val short = trace.join(perPart, $"partition_id" === $"pid")
+        .filter($"batch_ord" < $"last_ord" && $"batch_size" =!= bs)
+      assert(short.count() == 0, "a non-final batch was not full")
+      // batch_size is consistent with the actual member count
+      val mismatch = trace.groupBy($"partition_id", $"batch_ord", $"batch_size")
+        .count().filter($"count" =!= $"batch_size")
+      assert(mismatch.count() == 0)
+    } finally { trace.unpersist(); () }
+  }
+
   test("resize plan preserves aspect ratio and never upscales") {
     val f = Multimodal.decodeFeatures(spark, sf)
     val r = Multimodal.resizePlan(f, 256, 256).collect()

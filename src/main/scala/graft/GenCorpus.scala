@@ -68,6 +68,25 @@ object GenCorpus {
     base.unionByName(dups)
   }
 
+  /** Clustered embeddings table matching the testdata schema
+    * (vec_id BIGINT, embedding FLOAT[64], label INT): 20 label
+    * centroids in [-1,1)^64, each vector = its label's centroid +
+    * 0.3-amplitude hash noise — so IVF/LSH have real cluster structure
+    * to exploit, unlike replicated testdata rows.
+    */
+  def generateEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      nVec: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nVec).select($"id".as("vec_id"))
+      .withColumn("label", pmod(xxhash64($"vec_id", lit(21)), lit(20)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), { j =>
+        val c = pmod(xxhash64($"label", j, lit(22)), lit(2001)).cast("double") / 1000.0 - 1.0
+        val nz = pmod(xxhash64($"vec_id", j, lit(23)), lit(2001)).cast("double") / 1000.0 - 1.0
+        (c + nz * 0.3).cast("float")
+      }))
+      .select($"vec_id", $"embedding", $"label")
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outDir = args.headOption.getOrElse("/tmp/graftdata/sf1")
@@ -79,7 +98,11 @@ object GenCorpus {
     docs.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/documents.parquet")
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
-    println(s"""{"generated":$n,"base":$nBase,"planted_neardups":${n - nBase},"dir":"$outDir"}""")
+    // embeddings at the testdata's 0.4 vectors-per-doc ratio
+    generateEmbeddings(spark, n * 2 / 5).repartition(16)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"""{"generated":$n,"base":$nBase,"planted_neardups":${n - nBase},"embeddings":$nv,"dir":"$outDir"}""")
     spark.stop()
   }
 }

@@ -83,6 +83,30 @@ object ScaleProbe {
       multimodal.Multimodal.decodeFeaturesOf(
         multimodal.Multimodal.mediaTableOf(big.select($"doc_id", $"text"))).count()
     }
+    // Similarity family at scale (corpus dirs that carry an embeddings
+    // table — GenCorpus writes one): exact brute kNN vs the LSH and IVF
+    // scale paths, plus LSH recall@5 against the exact result — the
+    // quality-at-scale number, not just wall-clock.
+    if (new java.io.File(s"$sfDir/embeddings.parquet").exists()) {
+      time(s"knn_brute_x$mult") {
+        operators.Similarity.knnBrute(spark, sfDir).count()
+      }
+      time(s"knn_lsh_x$mult") {
+        operators.Similarity.knnLsh(spark, sfDir).count()
+      }
+      time(s"knn_ivf_x$mult") {
+        operators.IvfIndex.knnIvf(spark, sfDir).count()
+      }
+      locally {
+        val brute = operators.Similarity.knnBrute(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val lsh = operators.Similarity.knnLsh(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val hit = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val tot = brute.count()
+        println(f"""{"probe":"lsh_recall_x$mult","hits":$hit,"of":$tot,"recall":${hit.toDouble / tot}%.3f}""")
+      }
+    }
     // Adversarial single-document probes (VERDICT r4 #3): one pathological
     // doc must degrade the whole job gracefully, not blow up one task.
     // d10: two identical 20k-token docs make EVERY 8-gram hot (df=2) — the

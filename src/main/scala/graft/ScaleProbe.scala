@@ -86,8 +86,13 @@ object ScaleProbe {
     // Similarity family at scale (corpus dirs that carry an embeddings
     // table — GenCorpus writes one): exact brute kNN vs the LSH and IVF
     // scale paths, plus LSH recall@5 against the exact result — the
-    // quality-at-scale number, not just wall-clock.
-    if (new java.io.File(s"$sfDir/embeddings.parquet").exists()) {
+    // quality-at-scale number, not just wall-clock. mult==1 only: these
+    // read the dir directly (replication would mislabel unreplicated
+    // work), and the generated clustered corpus is the case they're
+    // for — on sf0.1's UNIFORM-random 2000 vectors the same probe
+    // measures recall 0.29, the no-structure adversarial case where
+    // any LSH must over-prune (vs 0.988 on clustered embeddings).
+    if (mult == 1 && new java.io.File(s"$sfDir/embeddings.parquet").exists()) {
       time(s"knn_brute_x$mult") {
         operators.Similarity.knnBrute(spark, sfDir).count()
       }

@@ -537,6 +537,81 @@ object Dedup {
       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** d11: SemDeDup-style semantic dedup over the embedding space (the
+    * pipeline shape of Abbas et al. 2023: partition the space, verify
+    * candidates only within parts): every vector gets exactly ONE bucket
+    * — the sign pattern of `planes` fixed pseudo-random hyperplane
+    * projections — the table shuffles once on bucket, and only
+    * within-bucket pairs are cosine-verified. Complements d05 (bounded-
+    * window exact pairs): here the BUCKETING bounds the pair set, so the
+    * operator runs over the whole table — the 100 TB shape. The
+    * trade-off is recall at the partition boundary (a near-dup pair
+    * straddling one hyperplane lands in different buckets); s02's banded
+    * OR-construction is the recall-tunable variant.
+    *
+    * The hyperplane family is md5-derived ±1 weights (plane p, dim j →
+    * sign of md5("p:j")'s first nibble parity), materialized driver-side
+    * as planes×dim literal constants — so the whole pipeline is
+    * cross-engine checkable (DuckDB recomputes the same family inline)
+    * while the projection itself runs through the codegen'd DotProduct.
+    * At production scale the family swaps for the fused one-pass
+    * hyperplane_sig expression (s02's) without changing the shape.
+    * Oversized buckets (boilerplate/degenerate embeddings) are capped at
+    * maxBucket, same guard as minhashPairs/simhashPairs.
+    */
+  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+    import s.implicits._
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def weight(p: Int, j: Int): Double = {
+      val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
+      if (firstNibble % 2 == 0) 1.0 else -1.0
+    }
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val bucket = (0 until planes).map { p =>
+      val wl = array((0 until dim).map(j => lit(weight(p, j))): _*)
+      when(dot($"v", wl) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sized = e.withColumn("bucket", bucket)
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .filter($"bn" >= 2 && $"bn" <= maxBucket)
+    val a = sized.select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+    val b = sized.select($"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
+    a.join(b, Seq("bucket")).filter($"vec_a" < $"vec_b")
+      .withColumn("cos", round(cosine($"va", $"vb"), 6))
+      .filter($"cos" >= minCos)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val semanticDedupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(range(8), p ->
+      |      CASE WHEN list_sum(list_transform(range(64), j ->
+      |        (CASE WHEN ('0x' || substring(
+      |             md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) * v[j+1])) > 0
+      |      THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+      |  FROM e),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM b),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> b2.v[i] * b2.v[i])))),
+      |      6) AS cos
+      |  FROM sized a JOIN sized b2
+      |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      |  WHERE a.bn BETWEEN 2 AND 512)
+      |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Transitive dedup clusters: connected components over near-dup pairs
     * via iterative min-label propagation (the standard large-graph CC —
     * converges in O(log(longest chain)) rounds, each one join + one
@@ -834,6 +909,7 @@ object Dedup {
     "d03b_simhash_portable" -> ((s: SparkSession, d: String) => simhashPortable(s, d)),
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)),
+    "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "d10_hot_ngram_mask" -> ((s: SparkSession, d: String) => hotNgramMask(s, d)))
 
   // d02/d03 are hash-family-dependent (xxhash64 seeds) → not SQL-portable;
@@ -847,5 +923,6 @@ object Dedup {
     "d08_containment" -> containmentPairsSql,
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql,
+    "d11_semantic_dedup" -> semanticDedupSql,
     "d10_hot_ngram_mask" -> hotNgramMaskSql)
 }

@@ -187,6 +187,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("semantic dedup recovers planted embedding clusters, no cross-label pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    GenCorpus.generateEmbeddings(spark, 500)
+      .write.parquet(s"$dir/embeddings.parquet")
+    // clustered corpus: same-label cosine ≈0.9 (centroid + 0.3 noise),
+    // cross-label ≈0 — at minCos=0.8 every reported pair must be
+    // same-label, and the one-bucket partition must still surface pairs
+    val pairs = Dedup.semanticDedup(spark, dir, minCos = 0.8)
+    val lbl = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label")
+    val tagged = pairs
+      .join(lbl.select($"vec_id".as("vec_a"), $"label".as("la")), Seq("vec_a"))
+      .join(lbl.select($"vec_id".as("vec_b"), $"label".as("lb")), Seq("vec_b"))
+    assert(tagged.count() > 50, "clustered corpus must yield semantic dups")
+    assert(tagged.filter($"la" =!= $"lb").count() == 0,
+      "a cross-label pair at cos>=0.8 means the verify step is broken")
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

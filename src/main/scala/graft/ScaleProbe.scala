@@ -102,6 +102,9 @@ object ScaleProbe {
       time(s"knn_ivf_x$mult") {
         operators.IvfIndex.knnIvf(spark, sfDir).count()
       }
+      time(s"semantic_dedup_x$mult") {
+        operators.Dedup.semanticDedup(spark, sfDir).count()
+      }
       locally {
         val brute = operators.Similarity.knnBrute(spark, sfDir)
           .select($"query_id", $"neighbor_id")

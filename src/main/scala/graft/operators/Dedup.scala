@@ -559,21 +559,29 @@ object Dedup {
     * Oversized buckets (boilerplate/degenerate embeddings) are capped at
     * maxBucket, same guard as minhashPairs/simhashPairs.
     */
-  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
-      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
-    import s.implicits._
+  /** Sign-partition bucket id over a double-array column `v`: bit p =
+    * sign of the projection onto the p-th md5-family ±1 hyperplane
+    * (weights are driver-side literal constants through the codegen'd
+    * DotProduct — the same family the DuckDB oracle recomputes inline).
+    */
+  private def signBucket(v: Column, planes: Int, dim: Int): Column = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
     def weight(p: Int, j: Int): Double = {
       val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
       if (firstNibble % 2 == 0) 1.0 else -1.0
     }
+    (0 until planes).map { p =>
+      val wl = array((0 until dim).map(j => lit(weight(p, j))): _*)
+      when(dot(v, wl) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
-    val bucket = (0 until planes).map { p =>
-      val wl = array((0 until dim).map(j => lit(weight(p, j))): _*)
-      when(dot($"v", wl) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sized = e.withColumn("bucket", bucket)
+    val sized = e.withColumn("bucket", signBucket($"v", planes, dim))
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
       .filter($"bn" >= 2 && $"bn" <= maxBucket)
@@ -584,6 +592,23 @@ object Dedup {
       .filter($"cos" >= minCos)
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Observability for d11's bucket cap (the minhash/simhash contract):
+    * sign-partition buckets the pair stage prunes as oversized, with
+    * populations. A legitimate giant semantic cluster (press-release
+    * template embeddings, say) surfaces here — raise the cap or route
+    * it to a per-bucket canonical pick instead of pairwise verify.
+    */
+  def semanticDroppedBuckets(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, maxBucket: Int = 512): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(asDouble($"embedding").as("v"))
+      .select(signBucket($"v", planes, dim).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .orderBy($"bucket")
   }
 
   val semanticDedupSql: String =

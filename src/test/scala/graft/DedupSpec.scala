@@ -203,6 +203,12 @@ class DedupSpec extends SparkSpec {
     assert(tagged.count() > 50, "clustered corpus must yield semantic dups")
     assert(tagged.filter($"la" =!= $"lb").count() == 0,
       "a cross-label pair at cos>=0.8 means the verify step is broken")
+    // the bucket cap is observable, not silent: with a tight cap on this
+    // dense corpus the diagnostic must report the pruned buckets
+    val dropped = Dedup.semanticDroppedBuckets(spark, dir, maxBucket = 20)
+      .collect()
+    assert(dropped.nonEmpty, "dense clusters must trip a 20-member cap")
+    assert(dropped.forall(_.getAs[Long]("bucket_n") > 20))
   }
 
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {

@@ -581,10 +581,15 @@ object Dedup {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
+    // Persisted: both self-join sides read this frame — unpersisted, the
+    // scan + 8 dot-product projections + count window run twice (the t18
+    // duplicated-subtree lesson; d02/d10 use the same pattern). The
+    // caller's action populates the cache; Bench/Verify clearCache() after.
     val sized = e.withColumn("bucket", signBucket($"v", planes, dim))
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
       .filter($"bn" >= 2 && $"bn" <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sized.select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
     val b = sized.select($"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
     a.join(b, Seq("bucket")).filter($"vec_a" < $"vec_b")

@@ -71,18 +71,21 @@ object GenCorpus {
   /** Clustered embeddings table matching the testdata schema
     * (vec_id BIGINT, embedding FLOAT[64], label INT): 20 label
     * centroids in [-1,1)^64, each vector = its label's centroid +
-    * 0.3-amplitude hash noise — so IVF/LSH have real cluster structure
-    * to exploit, unlike replicated testdata rows.
+    * `noise`-amplitude hash noise — so IVF/LSH have real cluster
+    * structure to exploit, unlike replicated testdata rows. The default
+    * 0.3 gives realistic spread (sign-bucket boundary straddle included);
+    * a small amplitude (e.g. 0.05) gives bucket-stable clusters for
+    * strict survivor-set assertions.
     */
   def generateEmbeddings(spark: org.apache.spark.sql.SparkSession,
-      nVec: Long): DataFrame = {
+      nVec: Long, noise: Double = 0.3): DataFrame = {
     import spark.implicits._
     spark.range(nVec).select($"id".as("vec_id"))
       .withColumn("label", pmod(xxhash64($"vec_id", lit(21)), lit(20)).cast("int"))
       .withColumn("embedding", transform(sequence(lit(0), lit(63)), { j =>
         val c = pmod(xxhash64($"label", j, lit(22)), lit(2001)).cast("double") / 1000.0 - 1.0
         val nz = pmod(xxhash64($"vec_id", j, lit(23)), lit(2001)).cast("double") / 1000.0 - 1.0
-        (c + nz * 0.3).cast("float")
+        (c + nz * noise).cast("float")
       }))
       .select($"vec_id", $"embedding", $"label")
   }

@@ -558,6 +558,14 @@ object Dedup {
     * hyperplane_sig expression (s02's) without changing the shape.
     * Oversized buckets (boilerplate/degenerate embeddings) are capped at
     * maxBucket, same guard as minhashPairs/simhashPairs.
+    *
+    * Sizing: `planes` must GROW with the corpus — bucket count is
+    * 2^planes, and the pair stage verifies within buckets, so target
+    * 2^planes ≈ corpus size / expected bucket size (e.g. 100M vectors at
+    * ~1k per bucket → planes ≈ 17). The default planes=8 / maxBucket=512
+    * fits the test SFs; at 100M+ vectors it would mark most of the corpus
+    * oversized (`semanticDroppedBuckets` surfaces this loudly) — raise
+    * planes first, maxBucket second.
     */
   /** Sign-partition bucket id over a double-array column `v`: bit p =
     * sign of the projection onto the p-th md5-family ±1 hyperplane
@@ -576,20 +584,44 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
-      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+  /** Persisted (vec_id, v, bucket) frame the semantic family shares: the
+    * eligibility count and both self-join sides read it — unpersisted,
+    * the scan + `planes` dot-product projections run three times (the
+    * t18 duplicated-subtree lesson; d02/d10 use the same pattern). The
+    * caller owns the lifecycle: d11's action populates the cache and
+    * Bench/Verify clearCache() after; d12 unpersists it itself once the
+    * component labels are materialized.
+    */
+  private def semanticBucketed(s: SparkSession, dir: String, planes: Int,
+      dim: Int): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
-    // Persisted: both self-join sides read this frame — unpersisted, the
-    // scan + 8 dot-product projections + count window run twice (the t18
-    // duplicated-subtree lesson; d02/d10 use the same pattern). The
-    // caller's action populates the cache; Bench/Verify clearCache() after.
-    val sized = e.withColumn("bucket", signBucket($"v", planes, dim))
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
-      .filter($"bn" >= 2 && $"bn" <= maxBucket)
+      .withColumn("bucket", signBucket($"v", planes, dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Verified within-bucket pairs over a [[semanticBucketed]] frame.
+    * Bucket eligibility (2 <= population <= maxBucket) is a partial-
+    * aggregatable groupBy — each task emits at most 2^planes rows — with
+    * the tiny result broadcast back onto the stream, NOT a window
+    * partitioned by the bucket key: with planes=8 there are <= 256
+    * distinct buckets, so a window would shuffle EVERY vector onto
+    * <= 256 reducers (a parallelism ceiling no cluster size fixes) just
+    * to be counted. Same reasoning as q26's zscoreOutliers. After this
+    * map-side filter the pair self-join input is bounded at
+    * 2^planes * maxBucket rows by construction, so its bucket-keyed
+    * shuffle is over a vanishing fraction of the corpus.
+    */
+  private def semanticPairsFrom(bucketed: DataFrame, minCos: Double,
+      maxBucket: Int): DataFrame = {
+    val s = bucketed.sparkSession
+    import s.implicits._
+    val eligible = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" >= 2 && $"bn" <= maxBucket)
+      .select($"bucket")
+    val sized = bucketed.join(broadcast(eligible), Seq("bucket"))
     val a = sized.select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
     val b = sized.select($"bucket", $"vec_id".as("vec_b"), $"v".as("vb"))
     a.join(b, Seq("bucket")).filter($"vec_a" < $"vec_b")
@@ -598,6 +630,10 @@ object Dedup {
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
+
+  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame =
+    semanticPairsFrom(semanticBucketed(s, dir, planes, dim), minCos, maxBucket)
 
   /** Observability for d11's bucket cap (the minhash/simhash contract):
     * sign-partition buckets the pair stage prunes as oversized, with
@@ -641,6 +677,78 @@ object Dedup {
       |  WHERE a.bn BETWEEN 2 AND 512)
       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** d12: semantic dedup composed to its END STATE — SemDeDup prunes a
+    * corpus, it doesn't hand back a pair list: d11's verified pairs feed
+    * the SAME connectedComponents machinery as the shingle path (d07/d09),
+    * yielding per-vector cluster assignment and a keep/drop decision.
+    * Survivor = min vec_id per component (deterministic regardless of
+    * join order; vectors with no semantic near-dup are their own
+    * singleton cluster and always kept). At 100 TB the pair set is a
+    * vanishing fraction of the corpus (bounded by 2^planes × maxBucket²/2
+    * before the cosine filter), so the CC rounds shuffle almost nothing;
+    * the final assignment is one left join back onto the vector ids.
+    * Oracle: DuckDB recursive-CTE transitive closure over the identical
+    * md5-family pair pipeline (same cross-engine shape as d07).
+    */
+  def semanticClusters(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+    import s.implicits._
+    val bucketed = semanticBucketed(s, dir, planes, dim)
+    val pairs = semanticPairsFrom(bucketed, minCos, maxBucket)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val cc = connectedComponents(pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+    // connectedComponents materializes its labels (checkpointed lineage
+    // on both the union-find and the iterative path), so the candidate
+    // pipeline's cache is dead weight from here — drop it eagerly rather
+    // than leaving lifecycle to the caller (unlike d11, whose lazy result
+    // still reads the cache).
+    bucketed.unpersist()
+    Tables.embeddings(s, dir).select($"vec_id")
+      .join(cc, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))
+      .withColumn("is_kept", $"vec_id" === $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  val semanticClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(range(8), p ->
+      |      CASE WHEN list_sum(list_transform(range(64), j ->
+      |        (CASE WHEN ('0x' || substring(
+      |             md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) * v[j+1])) > 0
+      |      THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+      |  FROM e),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY bucket) AS bn FROM b),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      |  FROM sized a JOIN sized b2
+      |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      |  WHERE a.bn BETWEEN 2 AND 512
+      |    AND round(
+      |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> b2.v[i] * b2.v[i])))),
+      |      6) >= 0.3),
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM p
+      |  UNION ALL SELECT vec_b, vec_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+      |cc AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT emb.vec_id,
+      |  coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+      |  emb.vec_id = coalesce(cc.cluster_id, emb.vec_id) AS is_kept
+      |FROM embeddings emb LEFT JOIN cc USING (vec_id)
+      |ORDER BY emb.vec_id""".stripMargin
 
   /** Transitive dedup clusters: connected components over near-dup pairs
     * via iterative min-label propagation (the standard large-graph CC —
@@ -940,6 +1048,7 @@ object Dedup {
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)),
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "d12_semantic_clusters" -> ((s: SparkSession, d: String) => semanticClusters(s, d)),
     "d10_hot_ngram_mask" -> ((s: SparkSession, d: String) => hotNgramMask(s, d)))
 
   // d02/d03 are hash-family-dependent (xxhash64 seeds) → not SQL-portable;
@@ -954,5 +1063,6 @@ object Dedup {
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql,
     "d11_semantic_dedup" -> semanticDedupSql,
+    "d12_semantic_clusters" -> semanticClustersSql,
     "d10_hot_ngram_mask" -> hotNgramMaskSql)
 }

@@ -211,6 +211,58 @@ class DedupSpec extends SparkSpec {
     assert(dropped.forall(_.getAs[Long]("bucket_n") > 20))
   }
 
+  test("d12 composed path: one survivor per planted semantic cluster, no cross-label merges") {
+    // planes sized to the corpus per the d11 scaladoc rule (2^planes ≈
+    // n / expected bucket size: 500 vectors at ~25/label → planes 3-4);
+    // the default 8 would scatter a 25-vector label over 256 buckets
+    def clustersOn(noise: Double, planes: Int) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-semclusters").toString
+      GenCorpus.generateEmbeddings(spark, 500, noise = noise)
+        .write.parquet(s"$dir/embeddings.parquet")
+      val lbl = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"label")
+      Dedup.semanticClusters(spark, dir, planes = planes, minCos = 0.8)
+        .join(lbl, Seq("vec_id"))
+        .persist()
+    }
+    def invariants(tagged: org.apache.spark.sql.DataFrame): Unit = {
+      assert(tagged.count() == 500, "every vector gets a cluster assignment")
+      // zero cross-label merges: a cluster spanning two planted labels
+      // means the cosine verify let a false edge through
+      val mixed = tagged.groupBy($"cluster_id")
+        .agg(countDistinct($"label").as("nl")).filter($"nl" > 1).count()
+      assert(mixed == 0, s"$mixed clusters span more than one planted label")
+      // exactly one kept survivor per cluster, and it is the min member
+      val bad = tagged.groupBy($"cluster_id")
+        .agg(sum(when($"is_kept", 1).otherwise(0)).as("nk"),
+          min($"vec_id").as("mn"), first($"cluster_id").as("cid"))
+        .filter($"nk" =!= 1 || $"mn" =!= $"cid").count()
+      assert(bad == 0, "each cluster keeps exactly its min-id member")
+    }
+    // Bucket-stable corpus (tiny noise, no label near a hyperplane):
+    // SemDeDup's ideal — 20 planted labels → EXACTLY one survivor each.
+    val tight = clustersOn(0.01, planes = 3)
+    invariants(tight)
+    val tightKept = tight.filter($"is_kept").count()
+    assert(tightKept == 20,
+      s"bucket-stable corpus must keep exactly its 20 label centroids, got $tightKept")
+    tight.unpersist()
+    // Realistic corpus (0.3 noise): same safety invariants; pruning still
+    // collapses 500 → well under 150, but labels straddling a hyperplane
+    // fragment into a few sign buckets each (the documented single-bucket
+    // recall boundary — s02's banded OR-construction is the fix when it
+    // matters). Observed worst-case fragmentation ~10; bound at 16.
+    val noisy = clustersOn(0.3, planes = 4)
+    invariants(noisy)
+    val kept = noisy.filter($"is_kept").count()
+    assert(kept < 150, s"expected <150 survivors of 500, got $kept")
+    val perLabel = noisy.filter($"is_kept").groupBy($"label").count()
+      .agg(max($"count")).as[Long].head()
+    assert(perLabel <= 16,
+      s"a planted label fragmented into $perLabel survivors — bucketing broke")
+    noisy.unpersist()
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

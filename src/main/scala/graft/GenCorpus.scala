@@ -52,6 +52,12 @@ object GenCorpus {
   def generate(spark: org.apache.spark.sql.SparkSession, nBase: Long,
       dupPct: Int): DataFrame = {
     import spark.implicits._
+    // The stride construction below is collision-free only for dupPct in
+    // [0, 50]; >= 100 divides by zero and (50, 100) silently points
+    // planted dups at non-existent base ids, breaking the planted-pair
+    // invariant every probe number relies on.
+    require(dupPct >= 0 && dupPct <= 50,
+      s"dupPct must be in [0, 50], got $dupPct")
     val base = spark.range(nBase).select($"id".as("doc_id"))
       .select(col("doc_id") :: finish(tokensFor($"doc_id")): _*)
     val nDup = nBase * dupPct / (100 - dupPct)
@@ -90,6 +96,71 @@ object GenCorpus {
       .select($"vec_id", $"embedding", $"label")
   }
 
+  /** Deterministic binary media table matching the multimodal record
+    * schema (doc_id, kind, payload BINARY, n_bytes, content_hash): each
+    * payload is 128–4095 bytes of md5-chained pseudorandom data, kinds
+    * hash-assigned — REAL opaque blobs, unlike the utf8 text bytes the
+    * documents-derived media table carries — with a planted `dupPct`%
+    * exact-duplicate payload rate (duplicate rows re-derive a spread base
+    * row's bytes, byte-identical under a fresh doc_id — the mirrored-
+    * asset/re-post case m04 quantifies). Planted duplicate count =
+    * nBase * dupPct / (100 - dupPct), exactly recoverable by the probe.
+    */
+  def generateMedia(spark: org.apache.spark.sql.SparkSession, nBase: Long,
+      dupPct: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(dupPct >= 0 && dupPct <= 50,
+      s"dupPct must be in [0, 50], got $dupPct")
+    val nDup = nBase * dupPct / (100 - dupPct)
+    val stride = math.max(nBase / math.max(nDup, 1L), 1L)
+    val srcKey = when($"id" < nBase, $"id")
+      .otherwise(pmod(($"id" - nBase) * stride, lit(nBase)))
+    val nb = (pmod(xxhash64(srcKey, lit(31)), lit(3968)) + lit(128)).cast("int")
+    val hex = array_join(
+      transform(sequence(lit(0), ((nb + 15) / 16 - 1).cast("int")), { j =>
+        md5(concat(srcKey.cast("string"), lit(":"), j.cast("string")))
+      }), "")
+    val payload = unhex(hex.substr(lit(1), nb * 2))
+    spark.range(nBase + nDup)
+      .select($"id".as("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(xxhash64(srcKey, lit(32)), lit(3)) + 1).cast("int")).as("kind"),
+        payload.as("payload"),
+        nb.cast("long").as("n_bytes"),
+        sha2(payload, 256).as("content_hash"))
+  }
+
+  /** Deterministic event-stream feed for the streaming probes: `waves`
+    * micro-batch payloads of `perWave` events each. Wave k carries a
+    * FRESH cohort of `usersPerWave` users whose events span ~1 hour;
+    * waves sit 3 hours apart, so each wave's watermark advance pushes the
+    * previous cohort past the session gap + watermark horizon — state
+    * must stay bounded at ~one cohort (the eviction contract under
+    * sustained rate). Driver-side by design: MemoryStream, the only
+    * deterministic streaming source in local mode, is driver-fed; the
+    * per-event work still executes on executors.
+    */
+  def generateEventWaves(waves: Int, perWave: Int,
+      usersPerWave: Int = 10000): IndexedSeq[IndexedSeq[graft.streaming.Ev]] = {
+    val types = Vector("click", "view", "purchase", "scroll", "hover")
+    val baseMs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val perUser = math.max(perWave / usersPerWave, 1)
+    (0 until waves).map { wv =>
+      val waveStart = baseMs + wv.toLong * 3L * 3600 * 1000
+      (0 until perWave).map { i =>
+        val user = (wv.toLong * usersPerWave) + (i % usersPerWave)
+        val seqNo = i / usersPerWave // 0 until perUser
+        // user's events 5 min apart (inside the 30-min session gap),
+        // cohort staggered over the hour by a user-hash offset
+        val ts = waveStart + seqNo.toLong * 5 * 60 * 1000 +
+          (user % 60) * 1000L * (3600 / math.max(perUser, 1) / 60)
+        graft.streaming.Ev(user, new java.sql.Timestamp(ts),
+          types((i * 2654435761L % types.size).toInt.abs),
+          (i % 100) / 10.0)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outDir = args.headOption.getOrElse("/tmp/graftdata/sf1")
@@ -105,7 +176,11 @@ object GenCorpus {
     generateEmbeddings(spark, n * 2 / 5).repartition(16)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     val nv = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"""{"generated":$n,"base":$nBase,"planted_neardups":${n - nBase},"embeddings":$nv,"dir":"$outDir"}""")
+    // binary media table at corpus scale (payload dup rate 8%)
+    generateMedia(spark, n).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/media.parquet")
+    val nm = spark.read.parquet(s"$outDir/media.parquet").count()
+    println(s"""{"generated":$n,"base":$nBase,"planted_neardups":${n - nBase},"embeddings":$nv,"media":$nm,"dir":"$outDir"}""")
     spark.stop()
   }
 }

@@ -105,6 +105,22 @@ object ScaleProbe {
       time(s"semantic_dedup_x$mult") {
         operators.Dedup.semanticDedup(spark, sfDir).count()
       }
+      // d11's persisted bucketed frame is caller-owned — drop it before
+      // the next probe so later sections aren't measured under its cache
+      // pressure (d12 below re-persists its own).
+      spark.catalog.clearCache()
+      // d12 composed end state: kept-vs-dropped mass after CC + min-id
+      // survivor — the pruning SemDeDup exists for.
+      time(s"semantic_clusters_x$mult") {
+        operators.Dedup.semanticClusters(spark, sfDir).count()
+      }
+      locally {
+        val g = operators.Dedup.semanticClusters(spark, sfDir)
+        val kept = g.filter($"is_kept").count()
+        val total = g.count()
+        println(s"""{"probe":"semantic_kept_mass_x$mult","kept":$kept,"dropped":${total - kept},"total":$total}""")
+      }
+      spark.catalog.clearCache()
       locally {
         val brute = operators.Similarity.knnBrute(spark, sfDir)
           .select($"query_id", $"neighbor_id")
@@ -112,8 +128,67 @@ object ScaleProbe {
           .select($"query_id", $"neighbor_id")
         val hit = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi").count()
         val tot = brute.count()
-        println(f"""{"probe":"lsh_recall_x$mult","hits":$hit,"of":$tot,"recall":${hit.toDouble / tot}%.3f}""")
+        val recall = if (tot > 0) hit.toDouble / tot else 0.0
+        println(f"""{"probe":"lsh_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
       }
+      spark.catalog.clearCache()
+      // Adversarial d11/d12: one degenerate semantic cluster (a template
+      // embedding repeated 100× past the bucket cap) — the pair stage
+      // must stay bounded (the oversized bucket never reaches the
+      // self-join), the dropped-bucket diagnostic must surface it, and
+      // the composed path must route it to a per-bucket canonical pick.
+      locally {
+        val advDir = java.nio.file.Files
+          .createTempDirectory("graft_semadv_").toString
+        val template = GenCorpus.generateEmbeddings(spark, 1L, noise = 0.0)
+          .select($"embedding").limit(1)
+        val degenerate = spark.range(51200)
+          .crossJoin(template)
+          .select(($"id" + 1000000L).as("vec_id"), $"embedding",
+            lit(999).as("label"))
+        GenCorpus.generateEmbeddings(spark, 20000)
+          .unionByName(degenerate)
+          .write.mode("overwrite").parquet(s"$advDir/embeddings.parquet")
+        time(s"semantic_adversarial_x$mult") {
+          operators.Dedup.semanticDedup(spark, advDir).count()
+        }
+        val droppedB = operators.Dedup
+          .semanticDroppedBuckets(spark, advDir).collect()
+        val maxDrop = droppedB.map(_.getAs[Long]("bucket_n")).maxOption.getOrElse(0L)
+        println(s"""{"probe":"semantic_adversarial_dropped_x$mult","buckets":${droppedB.length},"max_bucket_n":$maxDrop}""")
+        spark.catalog.clearCache()
+        // composed path with canonical routing: the 51200-member
+        // degenerate cluster collapses to ONE survivor, no pairwise work
+        locally {
+          val g = operators.Dedup.semanticClusters(spark, advDir,
+            oversizedCanonical = true).persist()
+          val total = g.count()
+          val kept = g.filter($"is_kept").count()
+          println(s"""{"probe":"semantic_adversarial_canonical_x$mult","total":$total,"kept":$kept}""")
+          g.unpersist()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    // m-family on the GENERATED binary media table (GenCorpus writes
+    // media.parquet next to documents/embeddings): batched decode and the
+    // payload-dedup rollup on real opaque blobs with a known planted
+    // exact-dup mass, instead of utf8 text bytes from the replicated docs.
+    if (mult == 1 && new java.io.File(s"$sfDir/media.parquet").exists()) {
+      val media = spark.read.parquet(s"$sfDir/media.parquet")
+      time(s"media_decode_batched_x$mult") {
+        multimodal.Multimodal.decodeFeaturesOf(media).count()
+      }
+      time(s"media_stats_x$mult") {
+        multimodal.Multimodal.mediaStatsOf(media).count()
+      }
+      locally {
+        val stats = multimodal.Multimodal.payloadDedupStatsOf(media)
+          .agg(sum($"n_dup_assets").as("dups"), sum($"bytes_saved").as("saved"))
+          .collect()(0)
+        println(s"""{"probe":"media_payload_dedup_x$mult","dup_assets":${stats.getAs[Long]("dups")},"bytes_saved":${stats.getAs[Long]("saved")}}""")
+      }
+      spark.catalog.clearCache()
     }
     // Adversarial single-document probes (VERDICT r4 #3): one pathological
     // doc must degrade the whole job gracefully, not blow up one task.

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming performance probe: per-trigger latency, sustained input
+  * rate, and state-store size for the stateful streaming operators on
+  * the generated event feed (GenCorpus.generateEventWaves) — the
+  * numbers StreamingSpec's correctness tests don't measure. Each wave is
+  * one micro-batch; metrics come from the engine's own
+  * StreamingQueryProgress (trigger durations, state operator rows), not
+  * wall-clock guesswork.
+  *
+  * Usage: runMain graft.StreamProbe [perWave] [waves]
+  * Default 100000 × 10 = 1M events ≈ sf1-scale feed (sf0.1's events
+  * table is 100k rows).
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val perWave = args.headOption.map(_.toInt).getOrElse(100000)
+    val waves = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // recentProgress keeps the last 100 entries — one trigger per wave
+    // stays well inside that window at the default 10 waves.
+    def report(name: String, q: StreamingQuery, totalRows: Long,
+        extra: String = ""): Unit = {
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val trig = progs.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val stateRows = progs.lastOption
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+        .getOrElse(-1L)
+      val totalSec = trig.sum / 1000.0
+      println(f"""{"probe":"$name","events":$totalRows,"triggers":${trig.length},"rows_per_sec":${totalRows / totalSec}%.0f,"trigger_med_ms":${trig(trig.length / 2)},"trigger_max_ms":${trig.last},"state_rows":$stateRows$extra}""")
+    }
+
+    val evWaves = GenCorpus.generateEventWaves(waves, perWave)
+    val total = waves.toLong * perWave
+
+    // Sessionizer: flatMapGroupsWithState with event-time timeout. The
+    // claim under test: state tracks the ACTIVE cohort (~10k users), not
+    // the ~100k distinct users ever seen — eviction at sustained rate.
+    locally {
+      val mem = MemoryStream[streaming.Ev]
+      val q = streaming.StreamingOps.sessionize(mem.toDS())
+        .writeStream.format("memory").queryName("probe_sess")
+        .outputMode("append").start()
+      evWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      val emitted = spark.sql("SELECT count(*) FROM probe_sess").as[Long].head()
+      report("stream_sessionize", q, total, s""","emitted_sessions":$emitted""")
+      q.stop()
+    }
+
+    // Watermarked tumbling-window aggregation: state is (window × type)
+    // cells inside the watermark horizon — tiny and flat by design.
+    locally {
+      val mem = MemoryStream[streaming.Ev]
+      val q = streaming.StreamingOps.windowedAgg(mem.toDF())
+        .writeStream.format("memory").queryName("probe_wagg")
+        .outputMode("append").start()
+      evWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      val emitted = spark.sql("SELECT count(*) FROM probe_wagg").as[Long].head()
+      report("stream_windowed_agg", q, total, s""","emitted_windows":$emitted""")
+      q.stop()
+    }
+
+    // Continuous ingest + rollup maintenance: per-trigger cost of the
+    // content-hash dedup append + delta-only rollup merge (foreachBatch —
+    // no state operator; the "state" is the on-disk store + rollup).
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_sprobe_").toString
+      val store = s"$root/store"; val rollup = s"$root/rollup"
+      new java.io.File(store).mkdirs()
+      val docs = GenCorpus.generate(spark, 47500L, 5)
+        .select($"doc_id", $"source", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val docWaves = docs.grouped(math.max(docs.length / waves, 1)).toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streaming.StreamingOps.rollupStream(
+        mem.toDF().toDF("doc_id", "source", "text"), store, rollup)
+      docWaves.foreach { w => mem.addData(w.toSeq: _*); q.processAllAvailable() }
+      val stored = spark.read.parquet(store + "/*.parquet").count()
+      val rolled = spark.read.parquet(rollup).count()
+      report("stream_rollup_ingest", q, docs.length.toLong,
+        s""","stored_docs":$stored,"rollup_rows":$rolled""")
+      q.stop()
+    }
+
+    spark.stop()
+  }
+}

@@ -153,9 +153,15 @@ object Multimodal {
     * corpus without ever decoding; column pruning keeps the payload bytes
     * out of the scan.
     */
-  def mediaStats(s: SparkSession, dir: String): DataFrame = {
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    mediaStatsOf(mediaTable(s, dir))
+
+  /** Core of [[mediaStats]] over any media-record frame (e.g. the
+    * generated binary media table). */
+  def mediaStatsOf(mediaDf: DataFrame): DataFrame = {
+    val s = mediaDf.sparkSession
     import s.implicits._
-    mediaTable(s, dir)
+    mediaDf
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_assets"),
         sum($"n_bytes").as("total_bytes"),
@@ -182,9 +188,14 @@ object Multimodal {
     * storage. Two partial-agg shuffles — (kind, hash) then kind — over the
     * payload-pruned metadata columns only.
     */
-  def payloadDedupStats(s: SparkSession, dir: String): DataFrame = {
+  def payloadDedupStats(s: SparkSession, dir: String): DataFrame =
+    payloadDedupStatsOf(mediaTable(s, dir))
+
+  /** Core of [[payloadDedupStats]] over any media-record frame. */
+  def payloadDedupStatsOf(mediaDf: DataFrame): DataFrame = {
+    val s = mediaDf.sparkSession
     import s.implicits._
-    mediaTable(s, dir)
+    mediaDf
       .groupBy($"kind", $"content_hash")
       // identical payload → identical size; max() just picks that value
       .agg(count(lit(1)).as("n"), max($"n_bytes").as("bytes"))

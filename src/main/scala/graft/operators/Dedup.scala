@@ -691,22 +691,45 @@ object Dedup {
     * Oracle: DuckDB recursive-CTE transitive closure over the identical
     * md5-family pair pipeline (same cross-engine shape as d07).
     */
+  /** `oversizedCanonical`: how buckets above maxBucket are treated. The
+    * default (false) excludes them from pairing entirely — their members
+    * come out as singletons and `semanticDroppedBuckets` reports the
+    * omission. With true, each oversized bucket is routed to a PER-BUCKET
+    * canonical pick instead of pairwise verify: all members join the
+    * min-id member's cluster without cosine checks — the pragmatic
+    * SemDeDup move for a degenerate giant cluster (press-release-template
+    * embeddings), where O(n²) verify is unpayable and the bucket IS the
+    * cluster for any practical purpose. Map-side: the per-bucket min is a
+    * ≤2^planes-row aggregate broadcast back onto the members.
+    */
   def semanticClusters(s: SparkSession, dir: String, planes: Int = 8,
-      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
+      oversizedCanonical: Boolean = false): DataFrame = {
     import s.implicits._
     val bucketed = semanticBucketed(s, dir, planes, dim)
     val pairs = semanticPairsFrom(bucketed, minCos, maxBucket)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     val cc = connectedComponents(pairs)
       .select($"doc_id".as("vec_id"), $"cluster_id")
+    val assignments = if (oversizedCanonical) {
+      val overBuckets = bucketed.groupBy($"bucket")
+        .agg(count(lit(1)).as("bn"), min($"vec_id").as("cluster_id"))
+        .filter($"bn" > maxBucket)
+        .select($"bucket", $"cluster_id")
+      cc.unionByName(
+        bucketed.join(broadcast(overBuckets), Seq("bucket"))
+          .select($"vec_id", $"cluster_id"))
+    } else cc
     // connectedComponents materializes its labels (checkpointed lineage
-    // on both the union-find and the iterative path), so the candidate
-    // pipeline's cache is dead weight from here — drop it eagerly rather
-    // than leaving lifecycle to the caller (unlike d11, whose lazy result
-    // still reads the cache).
-    bucketed.unpersist()
+    // on both the union-find and the iterative path), so on the plain
+    // path the candidate pipeline's cache is dead weight from here — drop
+    // it eagerly rather than leaving lifecycle to the caller (unlike d11,
+    // whose lazy result still reads the cache). The oversized-canonical
+    // branch still reads `bucketed` lazily, so there the lifecycle stays
+    // caller-owned, same contract as d11.
+    if (!oversizedCanonical) bucketed.unpersist()
     Tables.embeddings(s, dir).select($"vec_id")
-      .join(cc, Seq("vec_id"), "left")
+      .join(assignments, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))
       .withColumn("is_kept", $"vec_id" === $"cluster_id")
       .orderBy($"vec_id")

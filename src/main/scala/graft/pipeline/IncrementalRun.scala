@@ -132,6 +132,14 @@ object IncrementalRun {
     * rows land in the fresh sub-batch and merge normally. The same
     * mechanism makes reusing a completed batchId with new content safe:
     * it appends a sub-batch instead of clobbering the stored rows.
+    *
+    * Pairing contract: one `storeDir` pairs with ONE `rollupPath` for its
+    * lifetime. Merged markers live under `rollupPath`_merged, so pointing
+    * a second rollupPath at the same store makes each rollup's marker
+    * family blind to the other's sub-batches — and the repair pass, which
+    * re-merges every store file unmarked for THIS rollup, would
+    * double-merge files the other rollup already consumed. Fan-out to
+    * several rollups belongs downstream of the store, not on it.
     */
   def run(spark: SparkSession, feed: DataFrame, storeDir: String,
       metaPath: String, rollupPath: String, batchId: String): Summary = {

@@ -263,6 +263,46 @@ class DedupSpec extends SparkSpec {
     noisy.unpersist()
   }
 
+  test("oversized semantic bucket routes to per-bucket canonical pick, pair stage stays bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadv").toString
+    // a degenerate "template" cluster: one embedding repeated far past the
+    // bucket cap, next to a small normal corpus
+    val template = GenCorpus.generateEmbeddings(spark, 1, noise = 0.0)
+      .select($"embedding")
+    val degenerate = spark.range(2000).crossJoin(template)
+      .select(($"id" + 1000000L).as("vec_id"), $"embedding", lit(999).as("label"))
+    GenCorpus.generateEmbeddings(spark, 500).unionByName(degenerate)
+      .write.parquet(s"$dir/embeddings.parquet")
+    // pair stage: the 2000-member bucket must NOT reach the self-join —
+    // pairs among degenerate ids would number ~2M; bounded means zero
+    val pairs = Dedup.semanticDedup(spark, dir, maxBucket = 512)
+    assert(pairs.filter($"vec_a" >= 1000000L || $"vec_b" >= 1000000L).count() == 0,
+      "an oversized bucket's members must not produce pairwise work")
+    // the omission is observable, not silent
+    val dropped = Dedup.semanticDroppedBuckets(spark, dir, maxBucket = 512)
+      .collect()
+    assert(dropped.exists(_.getAs[Long]("bucket_n") >= 2000L),
+      "the degenerate bucket must surface in the dropped-bucket diagnostic")
+    // default composed path: degenerate members come out singletons (kept)
+    val plain = Dedup.semanticClusters(spark, dir, maxBucket = 512)
+    assert(plain.filter($"vec_id" >= 1000000L && !$"is_kept").count() == 0)
+    // canonical routing: the whole degenerate bucket collapses to its
+    // min-id member with no pairwise verify
+    val routed = Dedup.semanticClusters(spark, dir, maxBucket = 512,
+      oversizedCanonical = true).persist()
+    val degen = routed.filter($"vec_id" >= 1000000L)
+    // one cluster for the whole bucket (its id is the bucket's min member,
+    // which may be a normal-corpus vector sharing the sign pattern), and
+    // exactly one survivor in it
+    val cids = degen.select($"cluster_id").distinct().as[Long].collect()
+    assert(cids.length == 1,
+      s"all degenerate members must share one cluster, got ${cids.length}")
+    assert(routed.filter($"cluster_id" === cids(0) && $"is_kept").count() == 1,
+      "exactly one survivor from the degenerate cluster")
+    routed.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

@@ -42,4 +42,35 @@ class GenCorpusSpec extends SparkSpec {
     assert(dupTexts.intersect(baseTexts).isEmpty,
       "planted dups must not be byte-identical to their base")
   }
+
+  test("dupPct outside [0, 50] is rejected, not silently wrong") {
+    intercept[IllegalArgumentException](GenCorpus.generate(spark, 100, 100))
+    intercept[IllegalArgumentException](GenCorpus.generate(spark, 100, 60))
+    intercept[IllegalArgumentException](GenCorpus.generate(spark, 100, -1))
+    intercept[IllegalArgumentException](GenCorpus.generateMedia(spark, 100, 100))
+  }
+
+  test("generated media: deterministic binary payloads, exact planted dup mass") {
+    val m = GenCorpus.generateMedia(spark, 500, dupPct = 8).persist()
+    val nDup = 500L * 8 / 92
+    assert(m.count() == 500 + nDup)
+    // payloads are real opaque blobs in the documented size band, and the
+    // stored n_bytes/content_hash columns are faithful to the bytes
+    val bad = m.filter(
+      length($"payload") =!= $"n_bytes" ||
+        $"n_bytes" < 128 || $"n_bytes" > 4095 ||
+        sha2($"payload", 256) =!= $"content_hash").count()
+    assert(bad == 0, "payload metadata must match the actual bytes")
+    // planted duplicates are byte-identical to a base row (same hash,
+    // same kind) and exactly account for m04's dup-asset mass
+    val dups = multimodal.Multimodal.payloadDedupStatsOf(m)
+      .agg(sum($"n_dup_assets")).as[Long].head()
+    assert(dups == nDup, s"expected $nDup planted payload dups, m04 found $dups")
+    val again = GenCorpus.generateMedia(spark, 500, dupPct = 8)
+    assert(m.orderBy("doc_id").collect()
+      .sameElements(again.orderBy("doc_id").collect()),
+      "same args must generate identical media rows")
+    m.unpersist()
+    ()
+  }
 }

@@ -23,7 +23,8 @@ object SparkEntry {
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
       operators.Dedup.queries ++ operators.KeywordSearch.queries ++
-      operators.Similarity.queries ++ multimodal.Multimodal.queries ++
+      operators.Similarity.queries ++ operators.Graph.queries ++
+      multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
         pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
           .select("doc_id", "predicted_lang", "n_tokens", "fingerprint")
@@ -34,5 +35,6 @@ object SparkEntry {
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
-      operators.Similarity.oracles ++ multimodal.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Graph.oracles ++
+      multimodal.Multimodal.oracles
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Link-graph analytics — the quality-prior side of web-scale corpus
+  * curation (PageRank-style link scores are a standard document-quality
+  * signal when assembling training data from a crawl; the reference has
+  * no graph surface, so this extends the engine the same way the dedup
+  * family does).
+  *
+  * The graph here is the customer–supplier trading graph derived from
+  * order flows: one undirected edge per distinct (customer, supplier)
+  * pair that appears in orders ⋈ lineitem, materialized as two directed
+  * edges so the adjacency is symmetric. That guarantees every node has
+  * in-degree = out-degree ≥ 1: no dangling-mass correction term is
+  * needed, which keeps the per-iteration plan a pure join + partial
+  * aggregate (and keeps the DuckDB oracle bit-comparable).
+  *
+  * Scale shape: the edge list persists once (reused every iteration);
+  * each iteration is one shuffle — ranks join edges+degrees on `src`
+  * (same key, co-partitioned by AQE) and partial-aggregate the
+  * contributions on `dst`. State per node is one double; nothing is
+  * collected to the driver except the node count (one scalar, the
+  * IvfIndex-style bounded exception). A fixed iteration count (default
+  * 5) keeps the lineage shallow; at 100 TB you would localCheckpoint
+  * every few rounds exactly as `Dedup.connectedComponents` does.
+  */
+object Graph {
+
+  /** Symmetric edge list: distinct trading pairs in both directions.
+    * Node ids are longs with the bipartite side in the low bit
+    * (customer c → 2c, supplier s → 2s+1) — 8-byte keys shuffle and
+    * hash ~3× cheaper than the "c123"/"s45" strings they encode.
+    */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    pairs.select($"a".as("src"), $"b".as("dst"))
+      .union(pairs.select($"b".as("src"), $"a".as("dst")))
+  }
+
+  /** g01: fixed-iteration PageRank (damping 0.85, 5 rounds) over the
+    * trading graph. Output is the rank scaled relative to the uniform
+    * 1/N prior (mean 1.0), rounded to 4 dp so fp summation order can't
+    * flip the oracle hash. The oracle unrolls the identical iteration
+    * arithmetic as chained CTEs — including writing the teleport term
+    * as (1.0 - 0.85)/n rather than 0.15/n, because those are different
+    * doubles and both engines must compute the same one.
+    */
+  def pagerank(s: SparkSession, dir: String,
+               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    import s.implicits._
+    // Persist the edge list pre-partitioned AND pre-sorted on the join
+    // key: every iteration joins on src, so paying the exchange+sort once
+    // lets all 5 sort-merge joins reuse the cached layout — only the
+    // |V|-row rank side moves per round.
+    val e = tradeEdges(s, dir)
+      .repartition($"src")
+      .sortWithinPartitions($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy($"src")
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Symmetric graph: deg's key set IS the node set. One bounded scalar
+    // to the driver (node count), as documented in SURVEY §5 exceptions.
+    val n = deg.count().toDouble
+    var ranks = deg.select($"src".as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      // Fold outdeg into the node-count-sized rank frame FIRST (broadcast
+      // join between two |V|-row frames), so only one weight per edge
+      // flows into the partial aggregate on dst — never an edge-sized
+      // three-way join. The per-round frame is lazily localCheckpoint'd
+      // (the connectedComponents pattern): round k's broadcast reads
+      // round k-1 from materialized blocks instead of recomputing the
+      // whole iteration chain, which is the difference between O(iters)
+      // and O(iters²) total work.
+      val weights = ranks.join(deg, $"node" === $"src")
+        .select($"node".as("w_node"), ($"r" / $"outdeg").as("w"))
+      ranks = e.join(weights, $"src" === $"w_node")
+        .groupBy($"dst")
+        .agg(sum($"w").as("contrib"))
+        .select($"dst".as("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * $"contrib").as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+      .select($"node", round($"r" * lit(n), 4).as("rank_rel"))
+      .orderBy($"node")
+  }
+
+  /** The oracle mirrors pagerank() exactly: same edge construction, same
+    * teleport arithmetic, one CTE per iteration.
+    */
+  def pagerankSql(iters: Int = 5, damping: Double = 0.85): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT (o_custkey * 2) AS a, (l_suppkey * 2 + 1) AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+        |pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    (1.0 - $damping) / (SELECT n FROM nn)
+         |      + $damping * sum(p.r / d.outdeg) AS r
+         |  FROM edges e
+         |  JOIN deg d ON e.src = d.src
+         |  JOIN pr${i - 1} p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node, round(r * (SELECT n FROM nn), 4) AS rank_rel
+         |FROM pr$iters
+         |ORDER BY node""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankSql())
+}

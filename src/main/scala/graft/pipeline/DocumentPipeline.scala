@@ -329,6 +329,49 @@ object DocumentPipeline {
       |FROM d GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  /** p04: temperature-scaled mixture sampling weights (the multilingual /
+    * multi-source rebalancing rule from XLM-R-style pipelines): per-source
+    * sampling probability p_i ∝ n_i^alpha with alpha = 0.5, which
+    * upsamples small sources relative to their raw share without letting
+    * any source dominate. Emits, per source, the smoothed probability,
+    * the expected document draw for a fixed budget, and the implied epoch
+    * count over that source (budget·p_i / n_i — the quantity you check
+    * for small-source overfitting).
+    *
+    * Scale shape: one partial-aggregatable count per source (|sources|
+    * result rows), a scalar-aggregate normalizer crossJoined back (the
+    * q26/e11 pattern) — map-side everything; no full-data shuffle beyond
+    * the count's own partial-agg exchange.
+    */
+  def temperatureMix(s: SparkSession, dir: String,
+                     alpha: Double = 0.5, budget: Long = 100000L): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow($"n_docs".cast("double"), lit(alpha)))
+    val z = counts.agg(sum($"w").as("z"))
+    counts.crossJoin(z)
+      .select($"source", $"n_docs",
+        round($"w" / $"z", 6).as("p_sample"),
+        round(lit(budget) * $"w" / $"z", 2).as("expected_docs"),
+        round(lit(budget) * $"w" / $"z" / $"n_docs", 4).as("epochs"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    pow(count(*)::DOUBLE, 0.5) AS w
+      |  FROM documents GROUP BY source),
+      |z AS (SELECT sum(w) AS z FROM c)
+      |SELECT source, n_docs,
+      |  round(w / (SELECT z FROM z), 6) AS p_sample,
+      |  round(100000 * w / (SELECT z FROM z), 2) AS expected_docs,
+      |  round(100000 * w / (SELECT z FROM z) / n_docs, 4) AS epochs
+      |FROM c
+      |ORDER BY source""".stripMargin
+
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
     * reduced = discard). Broadcast at any scale.
@@ -1221,6 +1264,7 @@ object DocumentPipeline {
     "q35_mixture_drift" -> mixtureDrift _,
     "t18_pmi_cooccur" -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "p03_stratified_split" -> stratifiedSplit _,
+    "p04_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -1252,6 +1296,7 @@ object DocumentPipeline {
     "q35_mixture_drift" -> mixtureDriftSql,
     "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
+    "p04_temperature_mix" -> temperatureMixSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

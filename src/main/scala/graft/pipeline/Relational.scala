@@ -364,7 +364,66 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** q36: CDC changelog merge (MERGE INTO / SCD Type-1 semantics) — the
+    * incremental-maintenance primitive the reference approximates with
+    * its per-run dict overlays (run_full_pipeline.py:353-431 applies
+    * "latest wins" record updates batch by batch). A changelog keyed by
+    * customer is derived from orders (status P ⇒ delete, else upsert of
+    * the order total, ordered by (o_orderdate, o_orderkey)); applying it
+    * to the customer snapshot yields kept / updated rows and drops
+    * deletes.
+    *
+    * Scale shape: last-change-per-key is a partial-aggregatable
+    * `max_by(struct(op, val), struct(date, key))` — the d09 pattern, one
+    * shuffle on the merge key and NO per-key window sort — followed by a
+    * single full-outer shuffle join against the snapshot on the same key
+    * (co-partitioned, so AQE plans one exchange each side). That is the
+    * exact physical shape a 100 TB MERGE INTO compiles to.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+    val lastChange = Tables.orders(s, dir)
+      .select($"o_custkey".as("key"),
+        when($"o_orderstatus" === "P", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        $"o_totalprice".as("val"), $"o_orderdate", $"o_orderkey")
+      .groupBy($"key")
+      .agg(expr("max_by(struct(op, val), struct(o_orderdate, o_orderkey))")
+        .as("m"))
+      .select($"key", $"m.op".as("op"), $"m.val".as("val"))
+    base.join(lastChange, $"c_custkey" === $"key", "full_outer")
+      .filter(coalesce($"op", lit("keep")) =!= "delete")
+      .select(
+        coalesce($"c_custkey", $"key").as("custkey"),
+        round(coalesce($"val", $"c_acctbal"), 2).as("balance"),
+        when($"op".isNull, lit("kept"))
+          .when($"c_custkey".isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("status"))
+      .orderBy($"custkey")
+  }
+
+  val cdcMergeSql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS key,
+      |    CASE WHEN o_orderstatus = 'P' THEN 'delete' ELSE 'upsert' END AS op,
+      |    o_totalprice AS val,
+      |    row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |last AS (SELECT key, op, val FROM log WHERE rn = 1)
+      |SELECT coalesce(c_custkey, key) AS custkey,
+      |  round(coalesce(val, c_acctbal), 2) AS balance,
+      |  CASE WHEN op IS NULL THEN 'kept'
+      |       WHEN c_custkey IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS status
+      |FROM customer FULL OUTER JOIN last ON c_custkey = key
+      |WHERE coalesce(op, 'keep') <> 'delete'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_cdc_merge" -> cdcMerge _,
     "q17_region_rollup" -> regionRollup _,
     "q15_revenue_chain" -> revenueChain _,
     "q01_pricing_agg" -> pricingAgg _,
@@ -378,6 +437,7 @@ object Relational {
     "q14_date_normalize" -> dateNormalize _)
 
   val oracles: Map[String, String] = Map(
+    "q36_cdc_merge" -> cdcMergeSql,
     "q17_region_rollup" -> regionRollupSql,
     "q15_revenue_chain" -> revenueChainSql,
     "q01_pricing_agg" -> pricingAggSql,

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the graph family (g01) plus the new CDC-merge and
+  * temperature-mix operators — properties the DuckDB hash check can't
+  * express (probability conservation, monotonicity, merge semantics).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("g01 pagerank conserves probability mass and is strictly positive") {
+    val pr = operators.Graph.pagerank(spark, sf)
+    val row = pr.agg(
+      sum($"rank_rel").as("total"),
+      min($"rank_rel").as("lo"),
+      count(lit(1)).as("n")).head()
+    val (total, lo, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    // rank_rel is rank scaled by N, so the total must be ~N (rounding
+    // noise only: n rows each rounded to 4 dp).
+    assert(math.abs(total - n) < n * 1e-3, s"mass $total for $n nodes")
+    assert(lo > 0.0, "teleport term guarantees a positive floor")
+  }
+
+  test("g01 pagerank is deterministic under repartitioning") {
+    val a = operators.Graph.pagerank(spark, sf).collect().toSeq
+    val b = operators.Graph.pagerank(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("g01 higher-degree nodes outrank the uniform prior") {
+    val e = operators.Graph.tradeEdges(spark, sf)
+    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("d"))
+    val pr = operators.Graph.pagerank(spark, sf)
+    val joined = pr.join(deg, "node")
+    // On a symmetric graph PageRank correlates with degree: the top-degree
+    // decile must have a higher mean rank than the bottom decile.
+    val q = joined.stat.approxQuantile("d", Array(0.1, 0.9), 0.0)
+    val lowMean = joined.filter($"d" <= q(0)).agg(avg($"rank_rel")).head().getDouble(0)
+    val highMean = joined.filter($"d" >= q(1)).agg(avg($"rank_rel")).head().getDouble(0)
+    assert(highMean > lowMean,
+      s"top-decile mean rank $highMean should exceed bottom-decile $lowMean")
+  }
+
+  test("q36 cdc merge applies latest-wins upserts and drops deletes") {
+    val merged = pipeline.Relational.cdcMerge(spark, sf)
+      .persist()
+    val orders = Tables.orders(spark, sf)
+    // Keys whose LAST change is a delete must be absent.
+    val lastOps = orders
+      .select($"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(expr("max_by(o_orderstatus, struct(o_orderdate, o_orderkey))").as("st"))
+    val deleted = lastOps.filter($"st" === "P").select($"o_custkey")
+    assert(merged.join(deleted, merged("custkey") === deleted("o_custkey")).count() == 0)
+    // Customers with no orders survive unchanged as 'kept'.
+    val custs = Tables.customer(spark, sf)
+    val untouched = custs.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+    val kept = merged.filter($"status" === "kept")
+    assert(kept.count() == untouched.count())
+    // And statuses partition the output.
+    val n = merged.count()
+    val byStatus = merged.groupBy($"status").count().as[(String, Long)].collect().toMap
+    assert(byStatus.values.sum == n)
+    merged.unpersist()
+  }
+
+  test("p04 temperature mix sums to 1 and flattens the raw distribution") {
+    val mix = pipeline.DocumentPipeline.temperatureMix(spark, sf).persist()
+    val pSum = mix.agg(sum($"p_sample")).head().getDouble(0)
+    assert(math.abs(pSum - 1.0) < 1e-3, s"probabilities sum to $pSum")
+    // Temperature < 1 flattens: the sampled share ratio between the
+    // largest and smallest source must be strictly below the raw ratio.
+    val rows = mix.select($"n_docs".cast("double"), $"p_sample").collect()
+    val rawRatio = rows.map(_.getDouble(0)).max / rows.map(_.getDouble(0)).min
+    val pRatio = rows.map(_.getDouble(1)).max / rows.map(_.getDouble(1)).min
+    assert(pRatio <= rawRatio, s"alpha=0.5 must compress $rawRatio -> $pRatio")
+    assert(pRatio < rawRatio || rawRatio == 1.0)
+    mix.unpersist()
+  }
+}

@@ -239,15 +239,72 @@ object Multimodal {
     resizePlan(f).join(frames, Seq("doc_id")).orderBy($"doc_id")
   }
 
+  /** m05: decode-batch packing — assign every asset to a fixed-byte-budget
+    * decode work unit (the unit a GPU/codec pool consumes), per (kind,
+    * shard): kind because decoders differ, shard because the batch
+    * sequence within a kind must not be one serial chain. Unlike p02's
+    * token stream, decode batches are independent work units, so no
+    * cross-shard global offset pass is needed — one prefix-sum window per
+    * (kind, shard) group and a partial-aggregatable rollup. `shards`
+    * scales the window parallelism; like d11's planes it must grow with
+    * the corpus (work-unit groups ≈ kinds × shards).
+    */
+  def decodePack(s: SparkSession, dir: String,
+      budgetBytes: Long = 2048, shards: Int = 8): DataFrame =
+    decodePackOf(mediaTable(s, dir), budgetBytes, shards)
+
+  /** Core of [[decodePack]] over any media-record frame. */
+  def decodePackOf(mediaDf: DataFrame,
+      budgetBytes: Long = 2048, shards: Int = 8): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sharded = mediaDf.select($"doc_id", $"kind", $"n_bytes",
+      graft.pipeline.DocumentPipeline.packShard(shards).as("shard"))
+    val w = Window.partitionBy($"kind", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("before", coalesce(sum($"n_bytes").over(w), lit(0L)))
+      .withColumn("batch_ord", floor($"before" / budgetBytes).cast("long"))
+      .groupBy($"kind", $"shard", $"batch_ord")
+      .agg(count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("batch_bytes"),
+        max($"n_bytes").as("max_asset_bytes"))
+      .orderBy($"kind", $"shard", $"batch_ord")
+  }
+
+  val decodePackSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    octet_length(encode(text))::BIGINT AS n_bytes,
+      |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8)::INT AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, coalesce(sum(n_bytes) OVER (
+      |    PARTITION BY kind, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM m)
+      |SELECT kind, shard, (before // 2048)::BIGINT AS batch_ord,
+      |  count(*) AS n_assets, sum(n_bytes)::BIGINT AS batch_bytes,
+      |  max(n_bytes) AS max_asset_bytes
+      |FROM c
+      |GROUP BY kind, shard, batch_ord
+      |ORDER BY kind, shard, batch_ord""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" ->
       ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "m02_media_stats" -> (mediaStats _),
     "m03_frame_resize_plan" -> (framePlan _),
-    "m04_payload_dedup" -> (payloadDedupStats _))
+    "m04_payload_dedup" -> (payloadDedupStats _),
+    "m05_decode_pack" -> ((s: SparkSession, d: String) => decodePack(s, d)))
 
   // m01/m03's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
   val oracles: Map[String, String] = Map(
     "m02_media_stats" -> mediaStatsSql,
-    "m04_payload_dedup" -> payloadDedupStatsSql)
+    "m04_payload_dedup" -> payloadDedupStatsSql,
+    "m05_decode_pack" -> decodePackSql)
 }

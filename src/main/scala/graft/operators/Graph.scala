@@ -125,9 +125,88 @@ object Graph {
     (head +: steps).mkString(",\n") + "\n" + tail
   }
 
+  /** g02: co-purchase similarity — the one-mode projection of the
+    * bipartite customer–supplier graph: for every supplier pair, the
+    * number of shared customers and the Jaccard overlap of their
+    * customer sets (the item-item collaborative-filtering primitive;
+    * in a document pipeline the same shape computes source-source or
+    * domain-domain audience overlap).
+    *
+    * Scale shape: pairs are generated per CUSTOMER (self-join of the
+    * distinct trading pairs on custkey with suppkey ordering), so the
+    * blow-up factor is each customer's supplier-list size, NOT the
+    * supplier count. Like t18's vocab bound, the fan-out is bounded IN
+    * CODE: customers whose supplier list exceeds `maxFan` are excluded
+    * from pair generation (a hub customer that trades with everyone
+    * carries no similarity signal and would contribute fan² pairs).
+    * The aggregate output is capped at |suppliers|² regardless of fact
+    * size, and per-supplier customer counts arrive via a broadcast from
+    * a partial-aggregatable groupBy — never a window.
+    */
+  def copurchase(s: SparkSession, dir: String,
+                 maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-supplier customer-set sizes: |suppliers|-row aggregate,
+    // broadcast into the final join (true set sizes — the fan bound
+    // below only limits pair GENERATION, not the denominators).
+    val supSize = pairs.groupBy($"sk").agg(count(lit(1)).as("n_cust"))
+    // One shuffle on custkey into a sorted per-customer supplier array,
+    // fan-bounded in code (t18's vocab-cutoff discipline), then pair
+    // expansion happens MAP-SIDE from the ≤maxFan array — no second
+    // shuffle of the fact-sized pair table, and the partial aggregate
+    // on (sk_a, sk_b) is bounded by |suppliers|² regardless of corpus.
+    val lists = pairs.groupBy($"ck")
+      .agg(sort_array(collect_set($"sk")).as("sks"))
+      .filter(size($"sks") <= maxFan)
+    val common = lists
+      .select(explode(expr(
+        """flatten(transform(sks, (x, i) ->
+          |  transform(slice(sks, i + 2, size(sks)),
+          |            y -> struct(x AS sk_a, y AS sk_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.sk_a", $"p.sk_b")
+      .groupBy($"sk_a", $"sk_b")
+      .agg(count(lit(1)).as("common"))
+      .filter($"common" >= minCommon)
+    common
+      .join(broadcast(supSize.select($"sk".as("sk_a"), $"n_cust".as("na"))), "sk_a")
+      .join(broadcast(supSize.select($"sk".as("sk_b"), $"n_cust".as("nb"))), "sk_b")
+      .select($"sk_a", $"sk_b", $"common",
+        round($"common" / ($"na" + $"nb" - $"common") + lit(1e-9), 6).as("jaccard"))
+      .orderBy($"jaccard".desc, $"common".desc, $"sk_a", $"sk_b")
+      .limit(top)
+  }
+
+  def copurchaseSql(maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |sup AS (SELECT sk, count(*) AS n_cust FROM pairs GROUP BY sk),
+       |fan AS (SELECT ck FROM pairs GROUP BY ck HAVING count(*) <= $maxFan),
+       |bounded AS (SELECT p.* FROM pairs p JOIN fan USING (ck)),
+       |common AS (
+       |  SELECT a.sk AS sk_a, b.sk AS sk_b, count(*) AS common
+       |  FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk
+       |  HAVING count(*) >= $minCommon)
+       |SELECT sk_a, sk_b, common,
+       |  round(common / (sa.n_cust + sb.n_cust - common) + 1e-9, 6) AS jaccard
+       |FROM common
+       |JOIN sup sa ON sa.sk = sk_a
+       |JOIN sup sb ON sb.sk = sk_b
+       |ORDER BY jaccard DESC, common DESC, sk_a, sk_b
+       |LIMIT $top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)))
+    "g01_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
+    "g02_copurchase" -> ((s: SparkSession, d: String) => copurchase(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "g01_pagerank" -> pagerankSql())
+    "g01_pagerank" -> pagerankSql(),
+    "g02_copurchase" -> copurchaseSql())
 }

@@ -973,6 +973,72 @@ object DocumentPipeline {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** t19: CCNet-style head/middle/tail buckets — per-LANGUAGE perplexity
+    * terciles (Wenzek et al. 2020 partition the crawl per language by LM
+    * perplexity and keep the "head"). Reuses t14's unigram cross-entropy
+    * arithmetic, then derives the two tercile cutoffs per language as a
+    * |langs|-row exact-percentile AGGREGATE broadcast back onto the
+    * stream (the q26 pattern — never a window partitioned by the
+    * 5-value lang key), so classification is map-only. The +1e-9 guard
+    * on the cutoff comparison absorbs last-ulp differences in the two
+    * engines' percentile interpolation; doc scores are 6-dp-rounded so
+    * real data sits ≥1e-6 from any boundary.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+    val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val nTotal = words.agg(count(lit(1)).as("n_total"))
+    val scored = words.join(lm, Seq("w"))
+      .crossJoin(nTotal)
+      .groupBy($"doc_id", $"lang")
+      .agg(round(avg(-log2($"n_w" / $"n_total")) + lit(1e-9), 6).as("xent_bits"))
+    val cuts = scored.groupBy($"lang").agg(
+      expr("percentile(xent_bits, 0.33333333)").as("c1"),
+      expr("percentile(xent_bits, 0.66666667)").as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when($"xent_bits" <= $"c1" + lit(1e-9), lit("head"))
+          .when($"xent_bits" <= $"c2" + lit(1e-9), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"xent_bits"), 6).as("min_xent"),
+        round(max($"xent_bits"), 6).as("max_xent"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val ccnetBucketsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |lm AS (
+      |  SELECT w, count(*) AS n_w, sum(count(*)) OVER () AS n_total
+      |  FROM words GROUP BY w),
+      |scored AS (
+      |  SELECT words.doc_id, words.lang,
+      |    round(avg(-log2(lm.n_w * 1.0 / lm.n_total)) + 1e-9, 6) AS xent_bits
+      |  FROM words JOIN lm USING (w)
+      |  GROUP BY words.doc_id, words.lang),
+      |cuts AS (
+      |  SELECT lang,
+      |    quantile_cont(xent_bits, 0.33333333) AS c1,
+      |    quantile_cont(xent_bits, 0.66666667) AS c2
+      |  FROM scored GROUP BY lang),
+      |bucketed AS (
+      |  SELECT s.lang, s.xent_bits,
+      |    CASE WHEN s.xent_bits <= c.c1 + 1e-9 THEN 'head'
+      |         WHEN s.xent_bits <= c.c2 + 1e-9 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM scored s JOIN cuts c USING (lang))
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  round(min(xent_bits), 6) AS min_xent,
+      |  round(max(xent_bits), 6) AS max_xent
+      |FROM bucketed
+      |GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   /** t15: BM25 ranking of documents against a fixed query-term set
     * (k1 = 1.2, b = 0.75) — the retrieval scorer layered on the same
     * stats t08's TF-IDF uses. Doc-frequency + average-length are tiny
@@ -1265,6 +1331,7 @@ object DocumentPipeline {
     "t18_pmi_cooccur" -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "p03_stratified_split" -> stratifiedSplit _,
     "p04_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "t19_ccnet_buckets" -> ccnetBuckets _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
@@ -1297,6 +1364,7 @@ object DocumentPipeline {
     "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "p04_temperature_mix" -> temperatureMixSql,
+    "t19_ccnet_buckets" -> ccnetBucketsSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,

@@ -42,6 +42,28 @@ class GraphSpec extends SparkSpec {
       s"top-decile mean rank $highMean should exceed bottom-decile $lowMean")
   }
 
+  test("g02 copurchase overlap counts are consistent and bounded") {
+    val co = operators.Graph.copurchase(spark, sf).persist()
+    val rows = co.collect()
+    assert(rows.nonEmpty)
+    // Pair set sizes: common customers can't exceed either side's set,
+    // jaccard in (0, 1], pairs canonically ordered.
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk")).distinct()
+    val sizes = pairs.groupBy($"sk").count().as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val (a, b, common, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, "canonical pair order")
+      assert(common <= math.min(sizes(a), sizes(b)))
+      assert(j > 0.0 && j <= 1.0 + 1e-9)
+      // jaccard recomputed from first principles
+      val expect = common.toDouble / (sizes(a) + sizes(b) - common)
+      assert(math.abs(j - (expect + 1e-9)) < 1e-6)
+    }
+    co.unpersist()
+  }
+
   test("q36 cdc merge applies latest-wins upserts and drops deletes") {
     val merged = pipeline.Relational.cdcMerge(spark, sf)
       .persist()

@@ -84,4 +84,27 @@ class MultimodalSpec extends SparkSpec {
     val expected = f.select(sum(ceil($"n_frames" / 2.0))).as[Long].head()
     assert(plan.count() == expected)
   }
+
+  test("m05 decode pack covers every asset once within byte budgets") {
+    val budget = 2048L
+    val media = Multimodal.mediaTable(spark, sf)
+    val packed = Multimodal.decodePackOf(media, budget).collect()
+    // exactly-once coverage
+    assert(packed.map(_.getAs[Long]("n_assets")).sum == media.count())
+    packed.foreach { r =>
+      val (bytes, maxAsset) =
+        (r.getAs[Long]("batch_bytes"), r.getAs[Long]("max_asset_bytes"))
+      // a batch closes when cum-before crosses the budget, so it can
+      // overshoot by strictly less than its largest member
+      assert(bytes < budget + maxAsset,
+        s"batch of $bytes B exceeds budget+max ($budget+$maxAsset)")
+    }
+    // batch ordinals are contiguous from 0 within each (kind, shard)
+    packed.groupBy(r => (r.getString(0), r.getInt(1))).foreach {
+      case (_, rows) =>
+        val ords = rows.map(_.getAs[Long]("batch_ord")).sorted
+        assert(ords.head == 0L &&
+          ords.sameElements(0L until ords.length.toLong))
+    }
+  }
 }

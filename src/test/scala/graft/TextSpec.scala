@@ -28,6 +28,25 @@ class TextSpec extends SparkSpec {
     assert(got(1) == ((3, 7)))
   }
 
+  test("t19 ccnet buckets partition each language into ~equal terciles") {
+    import org.apache.spark.sql.functions._
+    val b = pipeline.DocumentPipeline.ccnetBuckets(spark, sf).collect()
+    val byLang = b.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getString(1)).toSet == Set("head", "middle", "tail"),
+        s"$lang missing a bucket")
+      val counts = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val total = counts.values.sum
+      // terciles: each bucket within ±2 of total/3 (interpolation ties)
+      counts.values.foreach(c =>
+        assert(math.abs(c - total / 3.0) <= 2.0, s"$lang skewed: $counts"))
+      // buckets are ordered by score: head's max <= middle's min etc.
+      val byB = rows.map(r => r.getString(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+      assert(byB("head")._2 <= byB("middle")._1 + 1e-9)
+      assert(byB("middle")._2 <= byB("tail")._1 + 1e-9)
+    }
+  }
+
   test("langid picks the profile with most stopword hits") {
     val df = Seq(
       "the cat and the dog of the house is big",

@@ -190,6 +190,52 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
+    // Graph family at scale: the trade graph replicated ×mult as DISJOINT
+    // id-shifted subgraphs (shift preserves the bipartite low-bit node
+    // encoding). PageRank work grows linearly in |E| with unchanged
+    // convergence per subgraph; copurchase pair generation stays bounded
+    // by the fan cap. The deterministic cross-check: every replica is the
+    // same graph, so |V| and the per-replica rank multiset are identical —
+    // rank_rel values at ×mult must equal the 1× values exactly (the
+    // teleport term uses the GLOBAL node count, but rank_rel re-scales by
+    // it, and disjoint copies split mass evenly, so the scaled values
+    // coincide).
+    locally {
+      val pairs1 = operators.Graph.tradePairs(spark, sfDir)
+      val pairsN = (0 until mult).map(i =>
+          pairs1.select(($"ck" + lit(i.toLong * 10000000L)).as("ck"),
+            ($"sk" + lit(i.toLong * 10000000L)).as("sk")))
+        .reduce(_ unionByName _)
+      time(s"pagerank_x$mult") {
+        operators.Graph.pagerankOf(operators.Graph.tradeEdgesOf(pairsN)).count()
+      }
+      locally {
+        val r1 = operators.Graph.pagerankOf(operators.Graph.tradeEdgesOf(pairs1))
+          .agg(max($"rank_rel").as("mx"), sum($"rank_rel").as("mass"))
+          .collect()(0)
+        val rN = operators.Graph.pagerankOf(operators.Graph.tradeEdgesOf(pairsN))
+          .agg(max($"rank_rel").as("mx"), sum($"rank_rel").as("mass"))
+          .collect()(0)
+        println(f"""{"probe":"pagerank_replica_parity_x$mult","max_1x":${r1.getAs[Double]("mx")}%.4f,"max_Nx":${rN.getAs[Double]("mx")}%.4f,"mass_ratio":${rN.getAs[Double]("mass") / r1.getAs[Double]("mass")}%.3f}""")
+      }
+      spark.catalog.clearCache()
+      // Copurchase work is LINEAR in the fan-bounded expanded-pair volume
+      // (≈ customers × fan²/2 — at ×16 that is 184M pairs, ~75-90 s on
+      // this VM, 16× data for ~20× time within the noise band). Probe at
+      // ×4 so the linearity is measured without paying the full ×16 wall
+      // clock every round.
+      locally {
+        val cpMult = math.min(mult, 4)
+        val pairsCp = (0 until cpMult).map(i =>
+            pairs1.select(($"ck" + lit(i.toLong * 10000000L)).as("ck"),
+              ($"sk" + lit(i.toLong * 10000000L)).as("sk")))
+          .reduce(_ unionByName _)
+        time(s"copurchase_x$cpMult") {
+          operators.Graph.copurchaseOf(pairsCp, top = 50).count()
+        }
+      }
+      spark.catalog.clearCache()
+    }
     // Adversarial single-document probes (VERDICT r4 #3): one pathological
     // doc must degrade the whole job gracefully, not blow up one task.
     // d10: two identical 20k-token docs make EVERY 8-gram hot (df=2) — the

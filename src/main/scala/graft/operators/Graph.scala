@@ -31,17 +31,29 @@ import graft.Tables
   */
 object Graph {
 
+  /** Distinct (custkey, suppkey) trading pairs — the raw bipartite graph. */
+  def tradePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
+      .distinct()
+  }
+
   /** Symmetric edge list: distinct trading pairs in both directions.
     * Node ids are longs with the bipartite side in the low bit
     * (customer c → 2c, supplier s → 2s+1) — 8-byte keys shuffle and
     * hash ~3× cheaper than the "c123"/"s45" strings they encode.
     */
-  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    tradeEdgesOf(tradePairs(s, dir))
+
+  /** Core of [[tradeEdges]] over any (ck, sk) pair frame. */
+  def tradeEdgesOf(pairsRaw: DataFrame): DataFrame = {
+    val s = pairsRaw.sparkSession
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
-      .distinct()
+    val pairs = pairsRaw
+      .select(($"ck" * 2).as("a"), ($"sk" * 2 + 1).as("b"))
     pairs.select($"a".as("src"), $"b".as("dst"))
       .union(pairs.select($"b".as("src"), $"a".as("dst")))
   }
@@ -55,13 +67,19 @@ object Graph {
     * doubles and both engines must compute the same one.
     */
   def pagerank(s: SparkSession, dir: String,
-               iters: Int = 5, damping: Double = 0.85): DataFrame = {
+               iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pagerankOf(tradeEdges(s, dir), iters, damping)
+
+  /** Core of [[pagerank]] over any symmetric (src, dst) edge frame. */
+  def pagerankOf(edges: DataFrame,
+                 iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
     // Persist the edge list pre-partitioned AND pre-sorted on the join
     // key: every iteration joins on src, so paying the exchange+sort once
     // lets all 5 sort-merge joins reuse the cached layout — only the
     // |V|-row rank side moves per round.
-    val e = tradeEdges(s, dir)
+    val e = edges
       .repartition($"src")
       .sortWithinPartitions($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -144,13 +162,15 @@ object Graph {
     * a partial-aggregatable groupBy — never a window.
     */
   def copurchase(s: SparkSession, dir: String,
-                 maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
+                 maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame =
+    copurchaseOf(tradePairs(s, dir), maxFan, minCommon, top)
+
+  /** Core of [[copurchase]] over any distinct (ck, sk) pair frame. */
+  def copurchaseOf(pairsRaw: DataFrame,
+                   maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
+    val s = pairsRaw.sparkSession
     import s.implicits._
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsRaw.persist(StorageLevel.MEMORY_AND_DISK)
     // Per-supplier customer-set sizes: |suppliers|-row aggregate,
     // broadcast into the final join (true set sizes — the fan bound
     // below only limits pair GENERATION, not the denominators).
@@ -163,13 +183,14 @@ object Graph {
     val lists = pairs.groupBy($"ck")
       .agg(sort_array(collect_set($"sk")).as("sks"))
       .filter(size($"sks") <= maxFan)
+    // Two chained codegen'd explodes + an ordering filter, NOT a nested
+    // higher-order `transform` — HOFs evaluate per-element interpreted
+    // lambdas, which measured 20× slower than generated code on the ×16
+    // probe's 184M expanded pairs (the round-1 SimHash lesson again).
     val common = lists
-      .select(explode(expr(
-        """flatten(transform(sks, (x, i) ->
-          |  transform(slice(sks, i + 2, size(sks)),
-          |            y -> struct(x AS sk_a, y AS sk_b))))""".stripMargin))
-        .as("p"))
-      .select($"p.sk_a", $"p.sk_b")
+      .select(explode($"sks").as("sk_a"), $"sks")
+      .select($"sk_a", explode($"sks").as("sk_b"))
+      .filter($"sk_b" > $"sk_a")
       .groupBy($"sk_a", $"sk_b")
       .agg(count(lit(1)).as("common"))
       .filter($"common" >= minCommon)

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction + search — the retrieval-side storage
+  * layout a document pipeline serves queries from (the reference website
+  * answers keyword lookups from a client-side trie built over exported
+  * JSON — KeywordsPage.jsx:33-72; at 100 TB the index must live engine-
+  * side, laid out so a term lookup touches a fraction of the corpus).
+  *
+  * Layout: postings (term, doc_id, tf) written BUCKETED BY TERM and
+  * sorted by (term, doc_id) within buckets. An equality predicate on the
+  * bucket column prunes the scan to 1/N buckets before any I/O
+  * (`SelectedBucketsCount` in the plan — asserted in InvertedIndexSpec),
+  * and the sort gives parquet row-group min/max stats their best shot at
+  * the residual term filter. Multi-term AND-search joins the pruned
+  * per-term posting streams on doc_id; each stream is posting-list-sized
+  * (corpus-fraction), so the join is broadcast/small-shuffle territory —
+  * never a corpus scan.
+  */
+object InvertedIndex {
+
+  /** Tokenize into (term, doc_id, tf) postings — one partial-aggregatable
+    * shuffle on (term, doc_id).
+    */
+  def buildPostings(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Materialize the postings as a term-bucketed, term-sorted table. */
+  def writeIndex(documents: DataFrame, table: String, buckets: Int = 8): Unit =
+    buildPostings(documents).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term")
+      .sortBy("term", "doc_id")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** AND-search: documents containing EVERY query term, ranked by summed
+    * term frequency (deterministic doc_id tie-break), top k. Each term's
+    * posting stream comes from a bucket-pruned scan of the index table.
+    *
+    * NOTE: Spark's `DisableUnnecessaryBucketedScan` rule turns the
+    * bucketed layout OFF for scans with no downstream exchange to save —
+    * which also forfeits bucket PRUNING on the term predicate. A session
+    * serving index lookups should set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * so a single-term lookup reads 1/N buckets (InvertedIndexSpec
+    * asserts `SelectedBucketsCount: 1 out of 8` under that setting).
+    */
+  def andSearch(spark: SparkSession, table: String,
+                terms: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "andSearch needs at least one term")
+    val uniq = terms.distinct
+    val streams = uniq.zipWithIndex.map { case (t, i) =>
+      spark.table(table).filter($"term" === t)
+        .select($"doc_id", $"tf".as(s"tf_$i"))
+    }
+    val joined = streams.reduce((a, b) => a.join(b, "doc_id"))
+    val score = uniq.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    joined
+      .select($"doc_id", score.as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Inverted-index layout: posting correctness, bucket-pruned term
+  * lookups, and AND-search parity with a brute-force scan.
+  */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val indexed: Unit =
+    operators.InvertedIndex.writeIndex(
+      Tables.documents(spark, sf), "postings_idx", buckets = 8)
+
+  test("postings carry exact term frequencies") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b b")).toDF("doc_id", "text")
+    val got = operators.InvertedIndex.buildPostings(docs)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 2L), ("b", 1L, 1L), ("c", 1L, 1L), ("b", 2L, 3L)))
+  }
+
+  test("term lookup prunes to one bucket and pushes the predicate") {
+    indexed
+    // The auto-bucketed-scan rule would strip the bucketed layout (and
+    // with it the pruning) from an exchange-free lookup — serve index
+    // queries with it off, as the scaladoc documents.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val one = spark.table("postings_idx").filter($"term" === "the")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+      assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,the)"),
+        plan.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("AND-search matches a brute-force corpus scan") {
+    indexed
+    val terms = Seq("the", "data")
+    val got = operators.InvertedIndex
+      .andSearch(spark, "postings_idx", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    // brute force: docs whose token set contains every term, scored by
+    // summed occurrences of the query terms
+    val brute = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .filter { case (_, toks) => terms.forall(toks.contains) }
+      .map { case (id, toks) => (id, toks.count(terms.contains).toLong) }
+      .sortBy { case (id, score) => (-score, id) }
+      .take(10).toSeq
+    assert(got == brute)
+  }
+}

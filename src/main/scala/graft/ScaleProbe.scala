@@ -76,6 +76,12 @@ object ScaleProbe {
     time(s"hot_ngram_mask_x$mult") {
       operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
     }
+    // t19 at scale: full corpus tokenize + LM join + per-lang percentile
+    // cutoffs — the CCNet gate is corpus-bound, so it belongs in the probe.
+    time(s"ccnet_buckets_x$mult") {
+      pipeline.DocumentPipeline.ccnetBucketsOf(
+        big.select($"doc_id", $"lang", $"text")).count()
+    }
     // m01's batched decode at scale: count() cannot prune through the
     // typed mapPartitions, so every payload crosses the batch-decode
     // boundary — the work-scheduling number for the multimodal path.
@@ -182,6 +188,9 @@ object ScaleProbe {
       time(s"media_stats_x$mult") {
         multimodal.Multimodal.mediaStatsOf(media).count()
       }
+      time(s"media_decode_pack_x$mult") {
+        multimodal.Multimodal.decodePackOf(media, budgetBytes = 65536).count()
+      }
       locally {
         val stats = multimodal.Multimodal.payloadDedupStatsOf(media)
           .agg(sum($"n_dup_assets").as("dups"), sum($"bytes_saved").as("saved"))
@@ -200,7 +209,9 @@ object ScaleProbe {
     // teleport term uses the GLOBAL node count, but rank_rel re-scales by
     // it, and disjoint copies split mass evenly, so the scaled values
     // coincide).
-    locally {
+    // (Guarded: generated corpus dirs carry documents/embeddings/media
+    // only — the trade graph exists just in the TPC-H-ish testdata dirs.)
+    if (new java.io.File(s"$sfDir/orders.parquet").exists()) {
       val pairs1 = operators.Graph.tradePairs(spark, sfDir)
       val pairsN = (0 until mult).map(i =>
           pairs1.select(($"ck" + lit(i.toLong * 10000000L)).as("ck"),

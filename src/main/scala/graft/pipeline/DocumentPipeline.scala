@@ -984,9 +984,14 @@ object DocumentPipeline {
     * engines' percentile interpolation; doc scores are 6-dp-rounded so
     * real data sits ≥1e-6 from any boundary.
     */
-  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOf(Tables.documents(s, dir))
+
+  /** Core of [[ccnetBuckets]] over any (doc_id, lang, text) frame. */
+  def ccnetBucketsOf(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val words = Tables.documents(s, dir)
+    val words = documents
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
     val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
     val nTotal = words.agg(count(lit(1)).as("n_total"))

@@ -42,6 +42,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(pipeline.DocumentPipeline.sequencePackOf(empty).count() == 0)
   }
 
+  test("graph operators on an empty graph are empty, not an error") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("ck", "sk")
+    // pagerank's 1/N teleport literal is Infinity when N = 0 — it must
+    // stay inert on the zero-row rank frame, not surface as NaN rows
+    assert(operators.Graph
+      .pagerankOf(operators.Graph.tradeEdgesOf(emptyPairs)).count() == 0)
+    assert(operators.Graph.copurchaseOf(emptyPairs).count() == 0)
+  }
+
+  test("ccnet buckets and decode packing on empty input are empty") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(pipeline.DocumentPipeline.ccnetBucketsOf(docs).count() == 0)
+    val media = Seq.empty[(Long, String, Long)].toDF("doc_id", "kind", "n_bytes")
+    assert(multimodal.Multimodal.decodePackOf(media).count() == 0)
+  }
+
   test("dropped-bucket diagnostics on empty input are empty") {
     assert(operators.Dedup.minhashDroppedBuckets(emptyDocs).count() == 0)
     assert(operators.Dedup.simhashDroppedBuckets(emptyDocs).count() == 0)

@@ -36,6 +36,28 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
   }
 
+  /** Streaming heavy-hitters: the Misra-Gries sketch as STREAMING state —
+    * per watermarked window, at most k counters survive each incremental
+    * micro-batch merge, so state is bounded by windows-in-horizon × k
+    * counters no matter how many distinct items flow through (the exact
+    * streaming `groupBy(item).count()` would grow state with cardinality).
+    * Batch analog: t13; the sketch's capture (> N/k guaranteed present)
+    * and undercount (≤ N/k) bounds are pinned in TypedAggSpec, and merge
+    * order across micro-batches perturbs estimates only within that
+    * bound.
+    */
+  def heavyHittersStream(events: DataFrame, k: Int = 64,
+      watermark: String = "1 hour", windowLen: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val hh = udaf(new graft.functions.TypedAggregators.HeavyHitters(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", windowLen))
+      .agg(hh($"event_type").as("sketch"))
+      .select($"window", explode($"sketch").as(Seq("item", "est_count")))
+  }
+
   /** Streaming ingest into the hash-dedup incremental store: each
     * micro-batch lands via IncrementalIngest.appendBatch, so replayed or
     * cross-batch duplicate content is dropped exactly as in the reference's

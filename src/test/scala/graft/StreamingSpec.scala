@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming heavy-hitters sketch matches exact counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two micro-batches so the sketch state MERGES incrementally
+    mem.addData(evs.take(3): _*)
+    val q = StreamingOps.heavyHittersStream(mem.toDF(), k = 8)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(evs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT window.start AS h, item, est_count FROM shh")
+      .as[(Timestamp, String, Long)].collect().toSet
+    // vocabulary (3 types) « k=8: the MG sketch degenerates to exact
+    // per-window counts, so incremental merge must reproduce the batch
+    // grouping bit-for-bit
+    val want = evs.groupBy(e => (e.ts.getTime / 3600000L, e.event_type))
+      .map { case ((h, t), es) => (new Timestamp(h * 3600000L), t, es.size.toLong) }
+      .toSet
+    assert(got == want)
+  }
+
   test("stateful sessionizer emits closed sessions; open sessions stay in state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -68,6 +68,36 @@ object StreamProbe {
       q.stop()
     }
 
+    // Heavy-hitters sketch vs exact counting, both per watermarked window
+    // keyed by the HIGH-CARDINALITY user id (~100k distinct): the sketch
+    // holds ≤ k counters per window in ONE state row, where the exact
+    // count's state grows with distinct keys — the bounded-state claim,
+    // measured from the same feed.
+    locally {
+      val mem = MemoryStream[streaming.Ev]
+      val asItems = mem.toDF()
+        .selectExpr("ts", "cast(user_id AS string) AS event_type")
+      val q = streaming.StreamingOps.heavyHittersStream(asItems, k = 64)
+        .writeStream.format("memory").queryName("probe_shh")
+        .outputMode("complete").start()
+      evWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      report("stream_heavy_hitters", q, total)
+      q.stop()
+    }
+    locally {
+      val mem = MemoryStream[streaming.Ev]
+      val exact = mem.toDF()
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"),
+          $"user_id")
+        .count()
+      val q = exact.writeStream.format("memory").queryName("probe_exact_cnt")
+        .outputMode("append").start()
+      evWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      report("stream_exact_counts", q, total)
+      q.stop()
+    }
+
     // Continuous ingest + rollup maintenance: per-trigger cost of the
     // content-hash dedup append + delta-only rollup merge (foreachBatch —
     // no state operator; the "state" is the on-disk store + rollup).

@@ -96,6 +96,34 @@ object GenCorpus {
       .select($"vec_id", $"embedding", $"label")
   }
 
+  /** Deterministic power-law edge list — the adversarial shape for graph
+    * operators (a web/link graph's hub pages): endpoint sampling via
+    * inverse-CDF of a Zipf-ish distribution over xxhash64 uniforms, so
+    * node 1 is a hub touched by a constant FRACTION of all edges while
+    * the tail is near-uniform. Directed (src, dst) pairs; symmetrize with
+    * `Graph.tradeEdgesOf`-style unions if needed. exponent ≈ 2.0 gives
+    * max-degree ≈ |E|/ζ — a single reducer-busting key by construction.
+    */
+  def generatePowerLawEdges(spark: org.apache.spark.sql.SparkSession,
+      nEdges: Long, nNodes: Long, exponent: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    // src: inverse-CDF Zipf — u uniform in (0,1]; node = u^(-1/(a-1)) - 1,
+    // capped. P(src = 0) ≈ 1 - 2^-(a-1): the hub anchors a constant
+    // fraction of ALL edges. dst: uniform — so distinct() keeps the hub's
+    // degree at corpus-fraction scale instead of collapsing the head×head
+    // pair space (both-endpoints-Zipf yields only ~|head|² distinct pairs).
+    val u = (pmod(xxhash64($"id", lit(31)), lit(1000000)).cast("double")
+      + 1.0) / 1000000.0
+    val zipfSrc = least(
+      (pow(u, -1.0 / (exponent - 1.0)) - 1.0).cast("long"),
+      lit(nNodes - 1))
+    spark.range(nEdges)
+      .select(zipfSrc.as("src_n"),
+        pmod(xxhash64($"id", lit(37)), lit(nNodes)).as("dst_n"))
+      .filter($"src_n" =!= $"dst_n")
+      .distinct()
+  }
+
   /** Deterministic binary media table matching the multimodal record
     * schema (doc_id, kind, payload BINARY, n_bytes, content_hash): each
     * payload is 128–4095 bytes of md5-chained pseudorandom data, kinds

@@ -246,6 +246,34 @@ object ScaleProbe {
         }
       }
       spark.catalog.clearCache()
+      // Adversarial graph: a power-law (hub-heavy) edge list — the web-
+      // graph shape pagerank meets in production, where one node touches
+      // a constant fraction of all edges. The hub's edges land in ONE
+      // partition of the src-repartitioned cache (the skew stress); the
+      // contribution aggregate stays partial-aggregatable so the hub's
+      // in-flow collapses map-side. Sanity: the hub must hold the top
+      // rank.
+      locally {
+        val pl = GenCorpus.generatePowerLawEdges(spark, 2000000L, 100000L)
+        val sym = pl.select($"src_n".as("src"), $"dst_n".as("dst"))
+          .union(pl.select($"dst_n".as("src"), $"src_n".as("dst")))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = sym.groupBy($"src").count()
+        val (hubNode, maxDeg) = deg
+          .orderBy($"count".desc).limit(1)
+          .as[(Long, Long)].head()
+        val nE = sym.count()
+        time("pagerank_powerlaw") {
+          operators.Graph.pagerankOf(sym).count()
+        }
+        val top = operators.Graph.pagerankOf(sym)
+          .orderBy($"rank_rel".desc).limit(1)
+          .as[(Long, Double)].head()
+        println(f"""{"probe":"pagerank_powerlaw_shape","edges":$nE,"max_degree":$maxDeg,"hub_is_top":${top._1 == hubNode},"hub_rank_rel":${top._2}%.1f}""")
+        sym.unpersist()
+        spark.catalog.clearCache()
+      }
     }
     // Adversarial single-document probes (VERDICT r4 #3): one pathological
     // doc must degrade the whole job gracefully, not blow up one task.

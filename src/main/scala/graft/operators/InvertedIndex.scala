@@ -69,4 +69,21 @@ object InvertedIndex {
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
   }
+
+  /** OR-search: documents containing ANY query term, ranked by
+    * (terms matched, summed tf) with a doc_id tie-break. One union of
+    * bucket-pruned posting streams + one partial-aggregatable groupBy —
+    * the disjunctive counterpart of [[andSearch]].
+    */
+  def orSearch(spark: SparkSession, table: String,
+               terms: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "orSearch needs at least one term")
+    spark.table(table)
+      .filter($"term".isin(terms.distinct: _*))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum($"tf").as("score"))
+      .orderBy($"n_matched".desc, $"score".desc, $"doc_id")
+      .limit(k)
+  }
 }

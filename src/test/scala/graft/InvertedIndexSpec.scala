@@ -36,6 +36,24 @@ class InvertedIndexSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("OR-search matches a brute-force corpus scan") {
+    indexed
+    val terms = Seq("the", "data")
+    val got = operators.InvertedIndex
+      .orSearch(spark, "postings_idx", terms, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .filter { case (_, toks) => terms.exists(toks.contains) }
+      .map { case (id, toks) =>
+        (id, terms.count(toks.contains).toLong, toks.count(terms.contains).toLong)
+      }
+      .sortBy { case (id, m, s) => (-m, -s, id) }
+      .take(10).toSeq
+    assert(got == brute)
+  }
+
   test("AND-search matches a brute-force corpus scan") {
     indexed
     val terms = Seq("the", "data")

@@ -27,5 +27,6 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -oE '\{"metric".*'
 
 echo "== plans =="
-sbt -batch "runMain graft.Plans /root/testdata/sf0.01 PLANS_r4.md" 2>&1 | grep wrote
-grep -c "ERROR:" PLANS_r4.md && echo "plan errors present!" || echo "plans clean"
+ROUND="${ROUND:-7}"
+sbt -batch "runMain graft.Plans /root/testdata/sf0.01 PLANS_r${ROUND}.md" 2>&1 | grep wrote
+grep -c "ERROR:" "PLANS_r${ROUND}.md" && echo "plan errors present!" || echo "plans clean"

@@ -1059,7 +1059,70 @@ object Dedup {
       |WHERE doc_id < 80
       |ORDER BY doc_id""".stripMargin
 
+  /** d13: segment-granularity exact dedup — the practical form of exact
+    * substring deduplication (Lee et al. 2022 dedup the training corpus at
+    * suffix-array granularity; production pipelines approximate it by
+    * splitting each document into fixed-width token segments and keeping
+    * only each segment's FIRST corpus occurrence — d10 masks hot n-grams,
+    * this removes repeated passages). Every document is cut into
+    * consecutive `width`-token segments (last one ragged); a segment is
+    * kept iff its (doc_id, seg_id) is the corpus-wide minimum for that
+    * segment text. Output is the per-document retention profile — the
+    * numbers a curation run reports before rewriting the corpus.
+    *
+    * Scale shape: segmentation is map-only (bounded per-doc lambda work:
+    * O(tokens) total — slice windows don't overlap). Segments travel as
+    * md5 digests, never text, so the one corpus-wide shuffle on the
+    * segment key carries 16-byte hashes; the keeper choice is a
+    * partial-aggregatable min, and the keeper join reuses the same key
+    * (no second shuffle layout). The segment frame is persisted because
+    * the agg and the join-back both read it (the t18 lesson).
+    */
+  def segmentDedup(s: SparkSession, dir: String, width: Int = 10): DataFrame =
+    segmentDedupOf(Tables.documents(s, dir), width)
+
+  /** Core of [[segmentDedup]] over any (doc_id, text) frame. */
+  def segmentDedupOf(documents: DataFrame, width: Int): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val segs = documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0),
+          floor((size($"toks") + lit(width - 1)) / lit(width)).cast("int") - 1),
+        i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
+      .select($"doc_id", md5($"col").as("h"),
+        ($"doc_id" * 1000000L + $"pos").as("ord"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = segs.groupBy($"h").agg(min($"ord").as("keeper"))
+    segs.join(keepers, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when($"ord" === $"keeper", 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when($"ord" === $"keeper", 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)) + lit(1e-9), 6).as("kept_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  def segmentDedupSql(width: Int = 10): String =
+    s"""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |seg AS (
+       |  SELECT doc_id, unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS seg_id, toks
+       |  FROM ts),
+       |segh AS (
+       |  SELECT doc_id, doc_id * 1000000 + seg_id AS ord,
+       |    md5(array_to_string(toks[seg_id * $width + 1 : seg_id * $width + $width], ' ')) AS h
+       |  FROM seg),
+       |keep AS (SELECT h, min(ord) AS keeper FROM segh GROUP BY h)
+       |SELECT s.doc_id, count(*) AS n_seg,
+       |  sum(CASE WHEN s.ord = k.keeper THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  round(sum(CASE WHEN s.ord = k.keeper THEN 1 ELSE 0 END) * 1.0 / count(*)
+       |    + 1e-9, 6) AS kept_ratio
+       |FROM segh s JOIN keep k USING (h)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
     "d09_canonical" -> ((s: SparkSession, d: String) => canonicalPerCluster(s, d)),
@@ -1077,6 +1140,7 @@ object Dedup {
   // d02/d03 are hash-family-dependent (xxhash64 seeds) → not SQL-portable;
   // verified in DedupSpec against planted duplicates + brute-force Jaccard.
   val oracles: Map[String, String] = Map(
+    "d13_segment_dedup" -> segmentDedupSql(),
     "d01_dedup_exact" -> dedupExactSql,
     "d02b_minhash_portable" -> minhashPortableSql,
     "d03b_simhash_portable" -> simhashPortableSql,

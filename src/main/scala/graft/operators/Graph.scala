@@ -165,6 +165,34 @@ object Graph {
                  maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame =
     copurchaseOf(tradePairs(s, dir), maxFan, minCommon, top)
 
+  /** Shared-customer counts per ordered supplier pair (sk_a < sk_b) —
+    * the one-mode projection's edge weights; g02 ranks them by Jaccard
+    * and g03 counts triangles among them.
+    *
+    * One shuffle on custkey into a sorted per-customer supplier array,
+    * fan-bounded in code (t18's vocab-cutoff discipline), then pair
+    * expansion happens MAP-SIDE from the ≤maxFan array — no second
+    * shuffle of the fact-sized pair table, and the partial aggregate
+    * on (sk_a, sk_b) is bounded by |suppliers|² regardless of corpus.
+    * Two chained codegen'd explodes + an ordering filter, NOT a nested
+    * higher-order `transform` — HOFs evaluate per-element interpreted
+    * lambdas, which measured 20× slower than generated code on the ×16
+    * probe's 184M expanded pairs (the round-1 SimHash lesson again).
+    */
+  def projectionCommon(pairs: DataFrame, maxFan: Int, minCommon: Long): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.groupBy($"ck")
+      .agg(sort_array(collect_set($"sk")).as("sks"))
+      .filter(size($"sks") <= maxFan)
+      .select(explode($"sks").as("sk_a"), $"sks")
+      .select($"sk_a", explode($"sks").as("sk_b"))
+      .filter($"sk_b" > $"sk_a")
+      .groupBy($"sk_a", $"sk_b")
+      .agg(count(lit(1)).as("common"))
+      .filter($"common" >= minCommon)
+  }
+
   /** Core of [[copurchase]] over any distinct (ck, sk) pair frame. */
   def copurchaseOf(pairsRaw: DataFrame,
                    maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
@@ -175,25 +203,7 @@ object Graph {
     // broadcast into the final join (true set sizes — the fan bound
     // below only limits pair GENERATION, not the denominators).
     val supSize = pairs.groupBy($"sk").agg(count(lit(1)).as("n_cust"))
-    // One shuffle on custkey into a sorted per-customer supplier array,
-    // fan-bounded in code (t18's vocab-cutoff discipline), then pair
-    // expansion happens MAP-SIDE from the ≤maxFan array — no second
-    // shuffle of the fact-sized pair table, and the partial aggregate
-    // on (sk_a, sk_b) is bounded by |suppliers|² regardless of corpus.
-    val lists = pairs.groupBy($"ck")
-      .agg(sort_array(collect_set($"sk")).as("sks"))
-      .filter(size($"sks") <= maxFan)
-    // Two chained codegen'd explodes + an ordering filter, NOT a nested
-    // higher-order `transform` — HOFs evaluate per-element interpreted
-    // lambdas, which measured 20× slower than generated code on the ×16
-    // probe's 184M expanded pairs (the round-1 SimHash lesson again).
-    val common = lists
-      .select(explode($"sks").as("sk_a"), $"sks")
-      .select($"sk_a", explode($"sks").as("sk_b"))
-      .filter($"sk_b" > $"sk_a")
-      .groupBy($"sk_a", $"sk_b")
-      .agg(count(lit(1)).as("common"))
-      .filter($"common" >= minCommon)
+    val common = projectionCommon(pairs, maxFan, minCommon)
     common
       .join(broadcast(supSize.select($"sk".as("sk_a"), $"n_cust".as("na"))), "sk_a")
       .join(broadcast(supSize.select($"sk".as("sk_b"), $"n_cust".as("nb"))), "sk_b")
@@ -223,11 +233,81 @@ object Graph {
        |ORDER BY jaccard DESC, common DESC, sk_a, sk_b
        |LIMIT $top""".stripMargin
 
+  /** g03: per-node triangle participation over the similarity graph —
+    * the local clustering signal (triangle-dense neighborhoods are
+    * communities; in corpus curation the same count separates sources
+    * that share audiences in cliques from hub-spoke scrapers). The graph
+    * is the one-mode projection's edge set (supplier pairs with ≥
+    * `minCommon` shared customers), with edges held in canonical u < v
+    * orientation so every triangle a<b<c is enumerated exactly once as
+    * (a,b)+(b,c)+(a,c) — the "forward" algorithm's ordering trick, no
+    * post-hoc dedup of 6 permutations.
+    *
+    * Scale shape: the edge set is |suppliers|²-bounded by construction
+    * (independent of fact size — the projection already paid the one
+    * corpus shuffle), so the two triangle joins run on data-bounded
+    * inputs and AQE broadcasts the smaller sides; the closing join keys
+    * on the (u,v) edge pair. The per-node rollup is partial-aggregatable.
+    * At web scale you'd additionally orient edges by degree (point each
+    * edge at the higher-degree endpoint) to bound the wedge fan-out per
+    * node — noted here because the trade graph's projection is
+    * near-regular, making the canonical orientation sufficient.
+    */
+  def triangles(s: SparkSession, dir: String,
+                maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame =
+    trianglesOf(tradePairs(s, dir), maxFan, minCommon, top)
+
+  /** Core of [[triangles]] over any distinct (ck, sk) pair frame. */
+  def trianglesOf(pairsRaw: DataFrame,
+                  maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
+    val s = pairsRaw.sparkSession
+    import s.implicits._
+    val e = projectionCommon(pairsRaw, maxFan, minCommon)
+      .select($"sk_a".as("u"), $"sk_b".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    tri.select($"a".as("node"))
+      .union(tri.select($"b".as("node")))
+      .union(tri.select($"c".as("node")))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy($"n_tri".desc, $"node")
+      .limit(top)
+  }
+
+  def trianglesSql(maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |fan AS (SELECT ck FROM pairs GROUP BY ck HAVING count(*) <= $maxFan),
+       |bounded AS (SELECT p.* FROM pairs p JOIN fan USING (ck)),
+       |edges AS (
+       |  SELECT a.sk AS u, b.sk AS v
+       |  FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.sk < b.sk
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minCommon),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.v = e2.u
+       |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT node, count(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b AS node FROM tri
+       |  UNION ALL SELECT c AS node FROM tri)
+       |GROUP BY node ORDER BY n_tri DESC, node LIMIT $top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
-    "g02_copurchase" -> ((s: SparkSession, d: String) => copurchase(s, d)))
+    "g02_copurchase" -> ((s: SparkSession, d: String) => copurchase(s, d)),
+    "g03_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql(),
-    "g02_copurchase" -> copurchaseSql())
+    "g02_copurchase" -> copurchaseSql(),
+    "g03_triangles" -> trianglesSql())
 }

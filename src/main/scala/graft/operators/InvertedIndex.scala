@@ -70,6 +70,94 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Compacted index layout: posting lists stored as fixed-size BLOCKS of
+    * delta-encoded doc-id gaps — one row per (term, block) instead of one
+    * per posting, the classic inverted-file compression shape (block-max
+    * indexes delta-encode doc gaps exactly like this; parquet's integer
+    * encodings then squeeze the small gaps where absolute ids wouldn't
+    * compress). Each block carries its first doc id ABSOLUTE (`base_doc`)
+    * plus in-block gaps, so a block decodes independently — no
+    * cross-block prefix sum, and skipping a block never breaks decoding.
+    *
+    * Scale shape: the row count drops from Σ df to Σ ⌈df/block⌉ and the
+    * term string is stored once per block, not once per posting; the
+    * bucketed-by-term layout keeps 1/N-bucket pruning on lookups. The
+    * block split is map-side from each term's sorted posting array
+    * (the d13 segment trick); the build-side collect_list buffers one
+    * term's postings in the agg buffer — the documented bound is the
+    * hottest term's df, which a production build caps by splitting
+    * stop-grade terms out (t18's vocab discipline). Decode cost is
+    * bounded IN CODE: the running-sum window partitions on (term, blk),
+    * never more than `block` rows.
+    */
+  def writeCompactIndex(documents: DataFrame, table: String,
+                        buckets: Int = 8, block: Int = 128): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val lists = buildPostings(documents)
+      .groupBy($"term")
+      .agg(sort_array(collect_list(struct($"doc_id", $"tf"))).as("ps"))
+    lists
+      .select($"term", size($"ps").as("df"), posexplode(transform(
+        sequence(lit(0),
+          floor((size($"ps") + lit(block - 1)) / lit(block)).cast("int") - 1),
+        i => {
+          val blk = slice($"ps", i * block + 1, lit(block))
+          val ids = transform(blk, p => p.getField("doc_id"))
+          struct(
+            element_at(ids, 1).as("base_doc"),
+            zip_with(ids,
+              concat(array(element_at(ids, 1)), slice(ids, lit(1), size(ids) - 1)),
+              (a, b) => a - b).as("gaps"),
+            transform(blk, p => p.getField("tf")).as("tfs"))
+        })))
+      .select($"term", $"df", $"pos".as("blk"),
+        $"col.base_doc", $"col.gaps", $"col.tfs")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term")
+      .sortBy("term", "blk")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Decode (term, doc_id, tf) postings for the given terms from a
+    * [[writeCompactIndex]] table. The scan is bucket-pruned by the term
+    * predicate; each block decodes via a running gap sum whose window
+    * partition is ≤ `block` rows by construction.
+    */
+  def lookupCompact(spark: SparkSession, table: String,
+                    terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term", $"blk").orderBy($"pos")
+    spark.table(table)
+      .filter($"term".isin(terms.distinct: _*))
+      .select($"term", $"blk", $"base_doc",
+        posexplode(arrays_zip($"gaps", $"tfs")))
+      .withColumn("doc_id", $"base_doc" + sum($"col.gaps").over(w))
+      .select($"term", $"doc_id", $"col.tfs".as("tf"))
+  }
+
+  /** [[andSearch]] served from the compact layout: same join-of-streams
+    * plan over [[lookupCompact]] postings.
+    */
+  def andSearchCompact(spark: SparkSession, table: String,
+                       terms: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty, "andSearchCompact needs at least one term")
+    val uniq = terms.distinct
+    val posts = lookupCompact(spark, table, uniq)
+    val streams = uniq.zipWithIndex.map { case (t, i) =>
+      posts.filter($"term" === t).select($"doc_id", $"tf".as(s"tf_$i"))
+    }
+    val joined = streams.reduce((a, b) => a.join(b, "doc_id"))
+    val score = uniq.indices.map(i => col(s"tf_$i")).reduce(_ + _)
+    joined
+      .select($"doc_id", score.as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** OR-search: documents containing ANY query term, ranked by
     * (terms matched, summed tf) with a doc_id tie-break. One union of
     * bucket-pruned posting streams + one partial-aggregatable groupBy —

@@ -1309,7 +1309,94 @@ object DocumentPipeline {
       |ORDER BY pmi DESC, w_a, w_b
       |LIMIT 50""".stripMargin
 
+  /** t20: model-based quality scoring — the hashed-feature linear
+    * classifier shape (a fastText-style model scored engine-side: every
+    * token hashes to a weight, the document score is the tf-weighted
+    * mean, the keep gate is the sign — exactly how learned quality
+    * filters run inside LLM curation pipelines; the trained weight
+    * table would replace the hash family without changing the plan).
+    * Weights here are the md5-parity ±1 family (the d11 hyperplane
+    * trick) so the WHOLE scoring pipeline is cross-engine checkable.
+    *
+    * Scale shape: one partial-aggregatable shuffle on (doc, token) for
+    * the tf counts, one on doc for the score — no model broadcast at
+    * all in the hashed form (the weight is computed from the token), and
+    * a trained embedding-table variant broadcasts a |vocab|-row map.
+    * Everything codegen'd; keep decision is sign-exact (numerator sign,
+    * no fp threshold straddle).
+    */
+  def classifierQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+    val wgt = when(
+      conv(substring(md5($"w"), 1, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    wc.groupBy($"doc_id")
+      .agg((sum($"n" * wgt).cast("double") / sum($"n")).as("raw"))
+      .select($"doc_id",
+        round($"raw" + lit(1e-9), 6).as("score_raw"),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * $"raw")) + lit(1e-9), 6)
+          .as("quality_prob"),
+        ($"raw" >= 0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val classifierQualitySql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2),
+      |sc AS (SELECT doc_id,
+      |  sum(n * (CASE WHEN ('0x' || substring(md5(w), 1, 1))::INT % 2 = 0
+      |           THEN 1 ELSE -1 END))::DOUBLE / sum(n) AS raw
+      |  FROM wc GROUP BY doc_id)
+      |SELECT doc_id, round(raw + 1e-9, 6) AS score_raw,
+      |  round(1.0 / (1.0 + exp(-4.0 * raw)) + 1e-9, 6) AS quality_prob,
+      |  raw >= 0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** t21: Zipf-law fit per language — the slope of log(frequency) against
+    * log(rank) over the top-`topK` corpus terms (natural corpora track
+    * slope ≈ −1; a corpus whose exponent drifts is template-heavy or
+    * scraped junk — a distributional health check next to q35's KL drift).
+    *
+    * Scale shape: the ranked input is the VOCABULARY-sized (lang, term)
+    * frequency table — data-bounded, not corpus-bounded — and the
+    * row_number + rank filter compiles to WindowGroupLimit (per-partition
+    * partial top-k, the q23 pattern), so no full sort of the vocab table
+    * happens either. The regression itself is a |langs|-row moment
+    * aggregate.
+    */
+  def zipfFit(s: SparkSession, dir: String, topK: Int = 200): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"w")
+    wc.withColumn("rnk", row_number().over(byLang))
+      .filter($"rnk" <= topK)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log($"n"), log($"rnk")) + lit(1e-9), 6).as("zipf_slope"),
+        round(regr_r2(log($"n"), log($"rnk")) + lit(1e-9), 6).as("fit_r2"))
+      .orderBy($"lang")
+  }
+
+  def zipfFitSql(topK: Int = 200): String =
+    s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT lang, w, count(*) AS n FROM w GROUP BY 1, 2),
+       |rk AS (SELECT lang, w, n,
+       |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rnk FROM wc),
+       |top AS (SELECT * FROM rk WHERE rnk <= $topK)
+       |SELECT lang, count(*) AS n_terms,
+       |  round(regr_slope(ln(n), ln(rnk)) + 1e-9, 6) AS zipf_slope,
+       |  round(regr_r2(ln(n), ln(rnk)) + 1e-9, 6) AS fit_r2
+       |FROM top GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_classifier_quality" -> classifierQuality _,
+    "t21_zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
     "t14_lm_perplexity" -> lmPerplexity _,
     "t15_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
     "t10_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprint(s, d)),
@@ -1346,6 +1433,8 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _)
 
   val oracles: Map[String, String] = Map(
+    "t20_classifier_quality" -> classifierQualitySql,
+    "t21_zipf_fit" -> zipfFitSql(),
     "t14_lm_perplexity" -> lmPerplexitySql,
     "t15_bm25" -> bm25Sql,
     "t11_vocab_stats" -> vocabStatsSql,

@@ -285,7 +285,59 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** e12: robust outlier detection per event type via median/MAD — the
+    * distribution-shape-safe complement of q26's mean/stddev z-score (one
+    * heavy-tailed burst drags a mean far enough to hide real outliers;
+    * the median and the median absolute deviation don't move). Flags
+    * events where the modified z-score 0.6745·(v − med)/MAD exceeds 3.5
+    * (the Iglewicz–Hoban cut).
+    *
+    * Scale shape: exactly the q26 pattern twice — each per-type statistic
+    * is a |types|-row exact-percentile AGGREGATE broadcast back onto the
+    * stream, never a window partitioned by the low-cardinality type key.
+    * Two aggregate passes are inherent (MAD needs the median first); at
+    * 100 TB both swap to percentile_approx with the same plan shape.
+    * Zero-MAD groups (>50% identical values) are excluded rather than
+    * dividing by zero.
+    */
+  def madOutliers(s: SparkSession, dir: String, cut: Double = 3.5): DataFrame =
+    madOutliersOf(Tables.events(s, dir), cut)
+
+  /** Core of [[madOutliers]] over any (event_id, event_type, value) frame. */
+  def madOutliersOf(ev: DataFrame, cut: Double): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("d", $"value" - $"med")
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(abs(d), 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("robust_z", round(lit(0.6745) * $"d" / $"mad" + lit(1e-9), 4))
+      .filter($"mad" > 0 && abs($"robust_z") > cut)
+      .select($"event_id", $"event_type", $"value", $"robust_z")
+      .orderBy($"event_id")
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, e.value - m.med AS d
+      |  FROM events e JOIN med m USING (event_type)),
+      |madt AS (
+      |  SELECT event_type, quantile_cont(abs(d), 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  round(0.6745 * d / mad + 1e-9, 4) AS robust_z
+      |FROM dev JOIN madt USING (event_type)
+      |WHERE mad > 0 AND abs(round(0.6745 * d / mad + 1e-9, 4)) > 3.5
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "e11_ewma_stats" -> ewmaTypeStats _,
     "e10_sliding_window" -> slidingWindowAgg _,
     "e06_type_stats" -> typeStats _,
@@ -296,6 +348,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e12_mad_outliers" -> madOutliersSql,
     "e11_ewma_stats" -> ewmaTypeStatsSql,
     "e10_sliding_window" -> slidingWindowAggSql,
     "e06_type_stats" -> typeStatsSql,

@@ -78,4 +78,19 @@ class AnalyticsSpec extends SparkSpec {
         graft.operators.Dedup.shingles($"text", 3), 4).as("fp"))
     assert(df.select(size($"fp")).head().getInt(0) == 1)
   }
+
+  test("e12 MAD outliers: zero-MAD groups are excluded, heavy tails flagged") {
+    import spark.implicits._
+    // "flat": >50% identical values -> MAD 0 -> the group must be skipped
+    // entirely (no division blow-up), even though 99.0 is a wild outlier
+    // by the mean/stddev yardstick. "spread": median 5.5, MAD 2.5 -> only
+    // the 1000.0 event crosses the 3.5 modified-z cut.
+    val ev = (Seq((1L, "flat", 5.0), (2L, "flat", 5.0), (3L, "flat", 5.0),
+      (4L, "flat", 99.0)) ++
+      (1 to 9).map(i => (10L + i, "spread", i.toDouble)) :+ (20L, "spread", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val got = pipeline.Events.madOutliersOf(ev, 3.5)
+      .select($"event_id", $"event_type").as[(Long, String)].collect().toSeq
+    assert(got == Seq((20L, "spread")), got.toString)
+  }
 }

@@ -303,6 +303,37 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d13 segment dedup keeps only the first corpus occurrence of a passage") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ") // exactly 2 segments
+    val tail10 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      1L -> passage, // both segments are first occurrences
+      2L -> (passage + " " + tail10), // first 2 of 3 segments duplicate doc 1
+      3L -> tail10, // its only segment duplicates doc 2's tail
+      4L -> (tail10 + " " + tail10) // within-doc repeat: second copy dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedupOf(docs, width = 10)
+      .select($"doc_id", $"n_seg", $"n_kept")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map(1L -> (2L, 2L), 2L -> (3L, 1L), 3L -> (1L, 0L),
+      4L -> (2L, 0L)), got.toString)
+    spark.catalog.clearCache()
+  }
+
+  test("d13 kept mass equals the corpus's distinct segment count") {
+    val res = Dedup.segmentDedup(spark, sf).persist()
+    val kept = res.agg(sum($"n_kept")).head().getLong(0)
+    val distinctSegs = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(posexplode(transform(
+        sequence(lit(0), floor((size($"toks") + lit(9)) / lit(10)).cast("int") - 1),
+        i => array_join(slice($"toks", i * 10 + 1, lit(10)), " "))))
+      .select($"col").distinct().count()
+    assert(kept == distinctSegs, s"kept $kept vs distinct segments $distinctSegs")
+    res.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

@@ -100,4 +100,21 @@ class GraphSpec extends SparkSpec {
     assert(pRatio < rawRatio || rawRatio == 1.0)
     mix.unpersist()
   }
+
+  test("g03 triangle counts match brute-force enumeration of the projection graph") {
+    val pairs = operators.Graph.tradePairs(spark, sf)
+    val es = operators.Graph.projectionCommon(pairs, maxFan = 64, minCommon = 2)
+      .select($"sk_a", $"sk_b").as[(Long, Long)].collect().toSet
+    assert(es.nonEmpty)
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (t <- nodes.combinations(3)
+         if es((t(0), t(1))) && es((t(1), t(2))) && es((t(0), t(2)))) {
+      cnt(t(0)) += 1; cnt(t(1)) += 1; cnt(t(2)) += 1
+    }
+    val want = cnt.toSeq.sortBy { case (n, tri) => (-tri, n) }.take(50)
+    val got = operators.Graph.triangles(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
+    spark.catalog.clearCache()
+  }
 }

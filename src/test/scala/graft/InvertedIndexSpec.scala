@@ -54,6 +54,63 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  private lazy val compacted: Unit =
+    operators.InvertedIndex.writeCompactIndex(
+      Tables.documents(spark, sf), "postings_cidx", buckets = 8, block = 16)
+
+  test("compact index decodes every posting exactly (block-delta round trip)") {
+    indexed; compacted
+    val allTerms = spark.table("postings_idx")
+      .select($"term").distinct().as[String].collect().toSeq
+    val got = operators.InvertedIndex
+      .lookupCompact(spark, "postings_cidx", allTerms)
+      .as[(String, Long, Long)].collect().toSet
+    val want = spark.table("postings_idx")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"decoded ${got.size} vs flat ${want.size}")
+    // compaction really compacts: fewer rows, in-code block bound, and
+    // fewer bytes on disk than one row per posting
+    val nBlocks = spark.table("postings_cidx").count()
+    val nPosts = spark.table("postings_idx").count()
+    assert(nBlocks < nPosts, s"$nBlocks blocks vs $nPosts postings")
+    assert(spark.table("postings_cidx")
+      .select(max(size($"gaps"))).head().getInt(0) <= 16, "block bound")
+    def tableBytes(t: String): Long = {
+      val wh = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(wh)
+    }
+    val (cb, fb) = (tableBytes("postings_cidx"), tableBytes("postings_idx"))
+    assert(cb < fb, s"compact $cb bytes vs flat $fb bytes")
+  }
+
+  test("compact AND-search matches the flat-index AND-search") {
+    indexed; compacted
+    val terms = Seq("the", "data")
+    val flat = operators.InvertedIndex
+      .andSearch(spark, "postings_idx", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val comp = operators.InvertedIndex
+      .andSearchCompact(spark, "postings_cidx", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(comp == flat)
+  }
+
+  test("compact term lookup stays bucket-pruned") {
+    compacted
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val one = spark.table("postings_cidx").filter($"term" === "the")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("AND-search matches a brute-force corpus scan") {
     indexed
     val terms = Seq("the", "data")

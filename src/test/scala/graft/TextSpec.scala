@@ -47,6 +47,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t20 classifier keep gate is the score's sign and prob is monotone in score") {
+    val rows = pipeline.DocumentPipeline.classifierQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, p, k) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert(p > 0.0 && p < 1.0, s"prob $p out of (0,1)")
+      if (s > 1e-6) assert(k, s"score $s must keep")
+      if (s < -1e-6) assert(!k, s"score $s must drop")
+    }
+    val byScore = rows.map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    byScore.sliding(2).foreach {
+      case Array((s1, p1), (s2, p2)) =>
+        assert(p2 >= p1 - 1e-9, s"prob not monotone: ($s1,$p1) -> ($s2,$p2)")
+      case _ =>
+    }
+  }
+
+  test("t21 zipf slope is negative for every language over at most topK ranks") {
+    val rows = pipeline.DocumentPipeline.zipfFit(spark, sf).collect()
+    assert(rows.length == 5, "one row per language")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 200, "rank cutoff respected")
+      assert(r.getDouble(2) < 0.0,
+        s"${r.getString(0)}: frequency must decay with rank, slope ${r.getDouble(2)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "r2 in [0,1]")
+    }
+  }
+
   test("langid picks the profile with most stopword hits") {
     val df = Seq(
       "the cat and the dog of the house is big",

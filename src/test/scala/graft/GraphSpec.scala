@@ -101,11 +101,18 @@ class GraphSpec extends SparkSpec {
     mix.unpersist()
   }
 
-  test("g03 triangle counts match brute-force enumeration of the projection graph") {
+  test("g03 triangle counts match brute-force enumeration of the strong-edge graph") {
     val pairs = operators.Graph.tradePairs(spark, sf)
-    val es = operators.Graph.projectionCommon(pairs, maxFan = 64, minCommon = 2)
-      .select($"sk_a", $"sk_b").as[(Long, Long)].collect().toSet
+    val es = operators.Graph.strongEdges(pairs, maxFan = 64, minCommon = 2,
+        strengthQ = 0.9)
+      .select($"u", $"v").as[(Long, Long)].collect().toSet
     assert(es.nonEmpty)
+    // The quantile gate must actually thin the projection — on this data
+    // the minCommon=2 projection is complete, which would make counts
+    // degenerate (see the triangles scaladoc).
+    val full = operators.Graph.projectionCommon(pairs, maxFan = 64, minCommon = 2)
+      .count()
+    assert(es.size < full, s"strong edges ${es.size} must thin projection $full")
     val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for (t <- nodes.combinations(3)

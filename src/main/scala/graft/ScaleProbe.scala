@@ -82,6 +82,54 @@ object ScaleProbe {
       pipeline.DocumentPipeline.ccnetBucketsOf(
         big.select($"doc_id", $"lang", $"text")).count()
     }
+    // d13 at scale: replicas make every segment an exact duplicate, so
+    // the corpus-wide kept mass must collapse toward 1/mult — the
+    // deterministic cross-check for the min-ord keeper choice, measured
+    // alongside the wall-clock of the one 16-byte-digest shuffle.
+    time(s"segment_dedup_x$mult") {
+      operators.Dedup.segmentDedupOf(big.select($"doc_id", $"text"), 10).count()
+    }
+    locally {
+      val prof = operators.Dedup
+        .segmentDedupOf(big.select($"doc_id", $"text"), 10)
+        .agg(sum($"n_seg").as("segs"), sum($"n_kept").as("kept"))
+        .collect()(0)
+      val segs = prof.getAs[Long]("segs")
+      val kept = prof.getAs[Long]("kept")
+      println(f"""{"probe":"segment_kept_mass_x$mult","segs":$segs,"kept":$kept,"kept_ratio":${kept.toDouble / segs}%.4f}""")
+    }
+    // t20/t21 at scale: the classifier is two partial-aggregatable
+    // shuffles (linear); the Zipf fit's window input is VOCAB-bounded, so
+    // its time must stay flat as the corpus replicates.
+    time(s"classifier_quality_x$mult") {
+      pipeline.DocumentPipeline.classifierQualityOf(
+        big.select($"doc_id", $"text")).count()
+    }
+    time(s"zipf_fit_x$mult") {
+      pipeline.DocumentPipeline.zipfFitOf(
+        big.select($"lang", $"text"), 200).count()
+    }
+    // Compact index layout at scale: block-delta rows vs one-per-posting,
+    // and a lookup served from the compacted table. The compression claim
+    // is the row-count ratio; the lookup must stay posting-list-sized.
+    locally {
+      val docs = big.select($"doc_id", $"text")
+      val nPost = operators.InvertedIndex.buildPostings(docs).count()
+      time(s"compact_index_build_x$mult") {
+        operators.InvertedIndex.writeCompactIndex(docs, "probe_idx_compact")
+        spark.table("probe_idx_compact").count()
+      }
+      val nBlocks = spark.table("probe_idx_compact").count()
+      println(f"""{"probe":"compact_index_rows_x$mult","postings":$nPost,"blocks":$nBlocks,"ratio":${nPost.toDouble / nBlocks}%.1f}""")
+      val terms = operators.InvertedIndex.buildPostings(docs)
+        .groupBy($"term").count().orderBy($"count".desc, $"term")
+        .limit(3).select($"term").as[String].collect().toSeq
+      time(s"compact_and_search_x$mult") {
+        operators.InvertedIndex.andSearchCompact(spark, "probe_idx_compact", terms).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS probe_idx_compact")
+      spark.catalog.clearCache()
+    }
     // m01's batched decode at scale: count() cannot prune through the
     // typed mapPartitions, so every payload crosses the batch-decode
     // boundary — the work-scheduling number for the multimodal path.
@@ -199,6 +247,25 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
+    // e12 at scale: events replicated ×mult (id-shifted). Replication
+    // leaves every per-type median and MAD EXACTLY unchanged (each value
+    // repeats mult times), so the outlier set must be exactly mult× the
+    // 1× rows — the deterministic cross-check that the broadcast-
+    // aggregate pattern computes the same statistics at any volume.
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val ev1 = Tables.events(spark, sfDir)
+      val evN = (0 until mult).map(i =>
+          ev1.withColumn("event_id", $"event_id" + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+      val rows1 = pipeline.Events.madOutliersOf(ev1, 3.5).count()
+      var rowsN = 0L
+      time(s"mad_outliers_x$mult") {
+        rowsN = pipeline.Events.madOutliersOf(evN, 3.5).count()
+        rowsN
+      }
+      println(s"""{"probe":"mad_outlier_parity_x$mult","rows_1x":$rows1,"rows_Nx":$rowsN,"exact_mult":${rowsN == rows1 * mult}}""")
+      spark.catalog.clearCache()
+    }
     // Graph family at scale: the trade graph replicated ×mult as DISJOINT
     // id-shifted subgraphs (shift preserves the bipartite low-bit node
     // encoding). PageRank work grows linearly in |E| with unchanged
@@ -243,6 +310,14 @@ object ScaleProbe {
           .reduce(_ unionByName _)
         time(s"copurchase_x$cpMult") {
           operators.Graph.copurchaseOf(pairsCp, top = 50).count()
+        }
+        // g03 on the same replicated disjoint graphs: the strong-edge
+        // quantile is computed over the UNION distribution, which is the
+        // 1× distribution repeated — so each replica keeps the same
+        // strong edges and triangle work grows linearly, never by the
+        // wedge blowup the arithmetic counting exists to avoid.
+        time(s"triangles_x$cpMult") {
+          operators.Graph.trianglesOf(pairsCp, top = 50).count()
         }
       }
       spark.catalog.clearCache()

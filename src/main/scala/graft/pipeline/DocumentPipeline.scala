@@ -1325,9 +1325,14 @@ object DocumentPipeline {
     * Everything codegen'd; keep decision is sign-exact (numerator sign,
     * no fp threshold straddle).
     */
-  def classifierQuality(s: SparkSession, dir: String): DataFrame = {
+  def classifierQuality(s: SparkSession, dir: String): DataFrame =
+    classifierQualityOf(Tables.documents(s, dir))
+
+  /** Core of [[classifierQuality]] over any (doc_id, text) frame. */
+  def classifierQualityOf(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val wc = Tables.documents(s, dir)
+    val wc = documents
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
     val wgt = when(
@@ -1367,9 +1372,14 @@ object DocumentPipeline {
     * happens either. The regression itself is a |langs|-row moment
     * aggregate.
     */
-  def zipfFit(s: SparkSession, dir: String, topK: Int = 200): DataFrame = {
+  def zipfFit(s: SparkSession, dir: String, topK: Int = 200): DataFrame =
+    zipfFitOf(Tables.documents(s, dir), topK)
+
+  /** Core of [[zipfFit]] over any (lang, text) frame. */
+  def zipfFitOf(documents: DataFrame, topK: Int): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val wc = Tables.documents(s, dir)
+    val wc = documents
       .select($"lang", explode(split($"text", " ")).as("w"))
       .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
     val byLang = org.apache.spark.sql.expressions.Window

@@ -33,6 +33,19 @@ object ScaleProbe {
       println(f"""{"probe":"$what","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
     }
 
+    // A crashed prior run can leave a managed table's location behind
+    // with no catalog entry — Overwrite then refuses the name. Clear both.
+    def freshTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+
     time(s"curate_x$mult") {
       pipeline.CorpusPipeline.curate(big).count()
     }
@@ -115,6 +128,7 @@ object ScaleProbe {
     locally {
       val docs = big.select($"doc_id", $"text")
       val nPost = operators.InvertedIndex.buildPostings(docs).count()
+      freshTable("probe_idx_compact")
       time(s"compact_index_build_x$mult") {
         operators.InvertedIndex.writeCompactIndex(docs, "probe_idx_compact")
         spark.table("probe_idx_compact").count()
@@ -128,6 +142,29 @@ object ScaleProbe {
         operators.InvertedIndex.andSearchCompact(spark, "probe_idx_compact", terms).count()
       }
       spark.sql("DROP TABLE IF EXISTS probe_idx_compact")
+      spark.catalog.clearCache()
+    }
+    // Incremental dedup at scale: index the ×mult corpus ONCE, then probe
+    // a FIXED 500-doc delta — the per-batch cost a production pipeline
+    // actually pays. The delta is 500 exact replicas of corpus docs, so
+    // every probe doc must surface its corpus partners; probe time must
+    // track the DELTA, not the corpus (the stored tables join in their
+    // bucketed layout with no exchange — DedupSpec asserts the plan).
+    locally {
+      freshTable("probe_dedup_idx_bands")
+      freshTable("probe_dedup_idx_shingles")
+      time(s"dedup_index_build_x$mult") {
+        operators.Dedup.writeDedupIndex(
+          big.select($"doc_id", $"text"), "probe_dedup_idx")
+        spark.table("probe_dedup_idx_bands").count()
+      }
+      val delta = base.limit(500)
+        .select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+      time(s"dedup_delta_probe_x$mult") {
+        operators.Dedup.dedupDelta(spark, "probe_dedup_idx", delta).count()
+      }
+      spark.sql("DROP TABLE IF EXISTS probe_dedup_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS probe_dedup_idx_shingles")
       spark.catalog.clearCache()
     }
     // m01's batched decode at scale: count() cannot prune through the

@@ -250,11 +250,15 @@ object Dedup {
     * synthetic corpus yields candidate pairs at every test SF; an empty
     * candidate set would make the cross-engine check vacuous).
     */
-  def minhashPortable(s: SparkSession, dir: String, idBound: Int = 400,
-      k: Int = 16, rows: Int = 2): DataFrame = {
+  /** (doc_id, band, band_hash) from the md5-portable MinHash family —
+    * the banding core shared by d02b's self-join and d14's
+    * corpus-vs-delta probe.
+    */
+  private def portableBands(documents: DataFrame, k: Int,
+      rows: Int): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .filter($"doc_id" < idBound)
+    val sh = documents
       .select($"doc_id", explode(shingles($"text", 3)).as("sh"))
     val hashed = sh
       .select($"doc_id", explode(sequence(lit(0), lit(k - 1))).as("i"), $"sh")
@@ -262,12 +266,19 @@ object Dedup {
         conv(substring(md5(concat($"i".cast("string"), lit(":"), $"sh")),
           1, 15), 16, 10).cast("long").as("h"))
     val sig = hashed.groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
-    val banded = sig
+    sig
       .withColumn("band", floor($"i" / rows).cast("int"))
       .groupBy($"doc_id", $"band")
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct($"i", $"mh"))),
           x => x.getField("mh").cast("string")), ",")).as("band_hash"))
+  }
+
+  def minhashPortable(s: SparkSession, dir: String, idBound: Int = 400,
+      k: Int = 16, rows: Int = 2): DataFrame = {
+    import s.implicits._
+    val banded = portableBands(
+      Tables.documents(s, dir).filter($"doc_id" < idBound), k, rows)
     val a = banded.select($"band", $"band_hash", $"doc_id".as("doc_a"))
     val b = banded.select($"band", $"band_hash", $"doc_id".as("doc_b"))
     a.join(b, Seq("band", "band_hash")).filter($"doc_a" < $"doc_b")
@@ -1121,8 +1132,167 @@ object Dedup {
        |FROM segh s JOIN keep k USING (h)
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
+  /** d14: incremental near-dup detection — a NEW batch probed against the
+    * EXISTING corpus, the shape a production pipeline actually runs (a
+    * daily crawl lands; nobody re-mines 100 TB of history per batch).
+    * This oracled variant expresses the probe MECHANICS with the
+    * md5-portable family (d02b's recipe): corpus = doc_id < `splitId`,
+    * delta = the next `deltaN` ids (a bounded batch — that IS the
+    * incremental contract, and it caps the portable family's
+    * |shingles|×k explode the way d02b's idBound does); band join
+    * corpus×delta (never a self-join — the candidate space is
+    * delta-sized), exact shingle-Jaccard verify.
+    *
+    * The production path is [[writeDedupIndex]] + [[dedupDelta]]: the
+    * corpus's bands and shingle store are materialized ONCE, bucketed so
+    * every future probe joins them with no exchange on the stored side —
+    * per-batch cost is O(delta) hashing plus candidate-sized shuffles,
+    * independent of corpus size.
+    */
+  def dedupIncremental(s: SparkSession, dir: String, splitId: Long = 400,
+      deltaN: Long = 100, k: Int = 16, rows: Int = 2,
+      minJaccard: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < splitId)
+    val delta = docs.filter($"doc_id" >= splitId && $"doc_id" < splitId + deltaN)
+    val cb = portableBands(corpus, k, rows)
+      .select($"band", $"band_hash", $"doc_id".as("corpus_id"))
+    val db = portableBands(delta, k, rows)
+      .select($"band", $"band_hash", $"doc_id".as("new_id"))
+    val cand = cb.join(db, Seq("band", "band_hash"))
+      .groupBy($"corpus_id", $"new_id")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val withSh = cand
+      .join(corpus.select($"doc_id".as("corpus_id"),
+        shingles($"text", 3).as("sh_c")), "corpus_id")
+      .join(delta.select($"doc_id".as("new_id"),
+        shingles($"text", 3).as("sh_n")), "new_id")
+    val ni = size(array_intersect($"sh_c", $"sh_n"))
+    withSh
+      .withColumn("jaccard",
+        round(ni.cast("double") / (size($"sh_c") + size($"sh_n") - ni), 6))
+      .filter($"jaccard" >= minJaccard)
+      .select($"corpus_id", $"new_id", $"n_shared_bands", $"jaccard")
+      .orderBy($"corpus_id", $"new_id")
+  }
+
+  def dedupIncrementalSql(splitId: Long = 400, deltaN: Long = 100,
+      k: Int = 16, rows: Int = 2, minJaccard: Double = 0.35): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id < ${splitId + deltaN}),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(toks) - 2, 0)),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, s.i,
+       |    min(('0x' || substring(md5(s.i::VARCHAR || ':' || sh), 1, 15))::BIGINT)
+       |      AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($k)) AS i) s
+       |  GROUP BY doc_id, s.i),
+       |b AS (
+       |  SELECT doc_id, (i // $rows)::INT AS band,
+       |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_hash
+       |  FROM h GROUP BY doc_id, (i // $rows)::INT),
+       |cand AS (
+       |  SELECT c.doc_id AS corpus_id, n.doc_id AS new_id,
+       |    count(*) AS n_shared_bands
+       |  FROM b c JOIN b n
+       |    ON c.band = n.band AND c.band_hash = n.band_hash
+       |  WHERE c.doc_id < $splitId AND n.doc_id >= $splitId
+       |  GROUP BY 1, 2),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+       |    i -> string_split(text, ' ')[i+1] || ' ' ||
+       |         string_split(text, ' ')[i+2] || ' ' ||
+       |         string_split(text, ' ')[i+3])) AS sh
+       |  FROM documents WHERE doc_id < ${splitId + deltaN})
+       |SELECT corpus_id, new_id, n_shared_bands,
+       |  round(len(list_intersect(a.sh, n.sh)) * 1.0 /
+       |    (len(a.sh) + len(n.sh) - len(list_intersect(a.sh, n.sh))), 6)
+       |    AS jaccard
+       |FROM cand
+       |JOIN shl a ON a.doc_id = corpus_id
+       |JOIN shl n ON n.doc_id = new_id
+       |WHERE round(len(list_intersect(a.sh, n.sh)) * 1.0 /
+       |    (len(a.sh) + len(n.sh) - len(list_intersect(a.sh, n.sh))), 6)
+       |  >= $minJaccard
+       |ORDER BY corpus_id, new_id""".stripMargin
+
+  /** Materialize a corpus dedup index for [[dedupDelta]] probes: the
+    * production-family (xxhash64 MinHashSig) band table bucketed by
+    * band_hash, plus the hashed-shingle store bucketed by doc_id — both
+    * laid out so a delta probe joins them WITHOUT an exchange on the
+    * stored side (the scan's bucket partitioning satisfies the join's
+    * distribution; only the delta-derived side shuffles).
+    *
+    * Degenerate buckets (> `maxBucket` members — boilerplate/template
+    * text) are dropped AT WRITE TIME: they would otherwise tax every
+    * future probe with the same skew. `minhashDroppedBuckets` on the
+    * corpus frame lists exactly what was excluded.
+    */
+  def writeDedupIndex(documents: DataFrame, table: String, buckets: Int = 8,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val sh = shingleFrame(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashBandedFrom(sh, bands, rows)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"band", $"band_hash")))
+      .filter($"bucket_n" <= maxBucket)
+      .select($"doc_id", $"band", $"band_hash")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_shingles")
+    sh.unpersist()
+  }
+
+  /** Probe a delta batch against a [[writeDedupIndex]] corpus index:
+    * band-join candidates (delta bands against the stored band table),
+    * then exact hashed-shingle Jaccard verify against the stored shingle
+    * frame. Only the delta is hashed; the corpus is never rescanned or
+    * reshuffled — both stored tables join in their bucketed layout, so
+    * per-batch cost is O(delta) + candidate-sized shuffles regardless of
+    * corpus size.
+    */
+  def dedupDelta(spark: SparkSession, table: String, delta: DataFrame,
+      bands: Int = 16, rows: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val dsh = shingleFrame(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = spark.table(s"${table}_bands")
+      .select($"band", $"band_hash", $"doc_id".as("corpus_id"))
+      .join(minhashBandedFrom(dsh, bands, rows)
+        .select($"band", $"band_hash", $"doc_id".as("new_id")),
+        Seq("band", "band_hash"))
+      .select($"corpus_id", $"new_id")
+      .dropDuplicates("corpus_id", "new_id")
+    val withSh = cand
+      .join(spark.table(s"${table}_shingles")
+        .select($"doc_id".as("corpus_id"), $"sh".as("sh_a")), "corpus_id")
+      .join(dsh.select($"doc_id".as("new_id"), $"sh".as("sh_b")), "new_id")
+    val ni = org.apache.spark.sql.graft.GraftFunctions
+      .sorted_intersection_size($"sh_a", $"sh_b")
+    withSh
+      .withColumn("jaccard",
+        round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
+      .filter($"jaccard" >= minJaccard)
+      .select($"corpus_id", $"new_id", $"jaccard")
+      .orderBy($"corpus_id", $"new_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
+    "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
     "d09_canonical" -> ((s: SparkSession, d: String) => canonicalPerCluster(s, d)),
@@ -1141,6 +1311,7 @@ object Dedup {
   // verified in DedupSpec against planted duplicates + brute-force Jaccard.
   val oracles: Map[String, String] = Map(
     "d13_segment_dedup" -> segmentDedupSql(),
+    "d14_dedup_incremental" -> dedupIncrementalSql(),
     "d01_dedup_exact" -> dedupExactSql,
     "d02b_minhash_portable" -> minhashPortableSql,
     "d03b_simhash_portable" -> simhashPortableSql,

@@ -334,6 +334,36 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental dedup: delta probe recovers planted dups; stored index never reshuffles") {
+    def text(i: Long): String =
+      (0 until 40).map(j => s"w${i}_$j").mkString(" ")
+    val corpus = (0L until 300L).map(i => i -> text(i)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS inc_idx_spec_bands")
+    spark.sql("DROP TABLE IF EXISTS inc_idx_spec_shingles")
+    Dedup.writeDedupIndex(corpus, "inc_idx_spec")
+    // delta: 30 near-dups of every 10th corpus doc (one-token change,
+    // Jaccard ≈ 35/40 shingles) + 30 fresh docs sharing zero tokens
+    val delta = ((0 until 30).map { j =>
+      (1000L + j) -> text(j * 10L).replaceFirst("^\\S+", "CHANGED")
+    } ++ (0 until 30).map { j =>
+      (2000L + j) -> (0 until 40).map(k => s"z${j}_$k").mkString(" ")
+    }).toDF("doc_id", "text")
+    val got = Dedup.dedupDelta(spark, "inc_idx_spec", delta)
+    // the production-scale invariant: no shuffle sits ABOVE either stored
+    // table's scan — the bucketed layout feeds the joins directly, so a
+    // probe's cost is delta-sized no matter how big the corpus is
+    val shuffles = got.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(!shuffles.exists(_.toString.contains("inc_idx_spec")),
+      s"stored index reshuffled:\n${shuffles.mkString("\n")}")
+    val pairs = got.select($"corpus_id", $"new_id")
+      .as[(Long, Long)].collect().toSet
+    val want = (0 until 30).map(j => (j * 10L, 1000L + j)).toSet
+    assert(pairs == want, s"got ${pairs.size} pairs, want the 30 planted")
+    spark.catalog.clearCache()
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

@@ -1287,7 +1287,35 @@ object Dedup {
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
       .select($"corpus_id", $"new_id", $"jaccard")
+      // duplicate index rows (an at-least-once append replay) fan the
+      // verify joins into duplicate output rows — collapse the
+      // result-sized frame so probes stay exactly-once downstream
+      .dropDuplicates("corpus_id", "new_id")
       .orderBy($"corpus_id", $"new_id")
+  }
+
+  /** Append a batch's band + shingle rows to a [[writeDedupIndex]] table
+    * pair, preserving the bucketed layout (each append lands its own
+    * bucket files — periodic [[writeDedupIndex]] reindexing compacts them
+    * and re-applies the degenerate-bucket drop corpus-wide). Replayed
+    * appends leave duplicate index rows; [[dedupDelta]] collapses the
+    * duplicate candidates they produce, so growth can run at-least-once.
+    */
+  def appendDedupIndex(documents: DataFrame, table: String, buckets: Int = 8,
+      bands: Int = 16, rows: Int = 4): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val sh = shingleFrame(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashBandedFrom(sh, bands, rows)
+      .select($"doc_id", $"band", $"band_hash")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    sh.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_shingles")
+    sh.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

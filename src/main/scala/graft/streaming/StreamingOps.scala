@@ -112,6 +112,54 @@ object StreamingOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming NEAR-dup gate — dedup-on-arrival over the stored band
+    * index: each micro-batch is probed with `Dedup.dedupDelta` against
+    * the `indexTable` pair (corpus never rescanned — the stored tables
+    * join in their bucketed layout), novel docs land in the hash-dedup
+    * incremental store, and the index GROWS by exactly those docs so
+    * later batches dedup against everything that came before. The
+    * continuous form of the d14 contract: per-trigger cost tracks the
+    * batch, not the corpus.
+    *
+    * Idempotence: the store append is content-hash deduped (replays
+    * ingest 0 rows), and index growth is marker-guarded per batch id —
+    * a replayed epoch whose marker exists skips the append; a replay
+    * after a partial failure re-appends, which at worst leaves duplicate
+    * index rows that dedupDelta collapses. Probe-before-grow also means
+    * a replayed batch's docs match THEMSELVES in the index and are
+    * gated, never double-kept.
+    */
+  def dedupStream(docs: DataFrame, indexTable: String, storeDir: String,
+      minJaccard: Double = 0.5,
+      queryName: String = "graft_dedup_gate",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bid = f"batch$batchId%06d"
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupIds = graft.operators.Dedup
+          .dedupDelta(spark, indexTable, b, minJaccard = minJaccard)
+          .select($"new_id".as("doc_id")).distinct()
+        val kept = b.join(dupIds, Seq("doc_id"), "left_anti")
+        graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
+        val marker = new java.io.File(s"${storeDir}_idx_marked/$bid")
+        if (!marker.exists() && !kept.isEmpty) {
+          graft.operators.Dedup.appendDedupIndex(
+            kept.select($"doc_id", $"text"), indexTable)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        b.unpersist()
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** File-source ingest: watch a directory for new parquet drops (the
     * streaming form of the reference's "scan the download folder each run"
     * loop), quality-gate + enrich each file incrementally, append to a

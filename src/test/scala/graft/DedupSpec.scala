@@ -349,14 +349,34 @@ class DedupSpec extends SparkSpec {
       (2000L + j) -> (0 until 40).map(k => s"z${j}_$k").mkString(" ")
     }).toDF("doc_id", "text")
     val got = Dedup.dedupDelta(spark, "inc_idx_spec", delta)
-    // the production-scale invariant: no shuffle sits ABOVE either stored
-    // table's scan — the bucketed layout feeds the joins directly, so a
-    // probe's cost is delta-sized no matter how big the corpus is
-    val shuffles = got.queryExecution.executedPlan.collect {
+    // the production-scale invariant: the stored tables feed their joins
+    // in their bucketed layout — no ShuffleExchange sits BETWEEN a stored
+    // scan and its first join (candidate-sized shuffles above the joins
+    // are fine; so is broadcasting the small side at this scale). AQE
+    // wraps the plan, so unwrap before traversing — a collect on the
+    // wrapper sees no exchanges at all and would pass vacuously.
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val allShuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(!shuffles.exists(_.toString.contains("inc_idx_spec")),
-      s"stored index reshuffled:\n${shuffles.mkString("\n")}")
+    assert(allShuffles.nonEmpty,
+      "traversal found no exchanges anywhere - plan walk is broken")
+    val reshuffledStore = allShuffles.filter { e =>
+      val scans = e.child.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("inc_idx_spec")) => f
+      }
+      val joins = e.child.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      scans.nonEmpty && joins.isEmpty
+    }
+    assert(reshuffledStore.isEmpty,
+      s"stored index reshuffled before its join:\n${reshuffledStore.mkString("\n")}")
     val pairs = got.select($"corpus_id", $"new_id")
       .as[(Long, Long)].collect().toSet
     val want = (0 until 30).map(j => (j * 10L, 1000L + j)).toSet

@@ -57,6 +57,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("content_hash"))
   }
 
+  test("streaming near-dup gate dedups arrivals against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstream_").toString
+    def text(i: Long): String =
+      (0 until 40).map(j => s"s${i}_$j").mkString(" ")
+    val seed = (0L until 10L).map(i => i -> text(i)).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS dstream_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS dstream_idx_shingles")
+    graft.operators.Dedup.writeDedupIndex(seed, "dstream_idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupStream(
+      mem.toDF().toDF("doc_id", "text"), "dstream_idx", s"$dir/store")
+    // batch 1: a near-dup of seed doc 3 (must be gated by the SEED index)
+    // + two fresh docs (must pass and grow the index)
+    mem.addData((100L, text(3).replaceFirst("^\\S+", "X")),
+      (101L, text(101)), (102L, text(102)))
+    q.processAllAvailable()
+    // batch 2: a near-dup of batch-1's doc 101 — only the GROWN index can
+    // gate it — plus one fresh doc
+    mem.addData((200L, text(101).replaceFirst("^\\S+", "Y")),
+      (201L, text(201)))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(101L, 102L, 201L),
+      s"kept $keptIds, want fresh docs only (100 gated by seed, 200 by growth)")
+    spark.sql("DROP TABLE IF EXISTS dstream_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS dstream_idx_shingles")
+    spark.catalog.clearCache()
+  }
+
   test("stream-stream interval join matches views within the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val vs = MemoryStream[Ev]

@@ -1223,6 +1223,94 @@ object Dedup {
        |  >= $minJaccard
        |ORDER BY corpus_id, new_id""".stripMargin
 
+  /** d15: cross-source contamination matrix — near-dup mass aggregated
+    * into source pairs, the curation diagnostic that answers "which feeds
+    * mirror which" (a scraper mirroring a wire service shows up as one
+    * heavy off-diagonal cell; dedup THEN tells you which side to keep by
+    * quality, not arrival order). Pairs come from the md5-portable band
+    * pipeline (d02b) + exact shingle-Jaccard verify (d14's stage), then
+    * roll up by the unordered source pair (least/greatest canonical
+    * orientation).
+    *
+    * Scale shape: everything until the rollup is the d02b/d14 machinery
+    * (banding shuffle carries digests, candidates are bucket-bounded);
+    * the rollup input is pair-sized and the matrix itself is
+    * |sources|²-bounded — a partial-aggregatable groupBy, never a
+    * window.
+    */
+  def sourceOverlap(s: SparkSession, dir: String, idBound: Int = 400,
+      k: Int = 16, rows: Int = 2, minJaccard: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter($"doc_id" < idBound)
+    val pairs = minhashPortable(s, dir, idBound, k, rows)
+    val sh = docs.select($"doc_id", shingles($"text", 3).as("sh"))
+    val src = docs.select($"doc_id", $"source")
+    val ni = size(array_intersect($"sh_a", $"sh_b"))
+    pairs
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
+      .filter($"jaccard" >= minJaccard)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
+      .select(least($"source_a", $"source_b").as("src_lo"),
+        greatest($"source_a", $"source_b").as("src_hi"), $"jaccard")
+      .groupBy($"src_lo", $"src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"jaccard") + lit(1e-9), 6).as("avg_jaccard"))
+      .orderBy($"src_lo", $"src_hi")
+  }
+
+  def sourceOverlapSql(idBound: Int = 400, k: Int = 16, rows: Int = 2,
+      minJaccard: Double = 0.35): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents WHERE doc_id < $idBound),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(toks) - 2, 0)),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS sh
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, s.i,
+       |    min(('0x' || substring(md5(s.i::VARCHAR || ':' || sh), 1, 15))::BIGINT)
+       |      AS mh
+       |  FROM sh CROSS JOIN (SELECT unnest(range($k)) AS i) s
+       |  GROUP BY doc_id, s.i),
+       |b AS (
+       |  SELECT doc_id, (i // $rows)::INT AS band,
+       |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_hash
+       |  FROM h GROUP BY doc_id, (i // $rows)::INT),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2
+       |    ON a.band = b2.band AND a.band_hash = b2.band_hash
+       |    AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(len(toks) - 2, 0)),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+       |  FROM d),
+       |ver AS (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_intersect(a.sh, bb.sh)) * 1.0 /
+       |      (len(a.sh) + len(bb.sh) - len(list_intersect(a.sh, bb.sh))), 6)
+       |      AS jaccard
+       |  FROM cand JOIN shl a ON a.doc_id = doc_a
+       |  JOIN shl bb ON bb.doc_id = doc_b),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi, jaccard
+       |  FROM ver JOIN d da ON da.doc_id = doc_a
+       |  JOIN d db ON db.doc_id = doc_b
+       |  WHERE jaccard >= $minJaccard)
+       |SELECT src_lo, src_hi, count(*) AS n_pairs,
+       |  round(avg(jaccard) + 1e-9, 6) AS avg_jaccard
+       |FROM lab GROUP BY src_lo, src_hi
+       |ORDER BY src_lo, src_hi""".stripMargin
+
   /** Materialize a corpus dedup index for [[dedupDelta]] probes: the
     * production-family (xxhash64 MinHashSig) band table bucketed by
     * band_hash, plus the hashed-shingle store bucketed by doc_id — both
@@ -1321,6 +1409,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
+    "d15_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d, idBound = 1500)),
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
     "d09_canonical" -> ((s: SparkSession, d: String) => canonicalPerCluster(s, d)),
@@ -1340,6 +1429,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d13_segment_dedup" -> segmentDedupSql(),
     "d14_dedup_incremental" -> dedupIncrementalSql(),
+    "d15_source_overlap" -> sourceOverlapSql(idBound = 1500),
     "d01_dedup_exact" -> dedupExactSql,
     "d02b_minhash_portable" -> minhashPortableSql,
     "d03b_simhash_portable" -> simhashPortableSql,

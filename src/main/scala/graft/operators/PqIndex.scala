@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Product quantization ANN (SURVEY.md §2 s06) — the storage-side
+  * complement of s05's scalar int8 quantization: the vector is split
+  * into `m` sub-spaces, each sub-vector is replaced by the id of its
+  * nearest sub-space centroid, and the stored representation collapses
+  * from dim floats to m small ints (64×4 B → 8 codes ≈ 32× smaller with
+  * m=8, k=16). Jégou et al.'s asymmetric distance (ADC) scores a query
+  * against the RECONSTRUCTED vector without ever materializing it:
+  * dot(q, x̂) = Σ_sub dot(q_sub, codebook_sub[code_sub]).
+  *
+  * Scale shape: training is m INDEPENDENT IvfIndex Lloyd runs over
+  * sliced sub-vectors (driver state m × k × dim/m doubles — kilobytes);
+  * encoding is map-only against plan-literal codebooks (the
+  * NearestCentroid expression per sub-space, no join, no shuffle);
+  * search scans the CODE table — the corpus-sized input is m ints per
+  * row instead of dim floats, which is the point: at 100 TB the ANN
+  * working set shrinks 32× and rides entirely through scan + codegen'd
+  * arithmetic. The ADC sum compiles to a STATIC sum of m DotProduct
+  * expressions against `element_at` of literal codebook arrays — no
+  * interpreted HOF in the hot path (the round-1 SimHash lesson). In
+  * production the code column becomes the stored table and s04's IVF
+  * cluster id its partition key (IVF-PQ); here the families stay
+  * separate so each is measurable alone.
+  */
+object PqIndex {
+
+  /** Per-sub-space codebooks via joint Lloyd: ALL m sub-spaces train in
+    * ONE pass per iteration — each row explodes into its m (sub, nearest
+    * centroid, sub-vector) assignments against plan-literal codebooks,
+    * and one partial-aggregatable VectorMean shuffle on (sub, cid)
+    * updates every codebook at once. m separate IvfIndex trainings would
+    * read the corpus m × iters times; this reads it iters times — the
+    * difference between 8 and 1 corpus scans per refinement at 100 TB.
+    * Driver state stays m × k × dim/m doubles.
+    *
+    * Books are reindexed DENSELY after every update: Lloyd can empty a
+    * cluster (its groupBy row disappears), and downstream `element_at`
+    * lookups index by POSITION — gapped ids would silently read the
+    * wrong centroid.
+    */
+  def train(vectors: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 2): Seq[Seq[(Int, Seq[Double])]] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val dim = vectors.select(size($"embedding")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
+    val d = dim / m
+    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
+    // deterministic seeds: the first k vectors' slices per sub-space
+    val seeds = v.orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { sub =>
+      seeds.zipWithIndex.map { case (vec, i) =>
+        (i, vec.slice(sub * d, sub * d + d))
+      }
+    }
+    val vecMean = udaf(new graft.functions.TypedAggregators.VectorMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    for (_ <- 1 to iters) {
+      val assigned = v.select(explode(array((0 until m).map { sub =>
+        struct(lit(sub).as("sub"),
+          org.apache.spark.sql.graft.GraftFunctions.nearest_centroid(
+            slice($"v", sub * d + 1, d), books(sub)).as("cid"),
+          slice($"v", sub * d + 1, d).as("sv"))
+      }: _*)).as("e"))
+        .select($"e.sub", $"e.cid", $"e.sv")
+      val updated = assigned.groupBy($"sub", $"cid")
+        .agg(vecMean($"sv").as("c"))
+        .as[(Int, Int, Seq[Double])].collect()
+      books = (0 until m).map { sub =>
+        updated.filter(_._1 == sub).sortBy(_._2)
+          .zipWithIndex.map { case ((_, _, c), i) => (i, c) }.toSeq
+      }
+    }
+    books
+  }
+
+  /** Encode every vector as its m-entry code array — map-only, one
+    * NearestCentroid argmax per sub-space against literal codebooks.
+    */
+  def encode(vectors: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val d = books.head.head._2.size
+    vectors.select($"vec_id",
+      array(books.indices.map { sub =>
+        org.apache.spark.sql.graft.GraftFunctions.nearest_centroid(
+          asDouble(slice($"embedding", sub * d + 1, d)), books(sub))
+      }: _*).as("code"))
+  }
+
+  /** s06: PQ top-k — ADC cosine of each bounded query against the code
+    * table builds a `shortlist`-sized candidate set; only those
+    * candidates are exactly re-ranked against the raw vectors (the
+    * standard ADC + re-rank pipeline — raw ADC ranking blurs the fine
+    * order inside dense clusters: measured recall@5 0.25 without the
+    * re-rank, 0.95+ with it). The corpus-sized pass reads ONLY the code
+    * table; the raw store is touched for queries × shortlist rows.
+    */
+  def knnPq(s: SparkSession, dir: String, queryBound: Int = 32, k: Int = 5,
+      m: Int = 8, kCode: Int = 16, iters: Int = 2,
+      shortlist: Int = 64): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val books = train(emb, m, kCode, iters)
+    val d = books.head.head._2.size
+    val codes = encode(emb, books)
+    val queries = emb.filter($"vec_id" < queryBound)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    // ADC dot + reconstructed norm, both static sums of codegen'd
+    // sub-expressions over element_at of the literal codebooks
+    def centroidOf(sub: Int) =
+      element_at(typedlit(books(sub).map(_._2)),
+        element_at($"code", sub + 1) + 1)
+    val adcDot = books.indices.map { sub =>
+      dot(slice($"qv", sub * d + 1, d), centroidOf(sub))
+    }.reduce(_ + _)
+    val recNormSq = books.indices.map { sub =>
+      dot(centroidOf(sub), centroidOf(sub))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
+    val cand = codes.select($"vec_id".as("neighbor_id"), $"code")
+      .crossJoin(broadcast(queries))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("adc", adcDot / (sqrt(normSq($"qv")) * sqrt(recNormSq)))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter($"arn" <= shortlist)
+      .select($"query_id", $"qv", $"neighbor_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cand
+      .join(emb.select($"vec_id".as("neighbor_id"),
+        asDouble($"embedding").as("nv")), "neighbor_id")
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -180,7 +180,8 @@ object Similarity {
     "s05_knn_quantized" -> ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "s03_label_centroids" -> (labelCentroids _),
-    "s04_knn_ivf" -> ((s: SparkSession, d: String) => IvfIndex.knnIvf(s, d)))
+    "s04_knn_ivf" -> ((s: SparkSession, d: String) => IvfIndex.knnIvf(s, d)),
+    "s06_knn_pq" -> ((s: SparkSession, d: String) => PqIndex.knnPq(s, d)))
 
   // s02 is approximate by construction → rows-only; recall measured in
   // SimilaritySpec against s01.

@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, f"recall $recall%.3f too low")
   }
 
+  test("pq: codes are m small ints, ADC recovers neighbors on a clustered corpus") {
+    // the clustered case PQ exists for — vectors concentrate near label
+    // centroids, so sub-space codebooks capture the structure
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    GenCorpus.generateEmbeddings(spark, 500, noise = 0.3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    val books = graft.operators.PqIndex.train(emb)
+    assert(books.size == 8 && books.forall(_.size == 16))
+    // every code: 8 entries, each a valid centroid id → 8 logical bytes
+    // per vector vs 64 float32s (32× smaller stored representation)
+    val codes = graft.operators.PqIndex.encode(emb, books)
+      .select($"code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 8 && c.forall(id => id >= 0 && id < 16)))
+    val bruteC = Similarity.knnBrute(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.operators.PqIndex.knnPq(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    val recall = bruteC.intersect(pq).size.toDouble / bruteC.size
+    info(f"PQ recall@5 = $recall%.3f (m=8, k=16, ADC shortlist + exact re-rank)")
+    assert(recall > 0.8, f"PQ recall $recall%.3f too low on clustered corpus")
+    spark.catalog.clearCache()
+  }
+
   test("ivf assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = graft.operators.IvfIndex.train(emb, k = 8, iters = 1)

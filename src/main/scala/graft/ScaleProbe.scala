@@ -46,9 +46,24 @@ object ScaleProbe {
       }
     }
 
+    // Section isolation: operators persist internal frames (curate's
+    // intermediates, the cluster-table memo, tokenized projections) that
+    // otherwise ride through every LATER timing as cache pressure —
+    // measured at sf10: hot_ngram 25.9 s in-sequence vs 2.0 s isolated,
+    // ccnet 256 s vs 23 s. Clear everything but re-warm `big` OUTSIDE
+    // the timing, so each section measures its operator on a warm input
+    // and nothing else.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count()
+      ()
+    }
+
     time(s"curate_x$mult") {
       pipeline.CorpusPipeline.curate(big).count()
     }
+    isolate()
     time(s"winnow_x$mult") {
       val prints = org.apache.spark.sql.graft.GraftFunctions.winnow_fingerprints(
         operators.Dedup.shingles($"text", 3), 4)
@@ -56,6 +71,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       big.count()
     }
+    isolate()
     time(s"dedup_groups_x$mult") {
       operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
     }
@@ -70,6 +86,7 @@ object ScaleProbe {
         .agg(coalesce(sum($"count"), lit(0L)).as("n")).as[Long].head()
       println(s"""{"probe":"dup_mass_x$mult","clustered_docs":$clustered}""")
     }
+    isolate()
     time(s"sequence_pack_x$mult") {
       pipeline.DocumentPipeline.sequencePackOf(big).count()
     }
@@ -86,15 +103,18 @@ object ScaleProbe {
         .collect()(0)
       println(f"""{"probe":"pack_shard_balance_x$mult","docs":$docs,"max_group":${groups.getAs[Long]("max_group")},"avg_group":${groups.getAs[Double]("avg_group")}%.1f}""")
     }
+    isolate()
     time(s"hot_ngram_mask_x$mult") {
       operators.Dedup.hotNgramMaskOf(big.select($"doc_id", $"text")).count()
     }
+    isolate()
     // t19 at scale: full corpus tokenize + LM join + per-lang percentile
     // cutoffs — the CCNet gate is corpus-bound, so it belongs in the probe.
     time(s"ccnet_buckets_x$mult") {
       pipeline.DocumentPipeline.ccnetBucketsOf(
         big.select($"doc_id", $"lang", $"text")).count()
     }
+    isolate()
     // d13 at scale: replicas make every segment an exact duplicate, so
     // the corpus-wide kept mass must collapse toward 1/mult — the
     // deterministic cross-check for the min-ord keeper choice, measured
@@ -111,6 +131,7 @@ object ScaleProbe {
       val kept = prof.getAs[Long]("kept")
       println(f"""{"probe":"segment_kept_mass_x$mult","segs":$segs,"kept":$kept,"kept_ratio":${kept.toDouble / segs}%.4f}""")
     }
+    isolate()
     // t20/t21 at scale: the classifier is two partial-aggregatable
     // shuffles (linear); the Zipf fit's window input is VOCAB-bounded, so
     // its time must stay flat as the corpus replicates.
@@ -122,6 +143,7 @@ object ScaleProbe {
       pipeline.DocumentPipeline.zipfFitOf(
         big.select($"lang", $"text"), 200).count()
     }
+    isolate()
     // Compact index layout at scale: block-delta rows vs one-per-posting,
     // and a lookup served from the compacted table. The compression claim
     // is the row-count ratio; the lookup must stay posting-list-sized.
@@ -144,6 +166,7 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS probe_idx_compact")
       spark.catalog.clearCache()
     }
+    isolate()
     // Incremental dedup at scale: index the ×mult corpus ONCE, then probe
     // a FIXED 500-doc delta — the per-batch cost a production pipeline
     // actually pays. The delta is 500 exact replicas of corpus docs, so
@@ -167,6 +190,7 @@ object ScaleProbe {
       spark.sql("DROP TABLE IF EXISTS probe_dedup_idx_shingles")
       spark.catalog.clearCache()
     }
+    isolate()
     // m01's batched decode at scale: count() cannot prune through the
     // typed mapPartitions, so every payload crosses the batch-decode
     // boundary — the work-scheduling number for the multimodal path.
@@ -193,6 +217,22 @@ object ScaleProbe {
       time(s"knn_ivf_x$mult") {
         operators.IvfIndex.knnIvf(spark, sfDir).count()
       }
+      time(s"knn_pq_x$mult") {
+        operators.PqIndex.knnPq(spark, sfDir).count()
+      }
+      // PQ's quality-at-scale number next to the wall-clock: ADC+re-rank
+      // recall against the exact result on the clustered corpus.
+      locally {
+        val brute = operators.Similarity.knnBrute(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val pq = operators.PqIndex.knnPq(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val hit = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val tot = brute.count()
+        val recall = if (tot > 0) hit.toDouble / tot else 0.0
+        println(f"""{"probe":"pq_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
+      }
+      spark.catalog.clearCache()
       time(s"semantic_dedup_x$mult") {
         operators.Dedup.semanticDedup(spark, sfDir).count()
       }

@@ -10,24 +10,28 @@ import graft.functions.VectorFunctions._
   * complement of s05's scalar int8 quantization: the vector is split
   * into `m` sub-spaces, each sub-vector is replaced by the id of its
   * nearest sub-space centroid, and the stored representation collapses
-  * from dim floats to m small ints (64×4 B → 8 codes ≈ 32× smaller with
-  * m=8, k=16). Jégou et al.'s asymmetric distance (ADC) scores a query
-  * against the RECONSTRUCTED vector without ever materializing it:
+  * from dim floats to m byte-sized codes (64×4 B → 8 B = 32× smaller
+  * with m=8, kCode=256 — Jégou et al.'s standard 8-bit configuration).
+  * Asymmetric distance (ADC) scores a query against the RECONSTRUCTED
+  * vector without ever materializing it:
   * dot(q, x̂) = Σ_sub dot(q_sub, codebook_sub[code_sub]).
   *
-  * Scale shape: training is m INDEPENDENT IvfIndex Lloyd runs over
-  * sliced sub-vectors (driver state m × k × dim/m doubles — kilobytes);
-  * encoding is map-only against plan-literal codebooks (the
-  * NearestCentroid expression per sub-space, no join, no shuffle);
-  * search scans the CODE table — the corpus-sized input is m ints per
-  * row instead of dim floats, which is the point: at 100 TB the ANN
-  * working set shrinks 32× and rides entirely through scan + codegen'd
-  * arithmetic. The ADC sum compiles to a STATIC sum of m DotProduct
-  * expressions against `element_at` of literal codebook arrays — no
-  * interpreted HOF in the hot path (the round-1 SimHash lesson). In
-  * production the code column becomes the stored table and s04's IVF
-  * cluster id its partition key (IVF-PQ); here the families stay
-  * separate so each is measurable alone.
+  * Scale shape: training is a JOINT Lloyd (one corpus scan per
+  * iteration updates all m codebooks; driver state m × k × dim/m
+  * doubles — kilobytes); encoding is map-only against plan-literal
+  * codebooks (the NearestCentroid expression per sub-space, no join,
+  * no shuffle); search scans the CODE table — the corpus-sized input
+  * is m bytes per row instead of dim floats, which is the point: at
+  * 100 TB the ANN working set shrinks 32× and rides entirely through
+  * scan + codegen'd arithmetic. The ADC sum compiles to a STATIC sum
+  * of m DotProduct expressions against `element_at` of literal
+  * codebook arrays — no interpreted HOF in the hot path (the round-1
+  * SimHash lesson). [[knnPq]] runs the full IVF-PQ composition:
+  * coarse cells prune the scan, residual codes carry within-cell
+  * detail, an exact re-rank finishes (measured at 200k clustered
+  * vectors: plain PQ recall@5 0.013 → residual + 8-bit + 2048-shortlist
+  * 0.894; the remaining misses are near-tie neighbors inside dense
+  * noise balls, the regime where every ANN must over-fetch).
   */
 object PqIndex {
 
@@ -97,38 +101,70 @@ object PqIndex {
       }: _*).as("code"))
   }
 
-  /** s06: PQ top-k — ADC cosine of each bounded query against the code
-    * table builds a `shortlist`-sized candidate set; only those
-    * candidates are exactly re-ranked against the raw vectors (the
-    * standard ADC + re-rank pipeline — raw ADC ranking blurs the fine
-    * order inside dense clusters: measured recall@5 0.25 without the
-    * re-rank, 0.95+ with it). The corpus-sized pass reads ONLY the code
-    * table; the raw store is touched for queries × shortlist rows.
+  /** s06: IVF-PQ top-k — the full Jégou pipeline. A coarse IVF quantizer
+    * assigns every vector to a cluster; PQ codebooks are trained on the
+    * RESIDUALS (v − coarse centroid), because plain PQ collapses inside
+    * dense clusters — every member of a tight cluster gets the SAME
+    * code, ADC ties, and the shortlist is arbitrary (measured: recall@5
+    * 0.013 at 200k clustered vectors; residual codes spread exactly the
+    * within-cluster detail that plain codes erase). Search probes the
+    * `nprobe` nearest clusters, ADC-scores x̂ = centroid + decode(code)
+    * as static codegen'd sums against literal codebooks, and exactly
+    * re-ranks a `shortlist`-sized candidate set.
+    *
+    * The corpus-sized stored row is (cluster_id, m codes) — at 100 TB
+    * the cluster id becomes the partition key (probes prune partitions)
+    * and the codes are the 32×-compressed scan payload; the raw store
+    * is touched only for queries × shortlist re-rank rows.
     */
   def knnPq(s: SparkSession, dir: String, queryBound: Int = 32, k: Int = 5,
-      m: Int = 8, kCode: Int = 16, iters: Int = 2,
-      shortlist: Int = 64): DataFrame = {
+      m: Int = 8, kCode: Int = 256, iters: Int = 2,
+      coarseK: Int = 16, nprobe: Int = 4, shortlist: Int = 2048): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val books = train(emb, m, kCode, iters)
+    // coarse quantizer (densified ids — Lloyd can empty a cluster and
+    // every lookup below is position-indexed)
+    val coarse = IvfIndex.train(emb, coarseK, iters)
+      .zipWithIndex.map { case ((_, c), i) => (i, c) }
+    val centLit = typedlit(coarse.map(_._2))
+    val assigned = IvfIndex.assign(emb, coarse)
+    val resid = assigned.select($"vec_id",
+      zip_with($"v", element_at(centLit, $"cluster_id" + 1),
+        (a, b) => a - b).as("embedding"), $"cluster_id")
+    val books = train(resid, m, kCode, iters)
     val d = books.head.head._2.size
-    val codes = encode(emb, books)
+    val indexed = encode(resid, books)
+      .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
     val queries = emb.filter($"vec_id" < queryBound)
       .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
-    // ADC dot + reconstructed norm, both static sums of codegen'd
-    // sub-expressions over element_at of the literal codebooks
-    def centroidOf(sub: Int) =
+    // probe the nprobe nearest coarse cells per query (the s04 pattern)
+    val cDf = s.createDataFrame(coarse).toDF("cluster_id", "centroid")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cluster_id")
+    val probes = queries.crossJoin(broadcast(cDf))
+      .withColumn("csim", cosine($"qv", $"centroid"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= nprobe)
+      .select($"query_id", $"qv", $"cluster_id")
+    // ADC against x̂ = c + r̂: dot and reconstructed norm are static sums
+    // of codegen'd sub-expressions over element_at of literal codebooks
+    def cSub(sub: Int) =
+      slice(element_at(centLit, $"cluster_id" + 1), sub * d + 1, d)
+    def rSub(sub: Int) =
       element_at(typedlit(books(sub).map(_._2)),
         element_at($"code", sub + 1) + 1)
     val adcDot = books.indices.map { sub =>
-      dot(slice($"qv", sub * d + 1, d), centroidOf(sub))
+      dot(slice($"qv", sub * d + 1, d), cSub(sub)) +
+        dot(slice($"qv", sub * d + 1, d), rSub(sub))
     }.reduce(_ + _)
     val recNormSq = books.indices.map { sub =>
-      dot(centroidOf(sub), centroidOf(sub))
+      dot(cSub(sub), cSub(sub)) +
+        lit(2.0) * dot(cSub(sub), rSub(sub)) +
+        dot(rSub(sub), rSub(sub))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
-    val cand = codes.select($"vec_id".as("neighbor_id"), $"code")
-      .crossJoin(broadcast(queries))
+    val cand = probes
+      .join(indexed.select($"cluster_id", $"vec_id".as("neighbor_id"), $"code"),
+        Seq("cluster_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("adc", adcDot / (sqrt(normSq($"qv")) * sqrt(recNormSq)))
       .withColumn("arn", row_number().over(wAdc))

@@ -1404,6 +1404,80 @@ object DocumentPipeline {
        |  round(regr_r2(ln(n), ln(rnk)) + 1e-9, 6) AS fit_r2
        |FROM top GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t22: Gopher-style rule-based document filter (Rae et al. 2021,
+    * App. A "quality filtering" — the canonical pre-training hygiene
+    * gate, complementary to t02's scalar score and t20's learned one):
+    * per-rule boolean flags PLUS the composite keep decision, so
+    * curation can both filter and report per-rule kill rates. The
+    * rules with signal on a punctuation-free corpus: word-count bounds
+    * (Gopher's canonical [50, 100k]), mean-word-length bounds
+    * ([3, 10]), and stopword evidence (≥ `minStopKinds` distinct
+    * members of the en profile — Gopher's "2 of 8 common words" rule
+    * over this engine's t01 stopword family).
+    *
+    * Scale shape: map-only over the documents scan — every predicate
+    * is a codegen'd functions-combinator on the row, no shuffle exists
+    * until the presentation sort (which the 100 TB form drops,
+    * writing the filtered corpus partition-local). Rule thresholds
+    * compare the UN-rounded ratio in both engines (the division of two
+    * exact integer counts is the same IEEE double everywhere); only
+    * the REPORTED ratio is rounded, with the +1e-9 tie-break idiom.
+    */
+  def gopherFilter(s: SparkSession, dir: String, minWords: Int = 50,
+      maxWords: Int = 100000, minMwl: Double = 3.0, maxMwl: Double = 10.0,
+      minStopKinds: Int = 2): DataFrame =
+    gopherFilterOf(Tables.documents(s, dir), minWords, maxWords, minMwl,
+      maxMwl, minStopKinds)
+
+  /** Core of [[gopherFilter]] over any (doc_id, text) frame. */
+  def gopherFilterOf(documents: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, minMwl: Double = 3.0, maxMwl: Double = 10.0,
+      minStopKinds: Int = 2): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val nw = wsTokenCount($"text")
+    val mwl = length(regexp_replace($"text", "\\s+", "")).cast("double") / nw
+    val stopKinds = Seq("the", "a", "of", "and", "is").map { w =>
+      when($"text".rlike("\\b" + w + "\\b"), 1).otherwise(0)
+    }.reduce(_ + _)
+    documents.select(
+        $"doc_id",
+        nw.as("n_words"),
+        round(mwl + lit(1e-9), 6).as("mean_word_len"),
+        stopKinds.as("n_stop_kinds"),
+        (nw >= minWords && nw <= maxWords).as("ok_words"),
+        (mwl >= minMwl && mwl <= maxMwl).as("ok_word_len"),
+        (stopKinds >= minStopKinds).as("ok_stop"))
+      .withColumn("keep", $"ok_words" && $"ok_word_len" && $"ok_stop")
+      .orderBy($"doc_id")
+  }
+
+  def gopherFilterSql(minWords: Int = 50, maxWords: Int = 100000,
+      minMwl: Double = 3.0, maxMwl: Double = 10.0,
+      minStopKinds: Int = 2): String =
+    s"""WITH s AS (SELECT doc_id,
+       |  len(regexp_split_to_array(text, '\\s+')) AS n_words,
+       |  len(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+       |  (CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END +
+       |   CASE WHEN regexp_matches(text, '\\ba\\b') THEN 1 ELSE 0 END +
+       |   CASE WHEN regexp_matches(text, '\\bof\\b') THEN 1 ELSE 0 END +
+       |   CASE WHEN regexp_matches(text, '\\band\\b') THEN 1 ELSE 0 END +
+       |   CASE WHEN regexp_matches(text, '\\bis\\b') THEN 1 ELSE 0 END)
+       |    AS n_stop_kinds
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  round(word_chars * 1.0 / n_words + 1e-9, 6) AS mean_word_len,
+       |  n_stop_kinds,
+       |  n_words >= $minWords AND n_words <= $maxWords AS ok_words,
+       |  word_chars * 1.0 / n_words >= $minMwl AND
+       |    word_chars * 1.0 / n_words <= $maxMwl AS ok_word_len,
+       |  n_stop_kinds >= $minStopKinds AS ok_stop,
+       |  (n_words >= $minWords AND n_words <= $maxWords) AND
+       |    (word_chars * 1.0 / n_words >= $minMwl AND
+       |     word_chars * 1.0 / n_words <= $maxMwl) AND
+       |    n_stop_kinds >= $minStopKinds AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_classifier_quality" -> classifierQuality _,
     "t21_zipf_fit" -> ((s: SparkSession, d: String) => zipfFit(s, d)),
@@ -1440,7 +1514,8 @@ object DocumentPipeline {
     "t01_langid" -> langid _,
     "t02_quality" -> quality _,
     "t03_tokens" -> tokens _,
-    "t04_fingerprint" -> fingerprintQ _)
+    "t04_fingerprint" -> fingerprintQ _,
+    "t22_gopher_filter" -> ((s: SparkSession, d: String) => gopherFilter(s, d)))
 
   val oracles: Map[String, String] = Map(
     "t20_classifier_quality" -> classifierQualitySql,
@@ -1475,5 +1550,6 @@ object DocumentPipeline {
     "t01_langid" -> langidSql,
     "t02_quality" -> qualitySql,
     "t03_tokens" -> tokensSql,
-    "t04_fingerprint" -> fingerprintSql)
+    "t04_fingerprint" -> fingerprintSql,
+    "t22_gopher_filter" -> gopherFilterSql())
 }

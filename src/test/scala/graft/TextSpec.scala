@@ -75,6 +75,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t22 each gopher rule fires on its planted violation and only there") {
+    // One doc per failure mode + one clean keeper. minWords lowered to 5
+    // so the planted docs stay readable; rule semantics are unchanged.
+    val docs = Seq(
+      (1L, "the table is a good of row scan and merge"),     // keep
+      (2L, "the of is"),                                     // too few words
+      (3L, "extraordinarily incomprehensible manifestations " +
+           "uncharacteristically extraordinarily"),          // mean len > 10
+      (4L, "row scan merge batch sort spark window value")   // no stopwords
+    ).toDF("doc_id", "text")
+    val got = pipeline.DocumentPipeline
+      .gopherFilterOf(docs, minWords = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(got(1L) == ((true, true, true, true)), s"keeper: ${got(1L)}")
+    // "the of is": 3 words (< 5) AND mean word length 7/3 < 3 — two
+    // rules fire; the stopword rule alone holds (3 kinds present).
+    assert(got(2L) == ((false, false, true, false)), s"short: ${got(2L)}")
+    assert(got(3L)._2 == false && got(3L)._4 == false, s"long words: ${got(3L)}")
+    assert(got(4L) == ((true, true, false, false)), s"no stop: ${got(4L)}")
+    // On sf data the composite gate must actually discriminate (not a
+    // vacuous all-true/all-false rule set).
+    val sfKeep = pipeline.DocumentPipeline.gopherFilter(spark, sf)
+      .groupBy($"keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(sfKeep.keySet == Set(true, false), s"gate is vacuous on sf: $sfKeep")
+  }
+
   test("langid picks the profile with most stopword hits") {
     val df = Seq(
       "the cat and the dog of the house is big",

@@ -336,7 +336,76 @@ object Events {
       |WHERE mad > 0 AND abs(round(0.6745 * d / mad + 1e-9, 4)) > 3.5
       |ORDER BY event_id""".stripMargin
 
+  /** e13: calendar-seasonal anomaly detection — per event type, the
+    * hour-of-day activity profile (24 gap-filled volume bins) with each
+    * hour's deviation from the type's own profile in sample standard
+    * deviations, flagged past `cut`. The calendar-baseline complement of
+    * e11's recency-weighted level and e12's per-event value outliers: it
+    * catches VOLUME anomalies ("type X dies every day at 03:00") that
+    * per-event statistics can't see, the monitoring primitive behind
+    * every traffic-seasonality alert.
+    *
+    * Scale shape: one partial-aggregatable count over the full stream
+    * collapses to <= |types|·24 rows; the hour template (e05's gapfill
+    * idiom — an absent hour is a zero-volume bin, the most anomalous
+    * value, not a missing row) and the per-type mean/std profile are
+    * joins among those tiny frames, with the aggregated side broadcast.
+    * No window over a low-cardinality key anywhere (the q26 rule), and
+    * nothing downstream of the first aggregate ever touches full data.
+    * Flat-profile types (sd = 0) report z = 0 rather than dividing by
+    * zero. The flag compares the ROUNDED z in both engines.
+    */
+  def seasonalBaseline(s: SparkSession, dir: String,
+      cut: Double = 2.0): DataFrame =
+    seasonalBaselineOf(Tables.events(s, dir), cut)
+
+  /** Core of [[seasonalBaseline]] over any (event_type, ts) frame. */
+  def seasonalBaselineOf(ev: DataFrame, cut: Double = 2.0): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val counts = ev.groupBy($"event_type", hour($"ts").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val template = ev.select($"event_type").distinct()
+      .crossJoin(s.range(0, 24).select($"id".cast("int").as("hr")))
+    val filled = template.join(broadcast(counts), Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    val prof = filled.groupBy($"event_type")
+      .agg(avg($"n").as("mu"), stddev_samp($"n").as("sd"))
+    val z = when($"sd" > 0,
+      round(($"n" - $"mu") / $"sd" + lit(1e-9), 4)).otherwise(lit(0.0))
+    filled.join(broadcast(prof), Seq("event_type"))
+      .select($"event_type", $"hr", $"n",
+        round($"mu" + lit(1e-9), 4).as("mu_hour"),
+        z.as("z"),
+        (abs(z) > cut).as("is_anomaly"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  val seasonalBaselineSql: String =
+    """WITH c AS (
+      |  SELECT event_type, hour(ts::TIMESTAMP) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tmpl AS (
+      |  SELECT event_type, unnest(range(0, 24)) AS hr
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |f AS (
+      |  SELECT t.event_type, t.hr, coalesce(c.n, 0) AS n
+      |  FROM tmpl t LEFT JOIN c ON t.event_type = c.event_type AND t.hr = c.hr),
+      |p AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      |  FROM f GROUP BY 1)
+      |SELECT f.event_type, f.hr, f.n,
+      |  round(p.mu + 1e-9, 4) AS mu_hour,
+      |  CASE WHEN p.sd > 0 THEN round((f.n - p.mu) / p.sd + 1e-9, 4)
+      |    ELSE 0.0 END AS z,
+      |  CASE WHEN p.sd > 0
+      |    THEN abs(round((f.n - p.mu) / p.sd + 1e-9, 4)) > 2.0
+      |    ELSE FALSE END AS is_anomaly
+      |FROM f JOIN p USING (event_type)
+      |ORDER BY f.event_type, f.hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_seasonal_baseline" -> ((s: SparkSession, d: String) => seasonalBaseline(s, d)),
     "e12_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "e11_ewma_stats" -> ewmaTypeStats _,
     "e10_sliding_window" -> slidingWindowAgg _,
@@ -348,6 +417,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e13_seasonal_baseline" -> seasonalBaselineSql,
     "e12_mad_outliers" -> madOutliersSql,
     "e11_ewma_stats" -> ewmaTypeStatsSql,
     "e10_sliding_window" -> slidingWindowAggSql,

@@ -93,4 +93,28 @@ class AnalyticsSpec extends SparkSpec {
       .select($"event_id", $"event_type").as[(Long, String)].collect().toSeq
     assert(got == Seq((20L, "spread")), got.toString)
   }
+
+  test("e13 seasonal baseline: spiked hour flagged, absent hour gap-filled, " +
+      "flat profile yields z=0") {
+    import spark.implicits._
+    // "spiky": 10 events at 03h, 1 at every other hour EXCEPT 07h (absent
+    // -> must gap-fill to a zero bin, not vanish). "flat": identical
+    // volume every hour -> sd = 0 -> z pinned to 0, nothing flagged.
+    val ev = ((1 to 10).map(i => (f"2024-01-0${i % 9 + 1} 03:${10 + i}%02d:00", "spiky")) ++
+      (0 to 23).filter(h => h != 3 && h != 7)
+        .map(h => (f"2024-01-01 $h%02d:30:00", "spiky")) ++
+      (0 to 23).flatMap(h => Seq(
+        (f"2024-01-01 $h%02d:00:00", "flat"), (f"2024-01-02 $h%02d:05:00", "flat"))))
+      .map { case (t, ty) => (ts(t), ty) }.toDF("ts", "event_type")
+    val out = pipeline.Events.seasonalBaselineOf(ev, 2.0).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.size == 48, s"expected 2 types x 24 hours, got ${out.size}")
+    val (n3, z3, a3) = out(("spiky", 3))
+    assert(n3 == 10L && z3 > 2.0 && a3, s"spike bin: $n3 $z3 $a3")
+    val (n7, z7, a7) = out(("spiky", 7))
+    assert(n7 == 0L && z7 < 0 && !a7, s"gap bin: $n7 $z7 $a7")
+    assert((0 to 23).forall(h => out(("flat", h)) == ((2L, 0.0, false))),
+      "flat profile must pin z to 0 with no flags")
+  }
 }

@@ -322,6 +322,18 @@ object ScaleProbe {
           .collect()(0)
         println(s"""{"probe":"media_payload_dedup_x$mult","dup_assets":${stats.getAs[Long]("dups")},"bytes_saved":${stats.getAs[Long]("saved")}}""")
       }
+      // m06: phash near-dup over the same blobs. Planted dups are
+      // byte-identical, so each must surface as a hamming-0 pair (the
+      // deterministic recall floor); distinct random payloads sit ~32
+      // bits apart, so pairs_h0 == planted unless the stub collides.
+      locally {
+        val pairs = multimodal.Multimodal.phashNearDupOf(media)
+        val t0 = System.nanoTime
+        val h0 = pairs.filter($"hamming" === 0).count()
+        val all = pairs.count()
+        val sec = (System.nanoTime - t0) / 1e9
+        println(f"""{"probe":"media_phash_neardup_x$mult","pairs":$all,"pairs_h0":$h0,"sec":$sec%.2f}""")
+      }
       spark.catalog.clearCache()
     }
     // e12 at scale: events replicated ×mult (id-shifted). Replication

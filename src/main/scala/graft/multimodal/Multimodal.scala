@@ -294,7 +294,142 @@ object Multimodal {
       |GROUP BY kind, shard, batch_ord
       |ORDER BY kind, shard, batch_ord""".stripMargin
 
+  /** 64-bit perceptual-hash STUB: SimHash over sliding byte 4-grams of
+    * the payload — a similarity-preserving fingerprint (small payload
+    * edits flip few bits) standing in for a real perceptual hash (DCT
+    * pHash of decoded pixels / chroma-print of audio; codec libs absent
+    * in this container). The similarity-preserving property over payload
+    * BYTES is real and spec-tested; production swaps the gram source
+    * (pixels for images, spectral frames for audio), not the pipeline.
+    */
+  def phashStub(payload: Array[Byte]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i + 3 < payload.length) {
+      val g = (payload(i) & 0xFFL) | ((payload(i + 1) & 0xFFL) << 8) |
+        ((payload(i + 2) & 0xFFL) << 16) | ((payload(i + 3) & 0xFFL) << 24)
+      // splitmix64 finalizer — spreads each gram over all 64 vote lanes
+      var h = g * 0x9E3779B97F4A7C15L
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      h = h ^ (h >>> 31)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Batch form of [[phashStub]] — the one-FFI-crossing-per-batch shape
+    * of [[decodeBatchStub]]: a real codec hashes a whole record batch of
+    * decoded frames per call.
+    */
+  def phashBatchStub(payloads: Array[Array[Byte]]): Array[Long] =
+    payloads.map(phashStub)
+
+  /** Perceptual hashes out of the batched decode stage: (doc_id, kind,
+    * phash). Same partition-streaming batch shape as [[decodeFeaturesOf]]
+    * — in production the phash comes out of the SAME decode pass as the
+    * features (one payload read), which is why it lives here and not in
+    * a separate scan.
+    */
+  def decodePhashOf(mediaDf: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val hs = phashBatchStub(batch.map(_.payload).toArray)
+        batch.iterator.zip(hs.iterator).map(r0 => (r0._1.doc_id, r0._1.kind, r0._2))
+      }
+    }.toDF("doc_id", "kind", "phash")
+  }
+
+  /** Phash fingerprints exploded into 4 × 16-bit band buckets keyed by
+    * kind (image/audio/video hashes live in different spaces — a
+    * cross-kind bit collision is never a near-dup). Shared by the pair
+    * generator and the dropped-bucket diagnostic.
+    */
+  private def phashBanded(mediaDf: DataFrame, batchSize: Int): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    decodePhashOf(mediaDf, batchSize)
+      .select($"doc_id", $"kind", $"phash",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftrightunsigned", $"phash", b * 16)
+            .bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+  }
+
+  /** m06: perceptual-hash near-dup over binary payloads — the near-dup
+    * counterpart of m04's exact payload dedup (re-encoded / lightly
+    * edited mirrors of the same asset share no content_hash but sit a
+    * few phash bits apart). d03's SimHash LSH recipe applied to the
+    * decode stage's fingerprint: band the 64-bit phash 4 × 16 bits,
+    * bucket-join candidates per (kind, band, band_bits), verify by exact
+    * hamming distance ≤ `maxHamming` (4 bands guarantee recall for
+    * hamming ≤ 3; wider radii are probabilistic, as in production).
+    *
+    * Scale shape: the banding shuffle carries (doc_id, kind, 8-byte
+    * fingerprint) — never payload bytes; the (kind, band, band_bits) key
+    * space is 3 × 4 × 2^16 ≈ 786k buckets, so the bucket-size cap
+    * (2..maxBucket, the minhashPairs guard) bounds the self-join
+    * quadratically at any corpus size, with [[phashDroppedBuckets]]
+    * reporting what the cap pruned (byte-identical mirror floods belong
+    * to m04's exact pass upstream). Rows-only: the stub hash is not
+    * SQL-expressible; MultimodalSpec pins planted near-dup recovery,
+    * kind isolation, and the cap.
+    */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashNearDupOf(mediaTable(s, dir))
+
+  /** Core of [[phashNearDup]] over any media-record frame. */
+  def phashNearDupOf(mediaDf: DataFrame, maxHamming: Int = 8,
+      maxBucket: Int = 64, batchSize: Int = 64): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    val bucketed = phashBanded(mediaDf, batchSize)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"kind", $"band", $"band_bits")))
+      .filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket)
+    val a = bucketed.select($"kind", $"band", $"band_bits",
+      $"doc_id".as("doc_a"), $"phash".as("ph_a"))
+    val b = bucketed.select($"kind", $"band", $"band_bits",
+      $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+    a.join(b, Seq("kind", "band", "band_bits"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"kind", $"doc_a", $"doc_b",
+        bit_count($"ph_a".bitwiseXOR($"ph_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Observability for m06's bucket cap — the (kind, band, band_bits)
+    * buckets the pair generator prunes as oversized, with populations
+    * (the simhashDroppedBuckets contract for the media table).
+    */
+  def phashDroppedBuckets(mediaDf: DataFrame, maxBucket: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    phashBanded(mediaDf, batchSize)
+      .groupBy($"kind", $"band", $"band_bits")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .orderBy($"kind", $"band", $"band_bits")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_phash_neardup" -> (phashNearDup _),
     "m01_multimodal_meta" ->
       ((s: SparkSession, d: String) => decodeFeatures(s, d)),
     "m02_media_stats" -> (mediaStats _),
@@ -302,7 +437,8 @@ object Multimodal {
     "m04_payload_dedup" -> (payloadDedupStats _),
     "m05_decode_pack" -> ((s: SparkSession, d: String) => decodePack(s, d)))
 
-  // m01/m03's stub decode → no SQL oracle; plumbing verified in MultimodalSpec.
+  // m01/m03/m06's stub decode → no SQL oracle; plumbing verified in
+  // MultimodalSpec (m06: planted near-dup recovery, kind isolation, cap).
   val oracles: Map[String, String] = Map(
     "m02_media_stats" -> mediaStatsSql,
     "m04_payload_dedup" -> payloadDedupStatsSql,

@@ -107,4 +107,87 @@ class MultimodalSpec extends SparkSpec {
           ords.sameElements(0L until ords.length.toLong))
     }
   }
+
+  /** Deterministic pseudo-random payload for the phash tests. */
+  private def payloadOf(seed: Int, n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    var h = seed.toLong * 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < n) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      a(i) = (h >>> 32).toByte
+      i += 1
+    }
+    a
+  }
+
+  private def mediaRowsOf(rows: Seq[(Long, String, Array[Byte])]) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, kind, p) =>
+      (id, kind, p, p.length.toLong,
+        java.security.MessageDigest.getInstance("SHA-256").digest(p)
+          .map("%02x".format(_)).mkString)
+    }.toDF("doc_id", "kind", "payload", "n_bytes", "content_hash")
+  }
+
+  /** `base` with 64 bytes flipped at even stride — a ~1.5% edit, the
+    * "re-encoded mirror" scale of change (hamming 6 of 64 under the
+    * stub; a 1-byte edit lands at hamming 0: the vote margins absorb it,
+    * which is the similarity-preservation working as designed).
+    */
+  private def editedOf(base: Array[Byte]): Array[Byte] = {
+    val near = base.clone()
+    (0 until 64).foreach { j =>
+      val idx = (j * base.length / 64 + 5) % base.length
+      near(idx) = (near(idx) ^ 0x5A).toByte
+    }
+    near
+  }
+
+  test("phash stub is similarity-preserving over payload bytes") {
+    val base = payloadOf(1, 4096)
+    val near = editedOf(base)
+    val far = payloadOf(2, 4096)
+    val (hb, hn, hf) =
+      (Multimodal.phashStub(base), Multimodal.phashStub(near),
+        Multimodal.phashStub(far))
+    val dNear = java.lang.Long.bitCount(hb ^ hn)
+    val dFar = java.lang.Long.bitCount(hb ^ hf)
+    assert(dNear <= 8, s"1-byte edit moved $dNear bits")
+    assert(dFar >= 16, s"unrelated payloads only $dFar bits apart")
+  }
+
+  test("m06 phash near-dup: planted pairs found, kinds isolated, " +
+      "unrelated payloads not merged") {
+    val base = payloadOf(1, 4096)
+    val near = editedOf(base)
+    val media = mediaRowsOf(Seq(
+      (1L, "image", base),           // base asset
+      (2L, "image", near),           // lightly edited mirror -> pair (1,2)
+      (3L, "image", base.clone()),   // byte-identical repost -> hamming 0
+      (4L, "audio", base.clone()),   // same bytes, other kind -> NO pair
+      (5L, "image", payloadOf(2, 4096)))) // unrelated -> NO pair
+    val pairs = Multimodal.phashNearDupOf(media).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[String]("kind"), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the planted trio, got ${pairs.keySet}")
+    assert(pairs((1L, 3L)) == (("image", 0)), "identical payloads at 0")
+    assert(pairs((1L, 2L))._2 > 0 && pairs((1L, 2L))._2 <= 8)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "cross-kind byte-collision must never pair")
+  }
+
+  test("m06 bucket cap prunes floods into the dropped-bucket report") {
+    val flood = payloadOf(7, 2048)
+    val media = mediaRowsOf(
+      (1L to 70L).map(i => (i, "image", flood.clone())))
+    assert(Multimodal.phashNearDupOf(media, maxBucket = 64).count() == 0,
+      "an oversized bucket must not reach the pair join")
+    val dropped = Multimodal.phashDroppedBuckets(media, maxBucket = 64)
+      .collect()
+    assert(dropped.length == 4, "all 4 bands of the flood bucket reported")
+    assert(dropped.forall(_.getAs[Long]("bucket_n") == 70L))
+  }
 }

@@ -372,6 +372,99 @@ object DocumentPipeline {
       |FROM c
       |ORDER BY source""".stripMargin
 
+  /** p05: DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", 2023): score every
+    * document by how much its hashed-unigram distribution resembles a
+    * TARGET domain (here: one source feed) relative to the whole corpus,
+    * then draw a top-`keepFrac` sample with deterministic Gumbel keys —
+    * domain-targeted data selection without training a model: two hashed
+    * bag-of-words LMs and a per-token log-ratio.
+    *
+    * logw(doc) = Σ_tokens [ln p_t(bkt(w)) − ln p_c(bkt(w))] over B
+    * add-one-smoothed md5-hashed buckets; sampling key = logw +
+    * Gumbel(md5(doc_id)) (Gumbel-top-k ≡ sampling without replacement
+    * ∝ exp(logw)); kept = key above the (1−keepFrac) corpus quantile.
+    *
+    * Scale shape: both bucket LMs are ONE ≤B-row partial-aggregatable
+    * count (target counted as a conditional sum inside the corpus pass,
+    * not a second scan); the per-token log-ratio join is against that
+    * broadcast ≤B-row table, so scoring is map-side over the token
+    * stream with one per-doc partial agg; the keep threshold is a scalar
+    * exact-percentile aggregate crossJoined back (the q26 pattern —
+    * percentile_approx at 100 TB, same plan). No window anywhere;
+    * nothing downstream of the per-doc agg touches full data. The md5
+    * family keeps every bucket, uniform, and Gumbel draw bit-identical
+    * in DuckDB; logw is rounded BEFORE the key so both engines add the
+    * Gumbel term to the same double.
+    */
+  def importanceResample(s: SparkSession, dir: String,
+      target: String = "src0", buckets: Int = 1024,
+      keepFrac: Double = 0.1): DataFrame =
+    importanceResampleOf(Tables.documents(s, dir), target, buckets, keepFrac)
+
+  /** Core of [[importanceResample]] over any (doc_id, source, text) frame. */
+  def importanceResampleOf(documents: DataFrame, target: String = "src0",
+      buckets: Int = 1024, keepFrac: Double = 0.1): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"source",
+        pmod(conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+    val cc = toks.groupBy($"bkt").agg(count(lit(1)).as("n_c"),
+      sum(when($"source" === target, 1L).otherwise(0L)).as("n_t"))
+    val tot = cc.agg(sum($"n_c").as("nc"), sum($"n_t").as("nt"))
+    val lr = cc.crossJoin(tot).select($"bkt",
+      (log(($"n_t" + 1.0) / ($"nt" + buckets.toDouble)) -
+        log(($"n_c" + 1.0) / ($"nc" + buckets.toDouble))).as("lr"))
+    val scored = toks.join(broadcast(lr), Seq("bkt"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"lr") + lit(1e-9), 6).as("logw"))
+    val u = (pmod(conv(substring(md5($"doc_id".cast("string")), 1, 15),
+      16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val keyed = scored.withColumn("samp_key",
+      round($"logw" - log(-log(u)) + lit(1e-9), 6))
+    val thr = keyed.agg(
+      expr(s"percentile(samp_key, ${1.0 - keepFrac})").as("thr"))
+    keyed.crossJoin(thr)
+      .select($"doc_id", $"n_tokens", $"logw", $"samp_key",
+        ($"samp_key" > $"thr" + lit(1e-9)).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val importanceResampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substring(md5(w), 1, 15))::BIGINT % 1024) AS bkt
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |cc AS (
+      |  SELECT bkt, count(*) AS n_c,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
+      |  FROM toks GROUP BY bkt),
+      |tot AS (SELECT sum(n_c) AS nc, sum(n_t) AS nt FROM cc),
+      |lr AS (
+      |  SELECT bkt,
+      |    ln((n_t + 1.0) / (tot.nt + 1024.0)) -
+      |    ln((n_c + 1.0) / (tot.nc + 1024.0)) AS lr
+      |  FROM cc CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    round(sum(lr) + 1e-9, 6) AS logw
+      |  FROM toks JOIN lr USING (bkt) GROUP BY doc_id),
+      |keyed AS (
+      |  SELECT doc_id, n_tokens, logw,
+      |    round(logw - ln(-ln(((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+      |      % 1000000) + 0.5) / 1000000.0)) + 1e-9, 6) AS samp_key
+      |  FROM scored),
+      |thr AS (SELECT quantile_cont(samp_key, 0.9) AS thr FROM keyed)
+      |SELECT doc_id, n_tokens, logw, samp_key,
+      |  samp_key > thr + 1e-9 AS kept
+      |FROM keyed CROSS JOIN thr
+      |ORDER BY doc_id""".stripMargin
+
   /** Curated keyword-reduction mapping (reference:
     * violation_curation_keyword_reduction.csv — original → reduced, empty
     * reduced = discard). Broadcast at any scale.
@@ -1507,6 +1600,8 @@ object DocumentPipeline {
     "t18_pmi_cooccur" -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "p03_stratified_split" -> stratifiedSplit _,
     "p04_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "p05_importance_resample" ->
+      ((s: SparkSession, d: String) => importanceResample(s, d)),
     "t19_ccnet_buckets" -> ccnetBuckets _,
     "q10_keyword_reduce" -> keywordReduce _,
     "q11_keyword_docfreq" -> keywordDocfreq _,
@@ -1543,6 +1638,7 @@ object DocumentPipeline {
     "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "p04_temperature_mix" -> temperatureMixSql,
+    "p05_importance_resample" -> importanceResampleSql,
     "t19_ccnet_buckets" -> ccnetBucketsSql,
     "q10_keyword_reduce" -> keywordReduceSql,
     "q11_keyword_docfreq" -> keywordDocfreqSql,

@@ -101,6 +101,44 @@ class GraphSpec extends SparkSpec {
     mix.unpersist()
   }
 
+  test("p05 importance resampling prefers target-domain docs and keeps " +
+      "~keepFrac of the corpus") {
+    val vocabA = Vector("alpha", "beta", "gamma", "kappa", "sigma", "omega")
+    val vocabB = Vector("one", "two", "three", "four", "five", "six")
+    def textOf(v: Vector[String], seed: Int): String =
+      (0 until 30).map(i => v((seed * 7 + i) % v.size)).mkString(" ")
+    // 20 target-feed docs (vocab A), 80 out-of-domain web docs (vocab B),
+    // 5 PLANTED in-domain web docs (vocab A) — the ones DSIR exists to find.
+    val docs = ((1 to 20).map(i => (i.toLong, "tgt", textOf(vocabA, i))) ++
+      (21 to 100).map(i => (i.toLong, "web", textOf(vocabB, i))) ++
+      (101 to 105).map(i => (i.toLong, "web", textOf(vocabA, i))))
+      .toDF("doc_id", "source", "text")
+    val out = pipeline.DocumentPipeline
+      .importanceResampleOf(docs, target = "tgt", buckets = 64,
+        keepFrac = 0.2).collect()
+    assert(out.length == 105)
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("logw"), r.getAs[Boolean]("kept"))).toMap
+    val inDomain = (1L to 20L) ++ (101L to 105L)
+    val outDomain = 21L to 100L
+    val minIn = inDomain.map(byId(_)._1).min
+    val maxOut = outDomain.map(byId(_)._1).max
+    assert(minIn > maxOut,
+      s"every vocab-A doc must outscore every vocab-B doc ($minIn vs $maxOut)")
+    val kept = byId.filter(_._2._2).keySet
+    assert(kept.size >= 15 && kept.size <= 26,
+      s"keepFrac=0.2 of 105 docs kept ${kept.size}")
+    assert(kept.subsetOf(inDomain.toSet),
+      s"kept set must be in-domain, got ${kept -- inDomain.toSet}")
+    // the planted web docs are found, not just the labeled feed
+    assert((kept & (101L to 105L).toSet).nonEmpty,
+      "at least one planted in-domain web doc is selected")
+    val again = pipeline.DocumentPipeline
+      .importanceResampleOf(docs, target = "tgt", buckets = 64,
+        keepFrac = 0.2).collect()
+    assert(out.sameElements(again), "resampling must be deterministic")
+  }
+
   test("g03 triangle counts match brute-force enumeration of the strong-edge graph") {
     val pairs = operators.Graph.tradePairs(spark, sf)
     val es = operators.Graph.strongEdges(pairs, maxFan = 64, minCommon = 2,

@@ -144,6 +144,22 @@ object ScaleProbe {
         big.select($"lang", $"text"), 200).count()
     }
     isolate()
+    // p05 at scale: the kept mass must track keepFrac exactly (strict
+    // top-decile threshold on continuous md5 keys — no tie inflation),
+    // replication or not: the deterministic check that the scalar
+    // percentile threshold + map-side scoring survives corpus growth.
+    locally {
+      val t0 = System.nanoTime
+      val byKept = pipeline.DocumentPipeline.importanceResampleOf(
+          big.select($"doc_id", $"source", $"text"))
+        .groupBy($"kept").count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val sec = (System.nanoTime - t0) / 1e9
+      val kept = byKept.getOrElse(true, 0L)
+      val total = byKept.values.sum
+      println(f"""{"probe":"importance_resample_x$mult","kept":$kept,"total":$total,"kept_frac":${kept.toDouble / total}%.4f,"sec":$sec%.2f}""")
+    }
+    isolate()
     // Compact index layout at scale: block-delta rows vs one-per-posting,
     // and a lookup served from the compacted table. The compression claim
     // is the row-count ratio; the lookup must stay posting-list-sized.

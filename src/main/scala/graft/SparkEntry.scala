@@ -23,6 +23,7 @@ object SparkEntry {
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
       operators.Dedup.queries ++ operators.KeywordSearch.queries ++
+      operators.InvertedIndex.queries ++
       operators.Similarity.queries ++ operators.Graph.queries ++
       multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
@@ -35,6 +36,7 @@ object SparkEntry {
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
+      operators.InvertedIndex.oracles ++
       operators.Similarity.oracles ++ operators.Graph.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -174,4 +174,106 @@ object InvertedIndex {
       .orderBy($"n_matched".desc, $"score".desc, $"doc_id")
       .limit(k)
   }
+
+  /** Positional postings: (term, doc_id, positions) with the sorted
+    * token-offset array — the layout phrase and proximity queries are
+    * served from. One partial-aggregatable shuffle on (term, doc_id);
+    * the positions array is bounded by a term's within-doc frequency.
+    */
+  def buildPositionalPostings(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .groupBy($"col".as("term"), $"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("positions"))
+  }
+
+  /** Materialize positional postings bucketed by term (same pruning
+    * story as [[writeIndex]]: a phrase's terms read 1/N buckets).
+    */
+  def writePositionalIndex(documents: DataFrame, table: String,
+                           buckets: Int = 8): Unit =
+    buildPositionalPostings(documents).write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "term")
+      .sortBy("term", "doc_id")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Phrase search served from a [[writePositionalIndex]] table: term i's
+    * positions shift left by i, then the per-term (doc_id, start) streams
+    * intersect via joins — a doc matches once per start position where
+    * every phrase term sits at its offset (overlapping starts each
+    * count; identical semantics to the brute-force token-window scan,
+    * which is exactly what InvertedIndexSpec asserts). Each stream is
+    * posting-list-sized off ONE bucket-pruned scan — never a corpus
+    * scan; the joins shuffle (doc_id, start) pairs only.
+    */
+  def phraseSearchIndexed(spark: SparkSession, table: String,
+                          phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val posts = spark.table(table).filter($"term".isin(phrase.distinct: _*))
+    val streams = phrase.zipWithIndex.map { case (w, i) =>
+      posts.filter($"term" === w)
+        .select($"doc_id",
+          explode(transform($"positions", p => p - i)).as("p"))
+    }
+    streams.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+      .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** q37: exact phrase search without a prebuilt index — the same
+    * shifted-position intersection computed inline: ONE corpus scan
+    * whose token stream is filtered to the phrase's terms map-side, one
+    * shuffle on doc_id (carrying only phrase-term positions), then the
+    * per-term position arrays intersect as array arithmetic — no
+    * per-term self-joins, no window. The DuckDB oracle is the
+    * brute-force token-window count, so the intersection semantics
+    * (including overlapping matches) are cross-engine-checked;
+    * [[phraseSearchIndexed]] then matches this result from the bucketed
+    * store in InvertedIndexSpec.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame =
+    phraseSearchOf(graft.Tables.documents(s, dir), phrase)
+
+  /** Core of [[phraseSearch]] over any (doc_id, text) frame. */
+  def phraseSearchOf(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val perDoc = documents
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .filter($"col".isin(phrase.distinct: _*))
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"col".as("w"), $"pos".as("p"))).as("ps"))
+    val starts = phrase.zipWithIndex.map { case (w, i) =>
+      transform(filter($"ps", x => x.getField("w") === w),
+        x => x.getField("p") - i)
+    }.reduce(array_intersect)
+    perDoc.select($"doc_id", size(starts).cast("long").as("n_hits"))
+      .filter($"n_hits" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val phraseSearchSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(range(greatest(len(toks) - 1, 0))) AS i, toks
+      |  FROM d)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM w
+      |WHERE toks[i+1] = 'hash' AND toks[i+2] = 'join'
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_phrase_search" ->
+      ((s: SparkSession, d: String) => phraseSearch(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q37_phrase_search" -> phraseSearchSql)
 }

@@ -128,4 +128,46 @@ class InvertedIndexSpec extends SparkSpec {
       .take(10).toSeq
     assert(got == brute)
   }
+
+  test("q37 phrase search counts every token-window match, overlaps " +
+      "included") {
+    val docs = Seq(
+      (1L, "x hash join y hash join z"), // two separate matches
+      (2L, "hash hash join"),            // one (first hash doesn't start)
+      (3L, "hash x join"),               // gap -> no match
+      (4L, "join hash"),                 // wrong order -> no match
+      (5L, "a a a a")).toDF("doc_id", "text")
+    val got = operators.InvertedIndex
+      .phraseSearchOf(docs, Seq("hash", "join"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)), got.toString)
+    // repeated-word phrase: overlapping starts each count
+    val rep = operators.InvertedIndex
+      .phraseSearchOf(docs, Seq("a", "a"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((5L, 3L)), rep.toString)
+  }
+
+  test("indexed phrase search matches the inline scan from a " +
+      "bucket-pruned positional store") {
+    operators.InvertedIndex.writePositionalIndex(
+      Tables.documents(spark, sf), "postings_pos_idx", buckets = 8)
+    val phrase = Seq("hash", "join")
+    val inline = operators.InvertedIndex
+      .phraseSearchOf(Tables.documents(spark, sf), phrase)
+      .as[(Long, Long)].collect().toSeq
+    assert(inline.nonEmpty, "phrase must occur in the corpus")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val served = operators.InvertedIndex
+        .phraseSearchIndexed(spark, "postings_pos_idx", phrase)
+      assert(served.as[(Long, Long)].collect().toSeq == inline)
+      val plan = spark.table("postings_pos_idx")
+        .filter($"term" === "hash").queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        plan.take(2000))
+    } finally spark.conf.set(key, old)
+  }
 }

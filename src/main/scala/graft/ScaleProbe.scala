@@ -350,6 +350,17 @@ object ScaleProbe {
         val sec = (System.nanoTime - t0) / 1e9
         println(f"""{"probe":"media_phash_neardup_x$mult","pairs":$all,"pairs_h0":$h0,"sec":$sec%.2f}""")
       }
+      // m07: the composed end state — planted dups each join their
+      // base's cluster, so survivors == the distinct-payload count
+      // EXACTLY (deterministic; any drift is a false merge or split).
+      locally {
+        val t0 = System.nanoTime
+        val kept = multimodal.Multimodal.mediaCanonicalOf(media)
+          .filter($"is_canonical").count()
+        val sec = (System.nanoTime - t0) / 1e9
+        val total = media.count()
+        println(f"""{"probe":"media_canonical_x$mult","kept":$kept,"total":$total,"sec":$sec%.2f}""")
+      }
       spark.catalog.clearCache()
     }
     // e12 at scale: events replicated ×mult (id-shifted). Replication

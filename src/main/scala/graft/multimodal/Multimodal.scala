@@ -428,7 +428,47 @@ object Multimodal {
       .orderBy($"kind", $"band", $"band_bits")
   }
 
+  /** m07: the media-dedup END STATE — one canonical asset per phash
+    * near-dup cluster, the d07/d09 composition applied to binary media:
+    * m06's verified pairs feed the shared min-label
+    * `Dedup.connectedComponents`, the survivor is the cluster's LARGEST
+    * asset (max n_bytes, lowest-doc_id tie-break — re-encodes shrink
+    * bytes, so the biggest member is the least-degraded original), and
+    * every asset gets a verdict row (assets with no near-dup are their
+    * own canonical). This is what a storage-dedup pass actually executes:
+    * keep `is_canonical`, rewrite references for the rest.
+    *
+    * Scale shape: everything downstream of the pair stage runs on the
+    * PAIR graph (near-dup-mass-sized, not corpus-sized); the survivor
+    * pick is one partial-aggregatable max_by per cluster joined back on
+    * the cluster id. Rows-only (stub hash), MultimodalSpec pins the
+    * planted cluster's survivor and singleton behavior.
+    */
+  def mediaCanonical(s: SparkSession, dir: String): DataFrame =
+    mediaCanonicalOf(mediaTable(s, dir))
+
+  /** Core of [[mediaCanonical]] over any media-record frame. */
+  def mediaCanonicalOf(mediaDf: DataFrame, maxHamming: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    val s = mediaDf.sparkSession
+    import s.implicits._
+    val pairs = phashNearDupOf(mediaDf, maxHamming, maxBucket)
+      .select($"doc_a", $"doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val clustered = mediaDf.select($"doc_id", $"kind", $"n_bytes")
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", $"kind", $"n_bytes",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val survivors = clustered.groupBy($"cluster_id")
+      .agg(expr("max_by(doc_id, struct(n_bytes, -doc_id))").as("canonical_id"))
+    clustered.join(survivors, Seq("cluster_id"))
+      .select($"doc_id", $"kind", $"cluster_id",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_media_canonical" -> (mediaCanonical _),
     "m06_phash_neardup" -> (phashNearDup _),
     "m01_multimodal_meta" ->
       ((s: SparkSession, d: String) => decodeFeatures(s, d)),

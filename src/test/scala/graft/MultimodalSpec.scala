@@ -179,6 +179,28 @@ class MultimodalSpec extends SparkSpec {
       "cross-kind byte-collision must never pair")
   }
 
+  test("m07 media canonical keeps one survivor per phash cluster and " +
+      "leaves singletons alone") {
+    val base = payloadOf(1, 4096)
+    val media = mediaRowsOf(Seq(
+      (1L, "image", base),
+      (2L, "image", editedOf(base)),     // near-dup of 1
+      (3L, "image", base.clone()),       // exact dup of 1
+      (4L, "audio", base.clone()),       // other kind -> singleton
+      (5L, "image", payloadOf(2, 4096)))) // unrelated -> singleton
+    val out = Multimodal.mediaCanonicalOf(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(out.size == 5, "every asset gets a verdict row")
+    // the {1,2,3} cluster keeps exactly one survivor: equal sizes tie
+    // down to the lowest doc_id
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) &&
+      out(3L) == ((1L, false)), out.toString)
+    assert(out(4L) == ((4L, true)) && out(5L) == ((5L, true)),
+      "singletons are their own canonical")
+  }
+
   test("m06 bucket cap prunes floods into the dropped-bucket report") {
     val flood = payloadOf(7, 2048)
     val media = mediaRowsOf(

@@ -206,6 +206,34 @@ object StreamingOps {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Left-outer form of [[viewPurchaseJoin]]: every view emits exactly
+    * once — joined to each purchase it preceded within the hour, or,
+    * once BOTH watermarks have passed the view's join horizon
+    * (view_ts + 1h), as an explicit null-purchase row: the
+    * "did not convert" record attribution funnels need, produced by the
+    * engine's state eviction itself rather than a batch reconciliation
+    * pass. State stays bounded exactly like the inner join (a view can
+    * be dropped the moment no future purchase could match it); the
+    * null-side emission is deferred, not the matches — matched rows
+    * still stream out per micro-batch.
+    */
+  def viewPurchaseJoinLeftOuter(views: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      expr("""v_user = p_user AND
+              view_ts <= purchase_ts AND
+              view_ts > purchase_ts - INTERVAL 1 HOUR"""),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_ts"),
+        col("event_id"), col("purchase_ts"))
+  }
+
   val gapUs: Long = 1800L * 1000000L // 30 min, matches Events.sessionize
 
   /** Gap-based sessionization over a keyed event stream. Events within a

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, ts(0)), (1L, ts(50))))
   }
 
+  test("left-outer interval join emits the null-match row only after " +
+      "both watermarks pass the view's horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[Ev]
+    val ps = MemoryStream[Ev]
+    vs.addData(Ev(1, ts(0), "view", 0), Ev(2, ts(0), "view", 0))
+    ps.addData(Ev(1, ts(30), "purchase", 9))
+    val joined = StreamingOps.viewPurchaseJoinLeftOuter(
+      vs.toDF(), ps.toDF().withColumn("event_id", $"user_id" * 100))
+    val q = joined.writeStream.format("memory").queryName("vpjo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def rows() = spark.sql(
+      "SELECT user_id, event_id, purchase_ts IS NULL FROM vpjo")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    // user 1's match streams out; user 2's non-conversion must NOT have
+    // been decided yet — the watermark hasn't passed its horizon
+    assert(rows() == Set((1L, Some(100L), false)), rows().toString)
+    // push BOTH watermarks past view_ts(0) + 1h join horizon (distinct
+    // users so the advancers can't match each other; user 9's own view
+    // stays undecided — ITS horizon hasn't passed)
+    vs.addData(Ev(9, ts(600), "view", 0))
+    ps.addData(Ev(8, ts(600), "purchase", 9))
+    q.processAllAvailable(); q.stop()
+    assert(rows() == Set((1L, Some(100L), false), (2L, None, true)),
+      rows().toString)
+  }
+
   test("streaming windowed agg matches batch grouping") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -412,8 +412,12 @@ object DocumentPipeline {
       .select($"doc_id", $"source",
         pmod(conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bkt"))
+    // ≤`buckets` rows; persisted so the normalizer and log-ratio branches
+    // read the cache instead of re-running the corpus count pipeline
+    // (without this the plan scans the corpus once per derived branch).
     val cc = toks.groupBy($"bkt").agg(count(lit(1)).as("n_c"),
       sum(when($"source" === target, 1L).otherwise(0L)).as("n_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cc.agg(sum($"n_c").as("nc"), sum($"n_t").as("nt"))
     val lr = cc.crossJoin(tot).select($"bkt",
       (log(($"n_t" + 1.0) / ($"nt" + buckets.toDouble)) -
@@ -424,8 +428,13 @@ object DocumentPipeline {
         round(sum($"lr") + lit(1e-9), 6).as("logw"))
     val u = (pmod(conv(substring(md5($"doc_id".cast("string")), 1, 15),
       16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    // per-doc narrow frame (id + 3 numbers); persisted so the threshold
+    // aggregate and the final join both read it — the corpus is scanned
+    // exactly twice end-to-end (LM count pass + scoring pass), the DSIR
+    // minimum.
     val keyed = scored.withColumn("samp_key",
       round($"logw" - log(-log(u)) + lit(1e-9), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = keyed.agg(
       expr(s"percentile(samp_key, ${1.0 - keepFrac})").as("thr"))
     keyed.crossJoin(thr)

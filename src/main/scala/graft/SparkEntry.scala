@@ -23,7 +23,7 @@ object SparkEntry {
     pipeline.Relational.queries ++ pipeline.DocumentPipeline.queries ++
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
       operators.Dedup.queries ++ operators.KeywordSearch.queries ++
-      operators.InvertedIndex.queries ++
+      operators.InvertedIndex.queries ++ operators.Redact.queries ++
       operators.Similarity.queries ++ operators.Graph.queries ++
       multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
@@ -36,7 +36,7 @@ object SparkEntry {
     pipeline.Relational.oracles ++ pipeline.DocumentPipeline.oracles ++
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
-      operators.InvertedIndex.oracles ++
+      operators.InvertedIndex.oracles ++ operators.Redact.oracles ++
       operators.Similarity.oracles ++ operators.Graph.oracles ++
       multimodal.Multimodal.oracles
 }

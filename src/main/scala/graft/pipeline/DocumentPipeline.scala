@@ -917,6 +917,54 @@ object DocumentPipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** d16: Bloom-gated decontamination — the 100 TB form of d06. d06
+    * broadcasts the benchmark's distinct shingles as a hash relation,
+    * which stops working when the eval-suite union is itself huge
+    * (100M+ shingles); a Bloom filter compresses membership to `numBits`
+    * bits at a tunable false-positive rate, and Spark's own
+    * runtime-join-filter machinery (`bloom_filter_agg` /
+    * `might_contain`) gives a distributed partial-aggregatable build and
+    * a codegen'd map-side probe. The probe is a PRE-filter: survivors
+    * are exact-verified by the semi-join (un-hinted — at test scale the
+    * planner still broadcasts; at benchmark-set scale it degrades to a
+    * shuffle join whose left side the Bloom already cut to candidates ≈
+    * true overlaps + fpp·corpus), so false positives cost only wasted
+    * verify work, never a wrong row, and the result is bit-identical to
+    * d06 — the two share one oracle. Driver state is the sketch's bytes:
+    * bounded by `numBits/8` regardless of data (the IvfIndex-centroid
+    * class of accepted driver state), embedded as a plan literal like
+    * d11's hyperplanes.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String,
+      estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select($"doc_id",
+      explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
+    val benchmark = sh.filter($"doc_id" < 5)
+      .select($"shingle").distinct()
+    val bfRow = benchmark
+      .agg(org.apache.spark.sql.graft.GraftFunctions
+        .bloom_filter_agg(xxhash64($"shingle"), estimatedItems, numBits)
+        .as("bf"))
+      .head()
+    // Empty benchmark → no sketch → nothing is contaminated.
+    if (bfRow.isNullAt(0))
+      return sh.filter(lit(false))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_overlapping_shingles"))
+        .withColumn("contaminated", lit(false))
+    val bloom = lit(bfRow.getAs[Array[Byte]]("bf"))
+    sh.filter($"doc_id" >= 5)
+      .filter(org.apache.spark.sql.graft.GraftFunctions
+        .might_contain(bloom, xxhash64($"shingle")))
+      .join(benchmark, Seq("shingle"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_overlapping_shingles"))
+      .withColumn("contaminated", $"n_overlapping_shingles" >= 3)
+      .orderBy($"doc_id")
+  }
+
   /** q20: deterministic per-source quota sampling (data mixing): keep at
     * most N docs per source, chosen by a portable pseudo-random order
     * (md5 of the id) so the sample is stable across engines and runs.
@@ -1591,6 +1639,8 @@ object DocumentPipeline {
     "t13_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "t09_repetition" -> repetition _,
     "d06_decontaminate" -> decontaminate _,
+    "d16_decontaminate_bloom" ->
+      ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "q20_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
     "t08_tfidf" -> tfidf _,
     "q19_profile" -> profile _,
@@ -1630,6 +1680,9 @@ object DocumentPipeline {
     "t12_entropy" -> entropySql,
     "t09_repetition" -> repetitionSql,
     "d06_decontaminate" -> decontaminateSql,
+    // d16 is semantically identical to d06 (Bloom is a pre-filter, the
+    // semi-join re-verifies exactly) — one oracle covers both paths.
+    "d16_decontaminate_bloom" -> decontaminateSql,
     "q20_quota_sample" -> quotaSampleSql,
     "t08_tfidf" -> tfidfSql,
     "q19_profile" -> profileSql,

@@ -404,7 +404,88 @@ object Events {
       |FROM f JOIN p USING (event_type)
       |ORDER BY f.event_type, f.hr""".stripMargin
 
+  /** e14: CUSUM changepoint detection on per-type daily volumes — the
+    * sequential drift detector that complements e13's static calendar
+    * profile: e13 flags "this hour deviates from ITS OWN profile", CUSUM
+    * flags "the level has SHIFTED and stayed shifted" (a feed dying, a
+    * source doubling) by accumulating small same-signed deviations that
+    * no single-point z-test reaches. Standard one-sided pair with
+    * reference drift `k` and decision threshold `h` (Page 1954 shape).
+    *
+    * The max(0, S+x) recursion is not a windowed sum — but it has a
+    * closed form over prefix sums: S⁺_t = C_t − min(0, min_{j≤t} C_j)
+    * with C = Σ(z−k), and symmetrically S⁻_t = max(0, max_{j≤t} D_j) −
+    * D_t with D = Σ(z+k) — so the whole detector is two ordered window
+    * passes over the ALREADY-AGGREGATED per-(type, day) frame
+    * (|types|·days rows; the only full-data work is the partial-agg
+    * daily count — the q26 rule: aggregate first, window the tiny
+    * frame). Threshold compares on un-rounded IEEE values in both
+    * engines (the t22 idiom); sd=0 profiles pin z to 0.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String, k: Double = 0.5,
+      h: Double = 4.0): DataFrame =
+    cusumChangepointOf(Tables.events(s, dir), k, h)
+
+  /** Core of [[cusumChangepoint]] over any (event_type, ts) frame. */
+  def cusumChangepointOf(ev: DataFrame, k: Double = 0.5,
+      h: Double = 4.0): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val daily = ev.groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val prof = daily.groupBy($"event_type")
+      .agg(avg($"n").as("mu"), stddev_samp($"n").as("sd"))
+    val z = when($"sd" > 0, ($"n" - $"mu") / $"sd").otherwise(lit(0.0))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c1 = daily.join(broadcast(prof), Seq("event_type"))
+      .select($"event_type", $"day", $"n",
+        sum(z - lit(k)).over(w).as("cum"),
+        sum(z + lit(k)).over(w).as("dcum"))
+    c1.select($"event_type", $"day", $"n",
+        ($"cum" - least(min($"cum").over(w), lit(0.0))).as("s_pos_raw"),
+        (greatest(max($"dcum").over(w), lit(0.0)) - $"dcum").as("s_neg_raw"))
+      .select($"event_type", $"day", $"n",
+        round($"s_pos_raw" + lit(1e-9), 4).as("s_pos"),
+        round($"s_neg_raw" + lit(1e-9), 4).as("s_neg"),
+        ($"s_pos_raw" > h || $"s_neg_raw" > h).as("is_change"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      |  FROM daily GROUP BY 1),
+      |sc AS (
+      |  SELECT d.event_type, d.day, d.n,
+      |    CASE WHEN p.sd > 0 THEN (d.n - p.mu) / p.sd ELSE 0.0 END AS z
+      |  FROM daily d JOIN prof p USING (event_type)),
+      |c1 AS (
+      |  SELECT event_type, day, n,
+      |    sum(z - 0.5) OVER w AS cum, sum(z + 0.5) OVER w AS dcum
+      |  FROM sc
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c2 AS (
+      |  SELECT event_type, day, n,
+      |    cum - least(min(cum) OVER w, 0.0) AS s_pos_raw,
+      |    greatest(max(dcum) OVER w, 0.0) - dcum AS s_neg_raw
+      |  FROM c1
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, n,
+      |  round(s_pos_raw + 1e-9, 4) AS s_pos,
+      |  round(s_neg_raw + 1e-9, 4) AS s_neg,
+      |  (s_pos_raw > 4.0 OR s_neg_raw > 4.0) AS is_change
+      |FROM c2
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_cusum_changepoint" ->
+      ((s: SparkSession, d: String) => cusumChangepoint(s, d)),
     "e13_seasonal_baseline" -> ((s: SparkSession, d: String) => seasonalBaseline(s, d)),
     "e12_mad_outliers" -> ((s: SparkSession, d: String) => madOutliers(s, d)),
     "e11_ewma_stats" -> ewmaTypeStats _,
@@ -417,6 +498,7 @@ object Events {
     "e04_asof_join" -> asof _)
 
   val oracles: Map[String, String] = Map(
+    "e14_cusum_changepoint" -> cusumChangepointSql,
     "e13_seasonal_baseline" -> seasonalBaselineSql,
     "e12_mad_outliers" -> madOutliersSql,
     "e11_ewma_stats" -> ewmaTypeStatsSql,

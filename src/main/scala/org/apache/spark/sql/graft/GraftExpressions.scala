@@ -561,4 +561,22 @@ object GraftFunctions {
     col(NearestCentroid(e(v), centroids.map(_._1), centroids.map(_._2)))
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
+
+  /** Spark's internal Bloom pair (the machinery behind its own runtime
+    * join filters), surfaced for explicit use: a distributed
+    * partial-aggregatable Bloom build over a LongType hash column, and
+    * the codegen'd membership probe. `might_contain`'s bloom side must
+    * be a foldable constant (Spark enforces literal-or-scalar-subquery),
+    * so callers collect the sketch's bytes — bounded, size fixed by
+    * `numBits` regardless of data — and pass `lit(bytes)`.
+    */
+  def bloom_filter_agg(h: Column, estimatedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(e(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+  def might_contain(bloomBytes: Column, h: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(e(bloomBytes), e(h)))
 }

@@ -117,4 +117,34 @@ class AnalyticsSpec extends SparkSpec {
     assert((0 to 23).forall(h => out(("flat", h)) == ((2L, 0.0, false))),
       "flat profile must pin z to 0 with no flags")
   }
+
+  test("e14 cusum: a sustained level shift accumulates to a flag on both " +
+      "tails, a stable series never flags") {
+    import spark.implicits._
+    // "shift": 10/day for days 1-10 then 30/day for days 11-20 — vs the
+    // global mean both segments drift steadily (|z| ≈ 0.97 per day, under
+    // any single-point cut) and only ACCUMULATION crosses h=4: the low
+    // tail via s_neg around day 9, the high tail via s_pos around day 19,
+    // with the transition days in between unflagged. "stable": constant
+    // volume, sd=0, z pinned to 0 → CUSUM never moves.
+    val ev = ((1 to 20).flatMap { d =>
+      val per = if (d <= 10) 10 else 30
+      (1 to per).map(i => (ts(f"2024-03-$d%02d ${i % 24}%02d:01:00"), "shift"))
+    } ++ (1 to 20).flatMap { d =>
+      (1 to 5).map(i => (ts(f"2024-03-$d%02d ${i % 24}%02d:02:00"), "stable"))
+    }).toDF("ts", "event_type")
+    val rows = pipeline.Events.cusumChangepointOf(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows.size == 40, s"expected 2 types x 20 days, got ${rows.size}")
+    assert((1 to 20).forall(d => !rows(("stable", f"2024-03-$d%02d"))._4),
+      "stable series must never flag")
+    val (_, _, sneg9, f9) = rows(("shift", "2024-03-09"))
+    assert(f9 && sneg9 > 4.0, s"low tail must flag via s_neg by day 9: $sneg9")
+    val (_, spos19, _, f19) = rows(("shift", "2024-03-19"))
+    assert(f19 && spos19 > 4.0, s"high tail must flag via s_pos by day 19: $spos19")
+    val (_, spos11, sneg11, f11) = rows(("shift", "2024-03-11"))
+    assert(!f11 && spos11 < 4.0 && sneg11 < 4.0,
+      s"transition day must not flag: $spos11 $sneg11")
+  }
 }

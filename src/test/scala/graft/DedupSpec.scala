@@ -406,4 +406,45 @@ class DedupSpec extends SparkSpec {
     val again2 = Dedup.clusterTable(spark, dir)
     assert(again eq again2, "unchanged corpus must still hit the memo")
   }
+
+  test("d16 bloom decontamination is bit-identical to the exact semi-join") {
+    val exact = pipeline.DocumentPipeline.decontaminate(spark, sf).collect().toSeq
+    val bloom = pipeline.DocumentPipeline.decontaminateBloom(spark, sf)
+      .collect().toSeq
+    assert(bloom == exact,
+      s"bloom+verify must equal exact: ${bloom.size} vs ${exact.size} rows")
+    assert(exact.nonEmpty, "sf0.001 corpus must actually have overlaps")
+  }
+
+  test("d16 verify stage is load-bearing: a starved sketch passes false " +
+      "positives, the result still never changes") {
+    import org.apache.spark.sql.graft.GraftFunctions._
+    val docs = graft.Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id",
+      explode(Dedup.shingles($"text", 3)).as("shingle"))
+    val bench = sh.filter($"doc_id" < 5).select($"shingle").distinct()
+    val corpus = sh.filter($"doc_id" >= 5)
+    val exactHits = corpus.join(bench, Seq("shingle"), "left_semi").count()
+    // 64 bits for thousands of distinct shingles: the sketch saturates
+    // and nearly everything becomes a candidate.
+    val tiny = bench.agg(bloom_filter_agg(xxhash64($"shingle"), 100000L, 64L)
+      .as("bf")).head.getAs[Array[Byte]]("bf")
+    val candidates = corpus
+      .filter(might_contain(lit(tiny), xxhash64($"shingle"))).count()
+    assert(candidates > exactHits,
+      s"starved bloom must admit false positives ($candidates vs $exactHits)")
+    val out = pipeline.DocumentPipeline
+      .decontaminateBloom(spark, sf, numBits = 64L).collect().toSeq
+    val ref = pipeline.DocumentPipeline.decontaminate(spark, sf).collect().toSeq
+    assert(out == ref, "false positives must die in the exact verify")
+  }
+
+  test("d16 empty benchmark contaminates nothing") {
+    // Shift ids so nothing falls in the doc_id < 5 benchmark window.
+    val dir = java.nio.file.Files.createTempDirectory("d16_empty_").toString
+    graft.Tables.documents(spark, sf)
+      .withColumn("doc_id", $"doc_id" + 100L)
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    assert(pipeline.DocumentPipeline.decontaminateBloom(spark, dir).count() == 0L)
+  }
 }

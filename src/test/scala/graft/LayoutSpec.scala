@@ -80,4 +80,48 @@ class LayoutSpec extends SparkSpec {
     assert(top.as[(String, Long)].collect().toSeq ==
       Seq(("apple", 9L), ("apply", 9L), ("append", 2L)))
   }
+
+  test("z-ordered layout is file-prunable on BOTH dimensions; a single-" +
+      "column sort is blind on the second") {
+    val ev = Tables.events(spark, sf).select($"user_id", $"value", $"event_id")
+    val zDir = Files.createTempDirectory("graft_z_").toString + "/ev"
+    val sDir = Files.createTempDirectory("graft_s_").toString + "/ev"
+    Layout.writeZOrdered(ev, zDir, "user_id", "value", files = 16)
+    // the contrast layout: perfectly sorted on user_id only
+    ev.repartitionByRange(16, $"user_id").sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(sDir)
+
+    // Per-file min/max of each dimension IS what row-group skipping sees:
+    // count the files a narrow predicate on that dimension cannot skip.
+    def overlapping(dir: String, c: String, lo: Double, hi: Double): Int =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+          r.getDouble(0) <= hi && r.getDouble(1) >= lo
+        }
+    val stats = ev.agg(
+      min($"user_id").cast("double"), max($"user_id").cast("double"),
+      min($"value").cast("double"), max($"value").cast("double")).head()
+    def narrow(lo: Double, hi: Double) = {
+      val w = (hi - lo) / 16.0; (lo + 7 * w, lo + 8 * w) // one-16th slice
+    }
+    val (ulo, uhi) = narrow(stats.getDouble(0), stats.getDouble(1))
+    val (vlo, vhi) = narrow(stats.getDouble(2), stats.getDouble(3))
+
+    // user_id: the sorted layout is perfect (~1 file); z-order must still
+    // prune meaningfully (strictly fewer than half the files).
+    assert(overlapping(zDir, "user_id", ulo, uhi) <= 8,
+      "z-order must prune on the first dimension")
+    // value: the sorted layout is blind — every file overlaps; z-order
+    // must beat it decisively.
+    val sortedV = overlapping(sDir, "value", vlo, vhi)
+    val zV = overlapping(zDir, "value", vlo, vhi)
+    assert(sortedV >= 12, s"single-column sort should be blind on value: $sortedV")
+    assert(zV <= sortedV / 2, s"z-order must prune on value too: $zV vs $sortedV")
+
+    // correctness: the clustered copy is the same multiset of rows
+    assert(spark.read.parquet(zDir).orderBy($"event_id").collect().toSeq ==
+      ev.orderBy($"event_id").collect().toSeq)
+  }
 }

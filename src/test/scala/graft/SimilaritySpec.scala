@@ -123,4 +123,40 @@ class SimilaritySpec extends SparkSpec {
       b.get((q, n)).exists(bs => math.abs(bs - s) > 1e-9) }
     assert(mismatched.isEmpty, "exact re-rank must agree with brute cosine")
   }
+
+  test("stored ivf index: search reads only probed partitions (dynamic " +
+      "pruning), delta append is searchable without retraining") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.asDouble
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    val emb = Tables.embeddings(spark, sf)
+    IvfIndex.writeIndex(emb, dir, clusters = 8, iters = 2)
+
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val res = IvfIndex.searchIndex(spark, dir, queries, k = 5, nprobe = 2)
+    // the probe equi-join on the partition column must prune partitions
+    // at runtime, not scan the whole member table
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cluster_id in:\n${plan.take(2000)}")
+    val rows = res.collect()
+    assert(rows.length == 8 * 5, s"8 queries x 5: got ${rows.length}")
+
+    // stored-index search agrees with the in-query IVF on identical
+    // centroids-by-construction? Not guaranteed (different training
+    // calls) — but it must agree with brute force on clear neighbors:
+    // plant an exact duplicate of vector 3 as a NEW vector via the
+    // delta-append path and find it at rank 1 without any retraining.
+    val v3 = emb.filter($"vec_id" === 3).select($"embedding").head()
+      .getSeq[Float](0).toVector
+    IvfIndex.appendVectors(spark, dir,
+      Seq((900001L, v3)).toDF("vec_id", "embedding"))
+    val q3 = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val top = IvfIndex.searchIndex(spark, dir, q3, k = 1, nprobe = 2)
+      .select($"neighbor_id", $"sim").head()
+    assert(top.getLong(0) == 900001L && top.getDouble(1) == 1.0,
+      s"planted exact copy must be rank 1 with sim 1.0: $top")
+  }
 }

@@ -329,6 +329,74 @@ object DocumentPipeline {
       |FROM d GROUP BY source, split
       |ORDER BY source, split""".stripMargin
 
+  /** p06: deterministic epoch-seeded shuffle — reproducible training-data
+    * ordering. Resumable LLM training needs epoch N's EXACT example order
+    * reconstructible from (seed, corpus) alone: crash at step s, rebuild
+    * the order, skip s examples, continue — so the order must be a pure
+    * function, not a sampled permutation. Each doc gets a shard (md5 of
+    * "epoch#doc_id" — different epochs give independent permutations)
+    * and a within-shard position (rank of a second independent md5 key),
+    * the order a shard-local reader consumes.
+    *
+    * Scale shape: shard assignment and both keys are map-only; the only
+    * shuffle is the per-shard ordering window — which is exactly the
+    * work a sharded ordered write must do, parallel in `shards`. Unlike
+    * d11's counting anti-pattern, the per-shard sort IS the product
+    * here; `shards` is the scale-out knob (file-sized shards: corpus /
+    * ~1 GB), never a fixed small constant at 100 TB. No global sort
+    * exists at any point — global position is (shard, pos) by contract.
+    */
+  def epochShuffle(s: SparkSession, dir: String, epoch: Int = 1,
+      shards: Int = 64): DataFrame = {
+    import s.implicits._
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(epoch), $"doc_id")), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong)).cast("int")
+    val ordKey = conv(substring(
+        md5(concat_ws(":", lit(epoch), $"doc_id")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"ord_key", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", shard.as("shard"), ordKey.as("ord_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy($"shard", $"pos")
+  }
+
+  val epochShuffleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (('0x' || substring(md5('1#' || doc_id), 1, 15))::BIGINT % 64)::INT
+      |      AS shard,
+      |    ('0x' || substring(md5('1:' || doc_id), 1, 15))::BIGINT AS ord_key
+      |  FROM documents)
+      |SELECT doc_id, shard, ord_key,
+      |  row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+      |    AS pos
+      |FROM d
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Write epoch-`epoch`'s order as shard-partitioned parquet, sorted by
+    * the order key within each shard — the layout a data loader streams
+    * sequentially. One shuffle (shard repartition), shard-local sorts.
+    */
+  def writeEpochShards(docs: DataFrame, path: String, epoch: Int,
+      shards: Int = 64): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(epoch), $"doc_id")), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong)).cast("int")
+    val ordKey = conv(substring(
+        md5(concat_ws(":", lit(epoch), $"doc_id")), 1, 15), 16, 10)
+      .cast("long")
+    docs.withColumn("shard", shard).withColumn("ord_key", ordKey)
+      .repartition($"shard")
+      .sortWithinPartitions($"shard", $"ord_key", $"doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+  }
+
   /** p04: temperature-scaled mixture sampling weights (the multilingual /
     * multi-source rebalancing rule from XLM-R-style pipelines): per-source
     * sampling probability p_i ∝ n_i^alpha with alpha = 0.5, which
@@ -1658,6 +1726,8 @@ object DocumentPipeline {
     "q35_mixture_drift" -> mixtureDrift _,
     "t18_pmi_cooccur" -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "p03_stratified_split" -> stratifiedSplit _,
+    "p06_epoch_shuffle" ->
+      ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "p04_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "p05_importance_resample" ->
       ((s: SparkSession, d: String) => importanceResample(s, d)),
@@ -1699,6 +1769,7 @@ object DocumentPipeline {
     "q35_mixture_drift" -> mixtureDriftSql,
     "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
+    "p06_epoch_shuffle" -> epochShuffleSql,
     "p04_temperature_mix" -> temperatureMixSql,
     "p05_importance_resample" -> importanceResampleSql,
     "t19_ccnet_buckets" -> ccnetBucketsSql,

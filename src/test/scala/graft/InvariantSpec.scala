@@ -69,4 +69,40 @@ class InvariantSpec extends SparkSpec {
         s"doc $id: stricter df threshold must mask no more ($nm -> ${strict(id)})")
     }
   }
+
+  test("p06: epoch order is a pure function — rerun identical, epochs " +
+      "independent, every doc ordered exactly once") {
+    val docs = Tables.documents(spark, sf)
+    def order(epoch: Int) = DocumentPipeline.epochShuffle(spark, sf, epoch)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)]
+      .collect().toSeq
+    val e1 = order(1)
+    assert(order(1) == e1, "same epoch must reproduce the identical order")
+    val e2 = order(2)
+    assert(e1.map(_._1).toSet == e2.map(_._1).toSet &&
+      e1.map(_._1).size == docs.count(),
+      "every doc appears exactly once in every epoch")
+    val moved = e1.toSet.diff(e2.toSet).size
+    assert(moved > e1.size / 2,
+      s"epochs must be (near-)independent permutations: only $moved moved")
+    // positions are dense 1..n within every shard
+    val byShard = e1.groupBy(_._2)
+    assert(byShard.values.forall(g =>
+      g.map(_._3).sorted == (1L to g.size.toLong)), "dense per-shard positions")
+  }
+
+  test("p06: written epoch shards are shard-pruned and ord-sorted") {
+    val dir = java.nio.file.Files.createTempDirectory("epoch_").toString + "/e1"
+    val docs = Tables.documents(spark, sf)
+    DocumentPipeline.writeEpochShards(docs, dir, epoch = 1, shards = 8)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("shard="))
+    assert(files == 8, s"expected 8 shard dirs, got $files")
+    val rd = spark.read.parquet(dir)
+    assert(rd.count() == docs.count())
+    // within a shard file, rows come back in written (ord_key) order
+    val keys = rd.filter($"shard" === 3).select($"ord_key")
+      .as[Long].collect().toSeq
+    assert(keys == keys.sorted, "shard file must be ord-sorted on disk")
+  }
 }

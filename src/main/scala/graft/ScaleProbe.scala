@@ -491,6 +491,63 @@ object ScaleProbe {
         pipeline.DocumentPipeline.pmiCooccurOf(withMonster).count()
       }
     }
+    // Redaction is pure map — the probe's counter doubles as a scaling
+    // parity check: total matches must be EXACTLY mult × the base
+    // corpus's (replicas carry identical text).
+    isolate()
+    locally {
+      val redacted = operators.Redact
+        .redactOf(big.select($"doc_id", $"text"), "text",
+          operators.Redact.corpusRules)
+      time(s"pii_redact_x$mult") { redacted.count() }
+      val hits = redacted
+        .agg(sum($"n_entity" + $"n_op" + $"n_email")).head.getLong(0)
+      val hits1 = operators.Redact
+        .redactOf(base.select($"doc_id", $"text"), "text",
+          operators.Redact.corpusRules)
+        .agg(sum($"n_entity" + $"n_op" + $"n_email")).head.getLong(0)
+      println(s"""{"probe":"pii_redact_hits_x$mult","matches":$hits,"exact_mult":${hits == hits1 * mult}}""")
+    }
+    // Bloom vs exact decontamination on the same replicated corpus: the
+    // result row counts must agree (the semi-join verify guarantees it);
+    // the timing contrast is the operator's reason to exist.
+    isolate()
+    locally {
+      val docs = big.select($"doc_id", $"text")
+      var exactRows = 0L; var bloomRows = 0L
+      time(s"decontam_exact_x$mult") {
+        exactRows = pipeline.DocumentPipeline.decontaminateOf(docs).count()
+        exactRows
+      }
+      time(s"decontam_bloom_x$mult") {
+        bloomRows = pipeline.DocumentPipeline.decontaminateBloomOf(docs).count()
+        bloomRows
+      }
+      println(s"""{"probe":"decontam_parity_x$mult","exact":$exactRows,"bloom":$bloomRows,"equal":${exactRows == bloomRows}}""")
+    }
+    // Epoch shuffle: the per-shard ordering window is the whole cost;
+    // positions must stay dense (count == max(pos) summed over shards).
+    isolate()
+    locally {
+      val eo = pipeline.DocumentPipeline.epochShuffleOf(
+        big.select($"doc_id"), epoch = 1, shards = 256)
+      time(s"epoch_shuffle_x$mult") { eo.count() }
+      val dense = eo.groupBy($"shard").agg(max($"pos").as("mx"))
+        .agg(sum($"mx")).head.getLong(0)
+      println(s"""{"probe":"epoch_shuffle_dense_x$mult","sum_max_pos":$dense}""")
+    }
+    // Z-order clustered write of the replicated corpus on (doc_id,
+    // n_chars): one range shuffle + sorted write at any scale.
+    isolate()
+    locally {
+      val zdir = java.nio.file.Files
+        .createTempDirectory("probe_z_").toString + "/docs"
+      time(s"zorder_write_x$mult") {
+        sources.Layout.writeZOrdered(
+          big.select($"doc_id", $"n_chars"), zdir, "doc_id", "n_chars", 32)
+        spark.read.parquet(zdir).count()
+      }
+    }
     // The probed operators persist internal frames (p02's tokenized
     // projection, d10's token arrays) that outlive their query — clear
     // them so successive probes don't measure a cache-pressured store.

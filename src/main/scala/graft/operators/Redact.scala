@@ -70,7 +70,7 @@ object Redact {
   /** Rules that hit the synthetic corpus (dictionary entities + operator
     * words) with the real email rule along for the audited-zero check.
     */
-  private val corpusRules = Seq(
+  private[graft] val corpusRules = Seq(
     RedactRule("entity", "\\b(customer|supplier|part|order)\\b", "<ENT>"),
     RedactRule("op", "\\b(scan|merge|join|filter|sort)\\b", "<OP>"),
     piiRules.head)

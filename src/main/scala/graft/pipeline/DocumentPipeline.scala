@@ -347,7 +347,13 @@ object DocumentPipeline {
     * exists at any point — global position is (shard, pos) by contract.
     */
   def epochShuffle(s: SparkSession, dir: String, epoch: Int = 1,
+      shards: Int = 64): DataFrame =
+    epochShuffleOf(Tables.documents(s, dir), epoch, shards)
+
+  /** Core of [[epochShuffle]] over any frame with a `doc_id` column. */
+  def epochShuffleOf(docs: DataFrame, epoch: Int = 1,
       shards: Int = 64): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val shard = pmod(conv(substring(
         md5(concat_ws("#", lit(epoch), $"doc_id")), 1, 15), 16, 10)
@@ -357,7 +363,7 @@ object DocumentPipeline {
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"ord_key", $"doc_id")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", shard.as("shard"), ordKey.as("ord_key"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .orderBy($"shard", $"pos")
@@ -955,9 +961,13 @@ object DocumentPipeline {
     * set). Explode-shingle + semi-join on the shingle; the benchmark side
     * is tiny and broadcast. The core hygiene op of a training pipeline.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(s, dir))
+
+  /** Core of [[decontaminate]] over any (doc_id, text) frame. */
+  def decontaminateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val sh = docs.select($"doc_id",
       explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
     val benchmark = sh.filter($"doc_id" < 5)
@@ -1004,9 +1014,14 @@ object DocumentPipeline {
     * d11's hyperplanes.
     */
   def decontaminateBloom(s: SparkSession, dir: String,
+      estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame =
+    decontaminateBloomOf(Tables.documents(s, dir), estimatedItems, numBits)
+
+  /** Core of [[decontaminateBloom]] over any (doc_id, text) frame. */
+  def decontaminateBloomOf(docs: DataFrame,
       estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val sh = docs.select($"doc_id",
       explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
     val benchmark = sh.filter($"doc_id" < 5)

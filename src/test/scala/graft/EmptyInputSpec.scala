@@ -109,4 +109,14 @@ class EmptyInputSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 0)
   }
+
+  test("redaction, bloom decontamination, cusum and epoch shuffle degrade " +
+      "gracefully on empty input") {
+    assert(operators.Redact.redactOf(emptyDocs, "text").count() == 0)
+    // empty corpus → empty benchmark → the no-sketch early path
+    assert(pipeline.DocumentPipeline.decontaminateBloomOf(emptyDocs).count() == 0)
+    val emptyEv = Seq.empty[(java.sql.Timestamp, String)].toDF("ts", "event_type")
+    assert(pipeline.Events.cusumChangepointOf(emptyEv).count() == 0)
+    assert(pipeline.DocumentPipeline.epochShuffleOf(emptyDocs).count() == 0)
+  }
 }

@@ -548,6 +548,62 @@ object ScaleProbe {
         spark.read.parquet(zdir).count()
       }
     }
+    // APSS (t24): tf-idf weights are replication-invariant (idf =
+    // ln(N·n / N·df) = ln(n/df)), so on a ×N replica slice the pair set
+    // is EXACTLY N²·P + C(N,2)·D (P = base pairs at the threshold, D =
+    // base docs with nonzero norm) — a closed-form parity check. The
+    // slice keeps the deliberately-adversarial dictionary corpus (every
+    // doc shares the same small vocabulary — the worst case for prefix
+    // pruning) at a bounded candidate count.
+    isolate()
+    if (mult > 1) locally {
+      val bound = 250L
+      val baseSlice = base.filter($"doc_id" < bound).select($"doc_id", $"text")
+      val bigSlice = big.filter(pmod($"doc_id", lit(10000000L)) < bound)
+        .select($"doc_id", $"text")
+      val pBase = operators.Apss.cosineApssOf(baseSlice, 0.9).count()
+      val dBase = baseSlice.count()
+      var pBig = 0L
+      time(s"apss_x$mult") {
+        pBig = operators.Apss.cosineApssOf(bigSlice, 0.9).count(); pBig
+      }
+      val expect = mult.toLong * mult * pBase + mult.toLong * (mult - 1) / 2 * dBase
+      println(s"""{"probe":"apss_parity_x$mult","pairs":$pBig,"expected":$expect,"exact":${pBig == expect}}""")
+    }
+    // On a generated corpus (realistic vocabulary): APSS with
+    // planted-pair recall — found pairs vs the stride-planted near-dups.
+    // Exact APSS cost is Σ_t df_t·prefix_df_t, which grows QUADRATICALLY
+    // once a bounded vocabulary saturates (GenCorpus: 5,050 terms —
+    // sf10's rare-tier df is ~10× sf1's, so candidates are ~100×). That
+    // is the documented exact→LSH crossover (d02 takes over above it),
+    // so the probe slices the corpus to ≤100k base docs — a 2× scale
+    // point over sf1 — instead of pretending exact APSS is the 475k-doc
+    // tool. The slice keeps src/dup pairing intact: base docs < B plus
+    // the dups whose source is < B.
+    if (mult == 1 &&
+        new java.io.File(s"$sfDir/media.parquet").exists()) locally {
+      val total = base.count()
+      val nBase = math.round(total * 0.95)
+      val nDup = total - nBase
+      val stride = math.max(nBase / math.max(nDup, 1L), 1L)
+      val bound = math.min(nBase, 100000L)
+      val dupBound = bound / stride
+      val docs = base.select($"doc_id", $"text")
+        .filter($"doc_id" < bound ||
+          ($"doc_id" >= nBase && $"doc_id" < nBase + dupBound))
+      val planted = spark.range(dupBound)
+        .select(($"id" * stride).as("doc_a"), ($"id" + nBase).as("doc_b"))
+      for (t <- Seq(0.9, 0.7)) {
+        isolate()
+        val pairs = operators.Apss.cosineApssOf(docs, t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var np = 0L
+        time(s"apss_t${t}_x$mult") { np = pairs.count(); np }
+        val found = pairs.join(planted, Seq("doc_a", "doc_b")).count()
+        println(s"""{"probe":"apss_recall_t${t}_x$mult","docs":${bound + dupBound},"pairs":$np,"planted_found":$found,"planted_total":$dupBound}""")
+        pairs.unpersist()
+      }
+    }
     // The probed operators persist internal frames (p02's tokenized
     // projection, d10's token arrays) that outlive their query — clear
     // them so successive probes don't measure a cache-pressured store.

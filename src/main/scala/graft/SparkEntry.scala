@@ -24,6 +24,7 @@ object SparkEntry {
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
       operators.Dedup.queries ++ operators.KeywordSearch.queries ++
       operators.InvertedIndex.queries ++ operators.Redact.queries ++
+      operators.Apss.queries ++
       operators.Similarity.queries ++ operators.Graph.queries ++
       multimodal.Multimodal.queries ++
       Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
@@ -37,6 +38,7 @@ object SparkEntry {
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
       operators.InvertedIndex.oracles ++ operators.Redact.oracles ++
+      operators.Apss.oracles ++
       operators.Similarity.oracles ++ operators.Graph.oracles ++
       multimodal.Multimodal.oracles
 }

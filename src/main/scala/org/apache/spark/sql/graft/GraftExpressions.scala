@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -206,6 +206,25 @@ object hashing {
     new GenericArrayData(mins)
   }
 
+  /** Sparse dot product of two term-sorted (terms, weights) vector pairs
+    * via a linear merge walk on the term strings — the verify stage of
+    * all-pairs similarity search calls this once per candidate pair, so
+    * no per-pair hash map is ever built. Terms must be sorted ascending
+    * (binary UTF8 order, the same order sort_array produces).
+    */
+  def sortedWeightedDot(ta: ArrayData, wa: ArrayData,
+      tb: ArrayData, wb: ArrayData): Double = {
+    val na = ta.numElements(); val nb = tb.numElements()
+    var i = 0; var j = 0; var acc = 0.0
+    while (i < na && j < nb) {
+      val c = ta.getUTF8String(i).compareTo(tb.getUTF8String(j))
+      if (c == 0) { acc += wa.getDouble(i) * wb.getDouble(j); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val words = text.split(space, -1)
     val m = words.length - n + 1
@@ -345,6 +364,28 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sparse dot of two (terms, weights) vectors, both term-sorted ascending
+  * (merge walk, codegen'd — see hashing.sortedWeightedDot).
+  */
+case class SortedWeightedDot(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(DoubleType),
+      ArrayType(StringType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(ta: Any, wa: Any, tb: Any, wb: Any): Any =
+    hashing.sortedWeightedDot(ta.asInstanceOf[ArrayData],
+      wa.asInstanceOf[ArrayData], tb.asInstanceOf[ArrayData],
+      wb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ta, wa, tb, wb) =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.sortedWeightedDot($ta, $wa, $tb, $wb);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** Distinct hashed word n-gram shingles (see hashing.wordShingleHashes). */
@@ -555,6 +596,8 @@ object GraftFunctions {
     col(MinHashSigFromHashes(e(hashes), k))
   def sorted_intersection_size(a: Column, b: Column): Column =
     col(SortedIntersectionSize(e(a), e(b)))
+  def sorted_weighted_dot(ta: Column, wa: Column, tb: Column, wb: Column): Column =
+    col(SortedWeightedDot(e(ta), e(wa), e(tb), e(wb)))
   def token_profile_counts(text: Column, profiles: Seq[Seq[String]]): Column =
     col(TokenProfileCounts(e(text), profiles))
   def nearest_centroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =

@@ -15,6 +15,16 @@ case class SessionState(startUs: Long, lastUs: Long, n: Int, totalValue: Double)
 case class SessionOut(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Int, total_value: Double)
 
+/** Per-type CUSUM detector state: open (not-yet-watermark-closed) day
+  * buckets plus the two accumulated sums — a handful of doubles and at
+  * most watermark-horizon day buckets per key, never history-sized.
+  */
+case class CusumState(openDays: Map[Long, Long], sPos: Double, sNeg: Double)
+
+/** Emitted once per (type, day) when the watermark closes the day. */
+case class CusumOut(event_type: String, day: java.sql.Date, n: Long,
+    s_pos: Double, s_neg: Double, is_change: Boolean)
+
 /** Structured Streaming operators (SURVEY.md §2 events/streaming row).
   *
   * The batch forms in graft.pipeline.Events share these semantics and feed
@@ -232,6 +242,72 @@ object StreamingOps {
       "leftOuter")
       .select(col("v_user").as("user_id"), col("view_ts"),
         col("event_id"), col("purchase_ts"))
+  }
+
+  private val dayMs = 86400000L
+
+  /** Streaming CUSUM level-shift detection — the on-arrival form of
+    * Events.cusumChangepoint (e14). The batch operator profiles mu/sd
+    * from the full history it can see; a stream cannot, so this takes the
+    * reference profile as an argument (the production pattern: profile
+    * trained offline on history, detector folds the live feed). Per
+    * event_type the state holds the open day buckets plus (S⁺, S⁻); when
+    * the watermark passes a day's end the day is closed IN DAY ORDER
+    * through the Page recursion S⁺ = max(0, S⁺ + z − k),
+    * S⁻ = max(0, S⁻ − z − k) — the recursion the batch form re-expresses
+    * as prefix-sum-minus-running-min — and one row per closed (type, day)
+    * is emitted. Late events inside the watermark merge into their open
+    * bucket; beyond it Spark drops them before they reach state. State
+    * per key is O(watermark horizon in days), the accumulators are two
+    * doubles — bounded at any scale; types partition the stream so the
+    * detector fans out with the cluster.
+    */
+  def cusumStream(events: Dataset[Ev], profile: Map[String, (Double, Double)],
+      k: Double = 0.5, h: Double = 4.0,
+      watermarkDelay: String = "1 day"): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    def closeDays(typ: String, st: CusumState, watermarkMs: Long,
+        out: scala.collection.mutable.ArrayBuffer[CusumOut]): CusumState = {
+      val (mu, sd) = profile.getOrElse(typ, (0.0, 0.0))
+      var (sPos, sNeg) = (st.sPos, st.sNeg)
+      val (closable, open) = st.openDays.partition {
+        case (day, _) => (day + 1) * dayMs <= watermarkMs
+      }
+      closable.toSeq.sortBy(_._1).foreach { case (day, n) =>
+        val z = if (sd > 0) (n - mu) / sd else 0.0
+        sPos = math.max(0.0, sPos + z - k)
+        sNeg = math.max(0.0, sNeg - z - k)
+        out += CusumOut(typ, new java.sql.Date(day * dayMs), n,
+          math.round(sPos * 1e4) / 1e4, math.round(sNeg * 1e4) / 1e4,
+          sPos > h || sNeg > h)
+      }
+      CusumState(open, sPos, sNeg)
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, evs: Iterator[Ev], state: GroupState[CusumState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          var st = state.getOption.getOrElse(CusumState(Map.empty, 0.0, 0.0))
+          if (!state.hasTimedOut) {
+            val add = evs.toSeq.groupBy(e => e.ts.getTime / dayMs)
+              .view.mapValues(_.size.toLong).toMap
+            st = st.copy(openDays = add.foldLeft(st.openDays) {
+              case (m, (day, n)) => m.updated(day, m.getOrElse(day, 0L) + n)
+            })
+          }
+          st = closeDays(typ, st, wm, out)
+          // The CUSUM accumulators live forever (that is the detector);
+          // only the open-day buckets need a wake-up call. Earliest open
+          // day's end is when the watermark can next close something.
+          state.update(st)
+          if (st.openDays.nonEmpty)
+            state.setTimeoutTimestamp((st.openDays.keys.min + 1) * dayMs)
+          out.iterator
+      }
   }
 
   val gapUs: Long = 1800L * 1000000L // 30 min, matches Events.sessionize

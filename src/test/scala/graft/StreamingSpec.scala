@@ -319,4 +319,51 @@ class StreamingSpec extends SparkSpec {
     // sessions and hold nUsers open ones; sanity: both positive.
     assert(nSessions >= nUsers && nUsers > 0)
   }
+
+  test("streaming CUSUM closes days in order and matches the Page recursion") {
+    implicit val sqlCtx = spark.sqlContext
+    // Day-aligned timestamps well above the initial watermark.
+    val day0 = (base / 86400000L + 1) * 86400000L
+    def tsd(day: Int, i: Int) = new Timestamp(day0 + day * 86400000L + i * 1000L)
+    val profile = Map("click" -> (10.0, 2.0), "view" -> (5.0, 1.0))
+    // click: stable at mu for 2 days then a sustained +3-sigma shift;
+    // view: flat at its mean — the control that must never flag.
+    val clickCounts = Seq(10L, 10L, 16L, 16L, 16L)
+    val viewCounts = Seq(5L, 5L, 5L, 5L, 5L)
+    val evsIn = (0 until 5).flatMap { d =>
+      (0L until clickCounts(d)).map(i => Ev(1, tsd(d, i.toInt), "click", 1.0)) ++
+        (0L until viewCounts(d)).map(i => Ev(2, tsd(d, i.toInt), "view", 1.0))
+    }
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.cusumStream(mem.toDS(), profile, k = 0.5, h = 4.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    mem.addData(evsIn: _*)
+    q.processAllAvailable()
+    // trailing far-future event advances the watermark past every day
+    mem.addData(Ev(9, tsd(12, 0), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(9, tsd(13, 0), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT event_type, day, n, s_pos, is_change FROM cusum_stream")
+      .as[(String, java.sql.Date, Long, Double, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    // Reference: the Page recursion folded in plain Scala.
+    def fold(counts: Seq[Long], mu: Double, sd: Double): Seq[Double] =
+      counts.scanLeft(0.0) { (s, n) =>
+        math.max(0.0, s + (n - mu) / sd - 0.5)
+      }.tail.map(s => math.round(s * 1e4) / 1e4)
+    val clickExp = fold(clickCounts, 10.0, 2.0)
+    assert(got("click").take(5).map(_._4).toSeq == clickExp)
+    assert(got("click").take(5).map(_._3).toSeq == clickCounts)
+    // shift day 2 onward: s_pos = 2.5, 5.0, 7.5 → flags from day 3
+    assert(got("click").take(5).map(_._5).toSeq ==
+      Seq(false, false, false, true, true))
+    assert(got("view").take(5).forall(r => !r._5 && r._4 == 0.0))
+    // days arrive strictly in order per type
+    assert(got("click").map(_._2.getTime).sliding(2).forall(w =>
+      w.length < 2 || w(0) < w(1)))
+  }
 }

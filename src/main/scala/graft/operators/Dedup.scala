@@ -1223,6 +1223,53 @@ object Dedup {
        |  >= $minJaccard
        |ORDER BY corpus_id, new_id""".stripMargin
 
+  /** d17: approximate source-overlap matrix via HLL sketches — the
+    * sketch-cost complement of d15: d15 runs the near-dup pipeline and
+    * reports VERIFIED pair mass between sources; this estimates
+    * distinct-shingle overlap for EVERY source pair from one
+    * partial-aggregatable sketch pass (Spark's DataSketches
+    * `hll_sketch_agg` — a TypedImperativeAggregate, so per-task partial
+    * sketches merge on the |sources|-row reduce side, never the raw
+    * shingle stream). The pair stage is a |sources|²/2 cross of
+    * kilobyte sketches (broadcast-trivial at any corpus size):
+    * |A∩B| ≈ |A| + |B| − |A∪B| by inclusion-exclusion over the merged
+    * union sketch, containment = overlap / min(|A|, |B|) — the "which
+    * feed mirrors which" triage that decides where to POINT the exact
+    * d15/d02 machinery. Hash-seeded sketch internals → rows-only
+    * (DedupSpec pins estimates against exact distinct intersections).
+    */
+  def sourceSketchOverlap(s: SparkSession, dir: String,
+      lgK: Int = 12): DataFrame =
+    sourceSketchOverlapOf(Tables.documents(s, dir), lgK)
+
+  /** Core of [[sourceSketchOverlap]] over any (source, text) frame. */
+  def sourceSketchOverlapOf(docs: org.apache.spark.sql.DataFrame,
+      lgK: Int = 12): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sk = docs
+      .select($"source", explode(
+        org.apache.spark.sql.graft.GraftFunctions
+          .word_shingle_hashes($"text", 3)).as("h"))
+      .groupBy($"source")
+      .agg(hll_sketch_agg($"h", lgK).as("sk"))
+      .withColumn("est", round(hll_sketch_estimate($"sk")).cast("long"))
+    val a = sk.select($"source".as("src_lo"), $"sk".as("sk_a"),
+      $"est".as("est_lo"))
+    val b = sk.select($"source".as("src_hi"), $"sk".as("sk_b"),
+      $"est".as("est_hi"))
+    a.join(b, $"src_lo" < $"src_hi")
+      .withColumn("est_union",
+        round(hll_sketch_estimate(hll_union($"sk_a", $"sk_b"))).cast("long"))
+      .withColumn("est_overlap",
+        greatest($"est_lo" + $"est_hi" - $"est_union", lit(0L)))
+      .withColumn("containment", round(
+        $"est_overlap".cast("double") / least($"est_lo", $"est_hi"), 4))
+      .select($"src_lo", $"src_hi", $"est_lo", $"est_hi",
+        $"est_overlap", $"containment")
+      .orderBy($"src_lo", $"src_hi")
+  }
+
   /** d15: cross-source contamination matrix — near-dup mass aggregated
     * into source pairs, the curation diagnostic that answers "which feeds
     * mirror which" (a scraper mirroring a wire service shows up as one
@@ -1410,6 +1457,7 @@ object Dedup {
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "d15_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d, idBound = 1500)),
+    "d17_source_sketch_overlap" -> ((s: SparkSession, d: String) => sourceSketchOverlap(s, d)),
     "d01_dedup_exact" -> (dedupExact _),
     "d07_dedup_clusters" -> (dedupClusters _),
     "d09_canonical" -> ((s: SparkSession, d: String) => canonicalPerCluster(s, d)),

@@ -39,6 +39,43 @@ object Analytics {
       |GROUP BY CUBE (source, lang)
       |ORDER BY source_g, lang_g""".stripMargin
 
+  /** q38: explicit GROUPING SETS over an order-customer join — the
+    * targeted-rollup complement of q21's CUBE: only the three report
+    * levels the caller asked for ((segment, priority), (segment), ())
+    * are expanded, not the 2^k lattice, and `grouping_id` disambiguates
+    * a real NULL group from a rolled-up one. One Expand node feeds ONE
+    * partial-aggregatable shuffle regardless of how many sets are listed
+    * — the planner shape that makes multi-level reports one pass at any
+    * scale.
+    */
+  def groupingSetsReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+    j.groupingSets(
+        Seq(Seq($"c_mktsegment", $"o_orderpriority"),
+          Seq($"c_mktsegment"), Seq()),
+        $"c_mktsegment", $"o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice") + lit(1e-9), 2).as("total_price"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("segment_g"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority_g"),
+        $"gid", $"n_orders", $"total_price")
+      .orderBy($"segment_g", $"priority_g", $"gid")
+  }
+
+  val groupingSetsReportSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment_g,
+      |  coalesce(o_orderpriority, 'ALL') AS priority_g,
+      |  GROUPING(c_mktsegment, o_orderpriority)::BIGINT AS gid,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice) + 1e-9, 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+      |  (c_mktsegment), ())
+      |ORDER BY segment_g, priority_g, gid""".stripMargin
+
   /** q22: per-group bivariate statistics — correlation, covariance and the
     * least-squares fit of price on quantity, all numerically-stable moment
     * aggregates in a single partial-agg pass.
@@ -464,6 +501,7 @@ object Analytics {
     "q31_percent_rank" -> percentRank _,
     "q32_unpivot" -> unpivotLangs _,
     "q21_cube" -> cubeRollup _,
+    "q38_grouping_sets" -> groupingSetsReport _,
     "q22_corr_stats" -> corrStats _,
     "q23_topk_rank" -> topkRank _,
     "q24_range_join" -> rangeJoinCampaigns _,
@@ -480,6 +518,7 @@ object Analytics {
     "q31_percent_rank" -> percentRankSql,
     "q32_unpivot" -> unpivotLangsSql,
     "q21_cube" -> cubeRollupSql,
+    "q38_grouping_sets" -> groupingSetsReportSql,
     "q22_corr_stats" -> corrStatsSql,
     "q23_topk_rank" -> topkRankSql,
     "q24_range_join" -> rangeJoinCampaignsSql,

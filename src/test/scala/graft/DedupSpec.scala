@@ -447,4 +447,41 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
     assert(pipeline.DocumentPipeline.decontaminateBloom(spark, dir).count() == 0L)
   }
+
+  test("d17 sketch overlap tracks exact distinct-shingle intersections") {
+    import org.apache.spark.sql.graft.GraftFunctions
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.sourceSketchOverlapOf(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val sh = docs.select($"source",
+        explode(GraftFunctions.word_shingle_hashes($"text", 3)).as("h"))
+      .distinct()
+      .persist()
+    val exact = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val inter = sh.as("a")
+      .join(sh.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source", $"b.source").agg(count(lit(1)).as("ni"))
+      .as[(String, String, Long)].collect()
+      .map { case (l, h, n) => (l, h) -> n }.toMap
+    got.foreach { case (lo, hi, estLo, estHi, estOv, cont) =>
+      // Per-source cardinalities: HLL lgK=12 has ~1.6% RSE — 5% slack.
+      assert(math.abs(estLo - exact(lo)) <= math.max(5.0, exact(lo) * 0.05),
+        s"$lo: est $estLo vs exact ${exact(lo)}")
+      assert(math.abs(estHi - exact(hi)) <= math.max(5.0, exact(hi) * 0.05))
+      // Inclusion-exclusion overlap: error scales with the UNION size,
+      // not the overlap — tolerate 5% of the union.
+      val exOv = inter.getOrElse((lo, hi), 0L)
+      val union = exact(lo) + exact(hi) - exOv
+      assert(math.abs(estOv - exOv) <= math.max(10.0, union * 0.05),
+        s"($lo,$hi): est overlap $estOv vs exact $exOv (union $union)")
+      assert(cont >= 0.0 && cont <= 1.5)
+    }
+    sh.unpersist()
+    // Sketch estimates are deterministic functions of the input set.
+    val again = Dedup.sourceSketchOverlapOf(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
 }

@@ -604,6 +604,43 @@ object ScaleProbe {
         pairs.unpersist()
       }
     }
+    // d17 sketch overlap: HLL sketches are DUPLICATE-INSENSITIVE, so the
+    // ×N replica corpus (same per-source distinct shingle sets, N× the
+    // rows) must produce the IDENTICAL overlap matrix to the base corpus
+    // — an exact closed-form parity check — while the timing shows the
+    // sketch pass absorbing N× the scan.
+    isolate()
+    locally {
+      val proj = big.select($"source", $"text")
+      var rows = 0L
+      time(s"sketch_overlap_x$mult") {
+        rows = operators.Dedup.sourceSketchOverlapOf(proj).count(); rows
+      }
+      if (mult > 1) {
+        // DataSketches HLL builds direct-update sketches with the
+        // stream-order-dependent HIP estimator, so the replica stream's
+        // estimates deviate WITHIN SKETCH ERROR from the base corpus's
+        // rather than matching bit-for-bit (first draft asserted
+        // identity — false). The honest parity: identical pair keys,
+        // worst per-source-cardinality and overlap deviations reported.
+        val key = (r: org.apache.spark.sql.Row) =>
+          (r.getString(0), r.getString(1))
+        val bigM = operators.Dedup.sourceSketchOverlapOf(proj).collect()
+        val baseM = operators.Dedup
+          .sourceSketchOverlapOf(base.select($"source", $"text"))
+          .collect()
+        val keysSame = bigM.map(key).toSeq == baseM.map(key).toSeq
+        val relCard = bigM.zip(baseM).flatMap { case (a, b) =>
+          Seq(2, 3).map(i => math.abs(a.getLong(i) - b.getLong(i))
+            .toDouble / math.max(1L, b.getLong(i)))
+        }.max
+        val relOv = bigM.zip(baseM).map { case (a, b) =>
+          math.abs(a.getLong(4) - b.getLong(4)).toDouble /
+            math.max(1L, b.getLong(2) + b.getLong(3) - b.getLong(4))
+        }.max
+        println(f"""{"probe":"sketch_overlap_parity_x$mult","pairs":$rows,"keys_identical":$keysSame,"max_rel_card_dev":$relCard%.4f,"max_rel_overlap_dev_vs_union":$relOv%.4f}""")
+      }
+    }
     // The probed operators persist internal frames (p02's tokenized
     // projection, d10's token arrays) that outlive their query — clear
     // them so successive probes don't measure a cache-pressured store.

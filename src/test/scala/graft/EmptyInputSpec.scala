@@ -110,6 +110,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 0)
   }
 
+  test("sketch overlap on empty corpus is an empty matrix") {
+    val emptySrc = Seq.empty[(String, String)].toDF("source", "text")
+    assert(operators.Dedup.sourceSketchOverlapOf(emptySrc).count() == 0)
+  }
+
   test("redaction, bloom decontamination, cusum and epoch shuffle degrade " +
       "gracefully on empty input") {
     assert(operators.Redact.redactOf(emptyDocs, "text").count() == 0)

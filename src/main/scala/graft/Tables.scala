@@ -23,17 +23,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in every graft
-    * session). Normalize to a microsecond timestamp via integer division —
-    * exact, unlike a double-divide, and matches DuckDB's ns→us cast.
+  /** events.ts arrives in whatever parquet logical type the producer chose —
+    * real lakes mix TIMESTAMP(NANOS), TIMESTAMP_NTZ, and TIMESTAMP(LTZ)
+    * freely — so the loader, not each query, owns normalization to a plain
+    * session-zone TIMESTAMP. Three cases:
+    *   - LongType: TIMESTAMP(NANOS) read as long under
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set in every graft
+    *     session); integer-divide ns→us — exact, matches DuckDB's cast.
+    *   - TimestampNTZType: cast to TimestampType. Every graft session pins
+    *     spark.sql.session.timeZone=UTC, so the wall-clock fields are
+    *     reinterpreted as UTC instants — value-preserving (same micros).
+    *   - TimestampType: already canonical.
+    * Downstream consumers (unix_micros, window(), date_trunc) may then
+    * assume TimestampType; EventsTypeToleranceSpec pins this contract.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType.
+    * Shared by the batch loader and streaming sources so both inherit the
+    * same type tolerance.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Ingest-boundary type hygiene: real lakes mix TIMESTAMP(LTZ), TIMESTAMP_NTZ,
+  * and TIMESTAMP(NANOS) parquet freely, and the round-9 testdata regeneration
+  * proved it — `events.ts` flipped from nanos-as-long to NTZ and broke every
+  * `unix_micros` consumer. This spec pins the contract: `Tables.events`
+  * yields an identical TimestampType frame no matter which of the three
+  * encodings the producer chose, and the three operators that broke (e02
+  * sessionize, e04 as-of join, e11 EWMA) return bit-identical results on all
+  * of them.
+  */
+class EventsTypeToleranceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft_tstol_").toString
+
+  /** Canonical frame via the production loader (already TimestampType). */
+  private lazy val canonical: DataFrame = Tables.events(spark, sf).cache()
+
+  private lazy val variantDirs: Map[String, String] = {
+    val ltzDir = s"$tmp/ltz"
+    val ntzDir = s"$tmp/ntz"
+    val nanosDir = s"$tmp/nanos"
+    // TIMESTAMP (LTZ): Spark's default parquet encoding for TimestampType.
+    canonical.write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+    // TIMESTAMP_NTZ: same micros as wall-clock fields, no zone — what the
+    // regenerated driver testdata actually contains.
+    canonical.withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    // nanos-as-long: INT64 nanoseconds since epoch, the shape Spark produces
+    // for TIMESTAMP(NANOS) parquet under legacy.parquet.nanosAsLong=true.
+    canonical.withColumn("ts", unix_micros($"ts") * lit(1000L))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    Map("ltz" -> ltzDir, "ntz" -> ntzDir, "nanos" -> nanosDir)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("loader normalizes all three parquet timestamp encodings to TimestampType") {
+    val base = sortedRows(canonical)
+    for ((name, dir) <- variantDirs) {
+      val loaded = Tables.events(spark, dir)
+      assert(loaded.schema("ts").dataType == TimestampType,
+        s"variant $name: ts should load as TimestampType")
+      assert(sortedRows(loaded) == base, s"variant $name: rows differ")
+    }
+  }
+
+  test("raw NTZ read really is NTZ (the normalization is doing work)") {
+    val raw = spark.read.parquet(s"${variantDirs("ntz")}/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType)
+  }
+
+  test("e02/e04/e11 produce identical results on every encoding") {
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "e02_sessionize" -> (d => pipeline.Events.sessionize(spark, d)),
+      "e04_asof_join" -> (d => pipeline.Events.asof(spark, d)),
+      "e11_ewma_stats" -> (d => pipeline.Events.ewmaTypeStats(spark, d)))
+    for ((opName, op) <- ops) {
+      val base = sortedRows(op(sf))
+      assert(base.nonEmpty, s"$opName: empty baseline result")
+      for ((vName, dir) <- variantDirs) {
+        assert(sortedRows(op(dir)) == base, s"$opName on $vName differs")
+      }
+    }
+  }
+}

@@ -583,17 +583,25 @@ object Dedup {
     * (weights are driver-side literal constants through the codegen'd
     * DotProduct — the same family the DuckDB oracle recomputes inline).
     */
-  private def signBucket(v: Column, planes: Int, dim: Int): Column = {
+  /** The md5-parity ±1 weight of plane `p`, dimension `j` (the family the
+    * DuckDB oracles recompute inline).
+    */
+  private def mdWeight(p: Int, j: Int): Double = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    def weight(p: Int, j: Int): Double = {
-      val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
-      if (firstNibble % 2 == 0) 1.0 else -1.0
-    }
-    (0 until planes).map { p =>
-      val wl = array((0 until dim).map(j => lit(weight(p, j))): _*)
-      when(dot(v, wl) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
+    if (firstNibble % 2 == 0) 1.0 else -1.0
   }
+
+  /** Literal ±1 weight vector of plane `p` (driver-side constants through
+    * the codegen'd DotProduct).
+    */
+  private def planeWeights(p: Int, dim: Int): Column =
+    array((0 until dim).map(j => lit(mdWeight(p, j))): _*)
+
+  private def signBucket(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(v, planeWeights(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Persisted (vec_id, v, bucket) frame the semantic family shares: the
     * eligibility count and both self-join sides read it — unpersisted,
@@ -662,6 +670,135 @@ object Dedup {
       .filter($"bucket_n" > maxBucket)
       .orderBy($"bucket")
   }
+
+  /** d11b: multi-probe semantic dedup — d11's single-bucket partition with
+    * the recall knob its scaladoc promises. Every vector keeps exactly ONE
+    * home bucket (the corpus-side partition is unchanged), but the pair
+    * stage additionally probes the `nprobe - 1` buckets reached by
+    * flipping the vector's lowest-|margin| hyperplane bits — the
+    * boundaries a near-dup pair most plausibly straddles (Lv et al.,
+    * VLDB 2007, single-bit perturbations; same move as s02b's query-side
+    * probing, applied symmetrically since dedup has no query/corpus
+    * asymmetry). A pair is caught when EITHER member probes into the
+    * other's home bucket, so single-plane splits — d11's documented
+    * recall gap — are recovered without doubling the partition count.
+    *
+    * Cost shape at 100 TB: the probe side is an nprobe× row expansion of
+    * (vec_id, v, bucket) — same order as s02's band explode — and the
+    * join still shuffles on the bucket key; no all-pairs stage appears.
+    * Oversized home buckets stay excluded under the same maxBucket
+    * contract as d11 (probes into them are dropped with them).
+    */
+  def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
+      nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    // One projection pass materializes per-plane margins + home bucket;
+    // probes derive from those columns (not re-derived dot products — the
+    // d11 lesson about duplicated subtrees, enforced structurally here).
+    val projected = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("proj",
+        array((0 until planes).map(p => dot($"v", planeWeights(p, dim))): _*))
+      .withColumn("bucket",
+        (0 until planes).map(p =>
+          when(element_at($"proj", p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _))
+    // (|margin|, flipped-bucket) pairs sorted by margin: array_sort on
+    // struct is lexicographic, so the lowest-margin flips come first.
+    val ranked = array_sort(array((0 until planes).map(p =>
+      struct(abs(element_at($"proj", p + 1)).as("m"),
+        $"bucket".bitwiseXOR(lit(1L << p)).as("fb"))): _*))
+    val probed = projected
+      .withColumn("probes", concat(array($"bucket"),
+        transform(slice(ranked, 1, nprobe - 1), pr => pr.getField("fb"))))
+      .select($"vec_id", $"v", $"bucket", $"probes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Home-bucket population cap: same aggregate-then-broadcast shape as
+    // d11 (never a bucket-partitioned window). bn >= 2 is NOT required
+    // here — a singleton's pairs can arrive via probes.
+    val eligible = probed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= maxBucket)
+      .select($"bucket")
+    val home = probed.join(broadcast(eligible), Seq("bucket"))
+      .select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+    val probe = probed
+      .select($"vec_id".as("vec_b"), $"v".as("vb"), explode($"probes").as("bucket"))
+      .join(broadcast(eligible), Seq("bucket"))
+    home.join(probe, Seq("bucket"))
+      .filter($"vec_a" =!= $"vec_b")
+      // canonicalize (id order) BEFORE dedup so each candidate pair is
+      // cosine-verified once, however many probe routes found it
+      .select(
+        when($"vec_a" < $"vec_b",
+          struct($"vec_a".as("a"), $"vec_b".as("b"), $"va".as("x"), $"vb".as("y")))
+        .otherwise(
+          struct($"vec_b".as("a"), $"vec_a".as("b"), $"vb".as("x"), $"va".as("y")))
+        .as("pr"))
+      .select($"pr.a".as("vec_a"), $"pr.b".as("vec_b"),
+        $"pr.x".as("va"), $"pr.y".as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(cosine($"va", $"vb"), 6))
+      .filter($"cos" >= minCos)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Same md5-parity hyperplane family as d11's oracle, extended with the
+    * probe construction: per-vector margins, flipped buckets for the two
+    * lowest-|margin| planes (nprobe=3), candidate = home×probe bucket
+    * match either direction. Struct list_sort is field-order lexicographic
+    * in both engines, and both compute projections with the same
+    * left-to-right summation — so the margin ORDERING (not just the sign)
+    * is cross-engine stable.
+    */
+  val semanticDedupMultiprobeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, v,
+      |    list_transform(range(8), p ->
+      |      list_sum(list_transform(range(64), j ->
+      |        (CASE WHEN ('0x' || substring(
+      |             md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) * v[j+1]))) AS proj
+      |  FROM e),
+      |bk AS (
+      |  SELECT vec_id, v, proj,
+      |    list_sum(list_transform(range(8), p ->
+      |      CASE WHEN proj[p+1] > 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+      |  FROM b),
+      |pr AS (
+      |  SELECT vec_id, bucket,
+      |    list_prepend(bucket,
+      |      list_transform(
+      |        list_sort(list_transform(range(8), p ->
+      |          {'m': abs(proj[p+1]),
+      |           'fb': xor(bucket, (1::BIGINT << p))}))[1:2],
+      |        s -> s.fb)) AS probes
+      |  FROM bk),
+      |eligible AS (
+      |  SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 512),
+      |home AS (
+      |  SELECT bk.bucket, vec_id AS vec_a FROM bk JOIN eligible USING (bucket)),
+      |cand AS (
+      |  SELECT DISTINCT least(h.vec_a, p.vec_b) AS vec_a,
+      |    greatest(h.vec_a, p.vec_b) AS vec_b
+      |  FROM home h
+      |  JOIN (SELECT vec_id AS vec_b, unnest(probes) AS bucket FROM pr) p
+      |    ON h.bucket = p.bucket AND h.vec_a <> p.vec_b),
+      |scored AS (
+      |  SELECT c.vec_a, c.vec_b,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))),
+      |      6) AS cos
+      |  FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.vec_a
+      |  JOIN e eb ON eb.vec_id = c.vec_b)
+      |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   val semanticDedupSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1469,6 +1606,8 @@ object Dedup {
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d05_embed_neardup" -> ((s: SparkSession, d: String) => embedNeardup(s, d)),
     "d11_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "d11b_semantic_multiprobe" ->
+      ((s: SparkSession, d: String) => semanticDedupMultiprobe(s, d)),
     "d12_semantic_clusters" -> ((s: SparkSession, d: String) => semanticClusters(s, d)),
     "d10_hot_ngram_mask" -> ((s: SparkSession, d: String) => hotNgramMask(s, d)))
 
@@ -1487,6 +1626,7 @@ object Dedup {
     "d04_ngram_jaccard" -> ngramJaccardSql,
     "d05_embed_neardup" -> embedNeardupSql,
     "d11_semantic_dedup" -> semanticDedupSql,
+    "d11b_semantic_multiprobe" -> semanticDedupMultiprobeSql,
     "d12_semantic_clusters" -> semanticClustersSql,
     "d10_hot_ngram_mask" -> hotNgramMaskSql)
 }

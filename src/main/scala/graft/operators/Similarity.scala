@@ -104,6 +104,64 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s02b: multi-probe LSH top-k (Lv et al., VLDB 2007, single-bit
+    * perturbations). Same banded corpus index as s02 — the corpus still
+    * shuffles ONCE on its home band signatures — but each query probes
+    * `nprobe - 1` extra buckets: the home signature with its single
+    * lowest-|margin| hyperplane bit flipped, i.e. the boundaries the
+    * query sits closest to and a true neighbor most plausibly straddles.
+    *
+    * The expansion is strictly query-side (bounded rows), so recall rises
+    * without touching the corpus index: at 100 TB this is the knob that
+    * buys recall for probe-time instead of for a second corpus shuffle
+    * (contrast raising `bands`, which rewrites the index). Each probe sig
+    * differs from home in exactly one bit → contributes exactly one new
+    * (band, bits) row; dropDuplicates collapses the other bands, so the
+    * probe frame is (bands + nprobe - 1) rows per query.
+    */
+  def knnLshMultiprobe(s: SparkSession, dir: String,
+      queryBound: Int = 32, k: Int = 5,
+      bands: Int = 6, planesPerBand: Int = 6, dim: Int = 64,
+      nprobe: Int = 8): DataFrame = {
+    import s.implicits._
+    val planes = bands * planesPerBand
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+
+    def bandRows(sig: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          Dedup.shru(sig, b * planesPerBand)
+            .bitwiseAND((1L << planesPerBand) - 1).as("bits")))
+
+    val cb = e
+      .withColumn("sig", hyperplaneSig($"v", planes, dim))
+      .select($"vec_id".as("neighbor_id"), $"v".as("nv"),
+        explode(bandRows($"sig")).as("bs"))
+      .select($"neighbor_id", $"nv", $"bs.band".as("band"), $"bs.bits".as("bits"))
+
+    val qb = e.filter($"vec_id" < queryBound)
+      .withColumn("probe_sig", explode(
+        org.apache.spark.sql.graft.GraftFunctions.hyperplane_probes($"v", planes, nprobe)))
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        explode(bandRows($"probe_sig")).as("bs"))
+      .select($"query_id", $"qv", $"bs.band".as("band"), $"bs.bits".as("bits"))
+      .dropDuplicates("query_id", "band", "bits")
+
+    val candidates = qb.join(cb, Seq("band", "bits"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"qv", $"nv")
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    candidates
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** s03: per-label embedding centroids — the aggregation side of vector
     * analytics (cluster means / class prototypes). posexplode → one
     * shuffle on (label, dim) with full partial aggregation; at 100 TB
@@ -179,6 +237,7 @@ object Similarity {
     "s01_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "s05_knn_quantized" -> ((s: SparkSession, d: String) => knnQuantized(s, d)),
     "s02_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "s02b_knn_multiprobe" -> ((s: SparkSession, d: String) => knnLshMultiprobe(s, d)),
     "s03_label_centroids" -> (labelCentroids _),
     "s04_knn_ivf" -> ((s: SparkSession, d: String) => IvfIndex.knnIvf(s, d)),
     "s06_knn_pq" -> ((s: SparkSession, d: String) => PqIndex.knnPq(s, d)))

@@ -107,6 +107,53 @@ object hashing {
     sig
   }
 
+  /** Multi-probe extension of [[hyperplaneSig]] (Lv et al., VLDB 2007,
+    * restricted to single-bit perturbations): the home signature plus
+    * `nprobe - 1` variants, each flipping ONE plane bit, in increasing
+    * order of |projection| — the planes the vector sits closest to, i.e.
+    * the boundaries a near-neighbor most plausibly straddles. Same
+    * xxhash64(p<<32|d, 7) ±1 family as hyperplaneSig, so probe sigs join
+    * directly against home sigs.
+    */
+  def hyperplaneProbes(v: ArrayData, planes: Int, nprobe: Int): ArrayData = {
+    val dim = v.numElements()
+    val proj = new Array[Double](planes)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val w = if ((XXH64.hashLong(p.toLong << 32 | d.toLong, 7L) & 1L) == 1L) 1.0 else -1.0
+        acc += v.getDouble(d) * w
+        d += 1
+      }
+      proj(p) = acc
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    val nOut = math.min(nprobe, planes + 1)
+    val out = new Array[Long](nOut)
+    out(0) = sig
+    // selection by repeated min: nprobe is tiny (2-8), planes <= 64
+    val taken = new Array[Boolean](planes)
+    var i = 1
+    while (i < nOut) {
+      var best = -1
+      var bestAbs = Double.MaxValue
+      var q = 0
+      while (q < planes) {
+        val a = math.abs(proj(q))
+        if (!taken(q) && a < bestAbs) { bestAbs = a; best = q }
+        q += 1
+      }
+      taken(best) = true
+      out(i) = sig ^ (1L << best)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing (MOSS-style) fingerprints: xxhash64 each shingle once, slide
     * a window of `w` hashes keeping each window's minimum, return the
     * distinct minima in first-occurrence order. Semantics match the HOF
@@ -327,6 +374,25 @@ case class HyperplaneSig(child: Expression, planes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = org.apache.spark.sql.graft.hashing.hyperplaneSig($a, $planes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multi-probe hyperplane LSH probe set over array<double>: home signature
+  * plus nprobe-1 single-bit perturbations of the lowest-|margin| planes
+  * (see hashing.hyperplaneProbes). Probing is one-sided: join probe sigs
+  * against home sigs, so only one side of a candidate join pays the
+  * nprobe× row expansion.
+  */
+case class HyperplaneProbes(child: Expression, planes: Int, nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes >= 1 && planes <= 64 && nprobe >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.hyperplaneProbes(input.asInstanceOf[ArrayData], planes, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.hyperplaneProbes($a, $planes, $nprobe);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -587,6 +653,8 @@ object GraftFunctions {
   def minhash_sig(shingles: Column, k: Int = 64): Column = col(MinHashSig(e(shingles), k))
   def simhash64(tokens: Column): Column = col(SimHash64(e(tokens)))
   def hyperplane_sig(v: Column, planes: Int): Column = col(HyperplaneSig(e(v), planes))
+  def hyperplane_probes(v: Column, planes: Int, nprobe: Int): Column =
+    col(HyperplaneProbes(e(v), planes, nprobe))
   def word_shingles(text: Column, n: Int): Column = col(WordShingles(e(text), n))
   def winnow_fingerprints(shingles: Column, window: Int): Column =
     col(WinnowFingerprints(e(shingles), window))

@@ -43,6 +43,11 @@ object GraftExtensions {
     "graft_hyperplane_sig" -> (
       (new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
         (args: Seq[Expression]) => HyperplaneSig(args(0), intArg(args(1), "planes")))),
+    "graft_hyperplane_probes" -> (
+      (new ExpressionInfo(classOf[HyperplaneProbes].getName, "graft_hyperplane_probes"),
+        (args: Seq[Expression]) => HyperplaneProbes(args(0),
+          intArg(args(1), "planes"),
+          if (args.size > 2) intArg(args(2), "nprobe") else 2))),
     "graft_word_shingles" -> (
       (new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
         (args: Seq[Expression]) =>

@@ -211,6 +211,31 @@ class DedupSpec extends SparkSpec {
     assert(dropped.forall(_.getAs[Long]("bucket_n") > 20))
   }
 
+  test("multi-probe semantic dedup: superset of d11, higher exact-pair recall") {
+    import graft.functions.VectorFunctions._
+    // ground truth: brute-force cos>=0.3 pairs over the 500-vector corpus
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"))
+    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"))
+    val truth = a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cos", round(cosine($"va", $"vb"), 6))
+      .filter($"cos" >= 0.3)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val base = Dedup.semanticDedup(spark, sf)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val mp = Dedup.semanticDedupMultiprobe(spark, sf)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // within-home-bucket pairs survive identically (same cap, same minCos,
+    // same rounding), probes only ADD cross-bucket pairs
+    assert(base.subsetOf(mp), s"${(base -- mp).size} d11 pairs lost by multi-probe")
+    assert(mp.subsetOf(truth), "multi-probe reported a pair below minCos — verify broken")
+    val rBase = if (truth.isEmpty) 1.0 else base.intersect(truth).size.toDouble / truth.size
+    val rMp = if (truth.isEmpty) 1.0 else mp.intersect(truth).size.toDouble / truth.size
+    info(f"semantic pair recall: d11 $rBase%.3f -> multi-probe $rMp%.3f (nprobe=3)")
+    assert(rMp >= rBase)
+  }
+
   test("d12 composed path: one survivor per planted semantic cluster, no cross-label merges") {
     // planes sized to the corpus per the d11 scaladoc rule (2^planes ≈
     // n / expected bucket size: 500 vectors at ~25/label → planes 3-4);

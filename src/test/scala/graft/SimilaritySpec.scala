@@ -31,6 +31,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, f"recall $recall%.3f too low even for 8-bit bands")
   }
 
+  test("multi-probe lsh: recall dominates single-probe at the same corpus index") {
+    val mp = Similarity.knnLshMultiprobe(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mp.nonEmpty, "multi-probe LSH returned nothing")
+    val recallLsh = brute.intersect(lsh).size.toDouble / brute.size
+    val recallMp = brute.intersect(mp).size.toDouble / brute.size
+    info(f"multi-probe recall@5 = $recallMp%.3f vs single-probe $recallLsh%.3f (nprobe=8)")
+    // candidate sets are supersets (probes add buckets, never remove), and
+    // a true top-5 member can never be displaced by candidates below it in
+    // the global cosine order — so dominance is deterministic, not a
+    // statistical hope
+    assert(recallMp >= recallLsh,
+      f"multi-probe recall $recallMp%.3f fell below single-probe $recallLsh%.3f")
+  }
+
   test("int8 quantization: ≥8x payload compression, tiny cosine error, high recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(emb)

@@ -21,8 +21,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "lineitem"), "l_shipdate")
   /** events.ts arrives in whatever parquet logical type the producer chose —
     * real lakes mix TIMESTAMP(NANOS), TIMESTAMP_NTZ, and TIMESTAMP(LTZ)
     * freely — so the loader, not each query, owns normalization to a plain
@@ -44,13 +46,24 @@ object Tables {
     * Shared by the batch loader and streaming sources so both inherit the
     * same type tolerance.
     */
-  def normalizeEventTs(raw: DataFrame): DataFrame = {
+  def normalizeEventTs(raw: DataFrame): DataFrame = normalizeTs(raw, "ts")
+
+  /** Normalize a timestamp-bearing column to TimestampType, whatever
+    * parquet logical type the producer chose (see [[events]] for the
+    * three-case contract). Applied by every loader whose table carries a
+    * timestamp (`events.ts`, `orders.o_orderdate`, `lineitem.l_shipdate`)
+    * so downstream comparisons, `unix_micros`, and date functions never
+    * see a producer-dependent type.
+    */
+  def normalizeTs(raw: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+    raw.schema(c).dataType match {
+      case LongType =>
+        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(c, col(c).cast(TimestampType))
+      case _ => raw
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

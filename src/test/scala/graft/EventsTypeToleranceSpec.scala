@@ -57,6 +57,30 @@ class EventsTypeToleranceSpec extends SparkSpec {
     assert(raw.schema("ts").dataType == TimestampNTZType)
   }
 
+  test("orders/lineitem timestamp columns normalize under the same contract") {
+    for ((table, tsCol, loader) <- Seq(
+        ("orders", "o_orderdate",
+          (d: String) => Tables.orders(spark, d)),
+        ("lineitem", "l_shipdate",
+          (d: String) => Tables.lineitem(spark, d)))) {
+      val canon = loader(sf).cache()
+      assert(canon.schema(tsCol).dataType == TimestampType)
+      val base = sortedRows(canon)
+      val vDir = s"$tmp/$table"
+      canon.withColumn(tsCol, col(tsCol).cast(TimestampNTZType))
+        .write.mode("overwrite").parquet(s"$vDir/ntz/$table.parquet")
+      canon.withColumn(tsCol, unix_micros(col(tsCol)) * lit(1000L))
+        .write.mode("overwrite").parquet(s"$vDir/nanos/$table.parquet")
+      for (enc <- Seq("ntz", "nanos")) {
+        val loaded = loader(s"$vDir/$enc")
+        assert(loaded.schema(tsCol).dataType == TimestampType,
+          s"$table/$enc: $tsCol should load as TimestampType")
+        assert(sortedRows(loaded) == base, s"$table/$enc: rows differ")
+      }
+      canon.unpersist()
+    }
+  }
+
   test("e02/e04/e11 produce identical results on every encoding") {
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "e02_sessionize" -> (d => pipeline.Events.sessionize(spark, d)),

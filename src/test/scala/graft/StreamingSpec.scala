@@ -320,6 +320,52 @@ class StreamingSpec extends SparkSpec {
     assert(nSessions >= nUsers && nUsers > 0)
   }
 
+  test("NTZ-typed file stream inherits the loader normalization end-to-end") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // The round-9 failure mode: a producer writes event timestamps as
+    // TIMESTAMP_NTZ parquet. The streaming path must consume it through
+    // the same normalizer as the batch loader — no per-query casts.
+    val watch = java.nio.file.Files.createTempDirectory("graft_ntz_stream_").toString
+    val ev = Tables.events(spark, sf).filter($"user_id" < 30)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    ev.withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(watch)
+    val ntzSchema = spark.read.parquet(watch).schema
+    assert(ntzSchema("ts").dataType == TimestampNTZType, "variant must be NTZ")
+
+    val raw = spark.readStream.schema(ntzSchema).parquet(watch)
+    val normalized = Tables.normalizeEventTs(raw)
+    assert(normalized.schema("ts").dataType == TimestampType)
+    val q = StreamingOps.sessionize(normalized.as[Ev])
+      .writeStream.format("memory").queryName("ntz_sess")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future sentinel event advances the watermark past every real
+    // session so they all close and emit
+    val farMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime +
+      90L * 24 * 3600 * 1000
+    Seq((99999L, new Timestamp(farMs), "click", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.mode("append").parquet(watch)
+    q.processAllAvailable()
+    q.stop()
+
+    // SessionOut carries ms-precision timestamps, so parity is checked at
+    // the (user, n_events) granularity — boundaries depend only on ts
+    // gaps, which the ms truncation cannot move across the 30 min gap
+    val streamed = spark.sql(
+        "SELECT user_id, n_events FROM ntz_sess WHERE user_id < 30")
+      .as[(Long, Int)].collect().toSeq.sorted
+    val batch = pipeline.Events.sessionize(spark, sf)
+      .filter($"user_id" < 30)
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().toSeq.map(t => (t._1, t._2.toInt)).sorted
+    assert(streamed.nonEmpty, "no sessions emitted from the NTZ stream")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions != batch ${batch.size}")
+  }
+
   test("streaming CUSUM closes days in order and matches the Page recursion") {
     implicit val sqlCtx = spark.sqlContext
     // Day-aligned timestamps well above the initial watermark.

@@ -279,6 +279,33 @@ object ScaleProbe {
         println(f"""{"probe":"lsh_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
       }
       spark.catalog.clearCache()
+      // Multi-probe cost/recall next to the single-probe numbers: the
+      // claim is recall bought by query-side probes alone, corpus index
+      // untouched (s02b) / a bounded probe-side expansion (d11b).
+      time(s"knn_multiprobe_x$mult") {
+        operators.Similarity.knnLshMultiprobe(spark, sfDir).count()
+      }
+      locally {
+        val brute = operators.Similarity.knnBrute(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val mp = operators.Similarity.knnLshMultiprobe(spark, sfDir)
+          .select($"query_id", $"neighbor_id")
+        val hit = brute.join(mp, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val tot = brute.count()
+        val recall = if (tot > 0) hit.toDouble / tot else 0.0
+        println(f"""{"probe":"multiprobe_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
+      }
+      spark.catalog.clearCache()
+      time(s"semantic_multiprobe_x$mult") {
+        operators.Dedup.semanticDedupMultiprobe(spark, sfDir).count()
+      }
+      locally {
+        val basePairs = operators.Dedup.semanticDedup(spark, sfDir).count()
+        spark.catalog.clearCache()
+        val mpPairs = operators.Dedup.semanticDedupMultiprobe(spark, sfDir).count()
+        println(s"""{"probe":"semantic_multiprobe_gain_x$mult","d11_pairs":$basePairs,"d11b_pairs":$mpPairs}""")
+      }
+      spark.catalog.clearCache()
       // Adversarial d11/d12: one degenerate semantic cluster (a template
       // embedding repeated 100× past the bucket cap) — the pair stage
       // must stay bounded (the oversized bucket never reaches the

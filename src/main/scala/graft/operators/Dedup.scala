@@ -850,13 +850,23 @@ object Dedup {
     * cluster for any practical purpose. Map-side: the per-bucket min is a
     * ≤2^planes-row aggregate broadcast back onto the members.
     */
+  /** `nprobe`: 1 = d11's single-bucket pair stage; >1 routes the pair
+    * stage through [[semanticDedupMultiprobe]] — the composed end state
+    * then inherits the cross-boundary recall (a near-dup pair split by
+    * one hyperplane still merges into one cluster). The bucket family is
+    * identical on both paths, so the canonical-routing branch composes
+    * unchanged.
+    */
   def semanticClusters(s: SparkSession, dir: String, planes: Int = 8,
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
-      oversizedCanonical: Boolean = false): DataFrame = {
+      oversizedCanonical: Boolean = false, nprobe: Int = 1): DataFrame = {
     import s.implicits._
     val bucketed = semanticBucketed(s, dir, planes, dim)
-    val pairs = semanticPairsFrom(bucketed, minCos, maxBucket)
-      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val rawPairs =
+      if (nprobe > 1)
+        semanticDedupMultiprobe(s, dir, planes, dim, minCos, maxBucket, nprobe)
+      else semanticPairsFrom(bucketed, minCos, maxBucket)
+    val pairs = rawPairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     val cc = connectedComponents(pairs)
       .select($"doc_id".as("vec_id"), $"cluster_id")
     val assignments = if (oversizedCanonical) {

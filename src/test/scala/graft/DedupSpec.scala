@@ -236,6 +236,22 @@ class DedupSpec extends SparkSpec {
     assert(rMp >= rBase)
   }
 
+  test("d12 with nprobe>1: plain clusters only coarsen, never split") {
+    val plain = Dedup.semanticClusters(spark, sf)
+      .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val mp = Dedup.semanticClusters(spark, sf, nprobe = 3)
+      .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    assert(plain.keySet == mp.keySet, "both paths must assign every vector")
+    // multi-probe pairs are a superset, so components can only merge:
+    // every plain cluster must land inside exactly one multi-probe cluster
+    val split = plain.groupBy(_._2).filter { case (_, members) =>
+      members.keys.map(mp).toSet.size > 1 }
+    assert(split.isEmpty, s"${split.size} plain clusters split under multi-probe")
+    assert(mp.values.toSet.size <= plain.values.toSet.size)
+  }
+
   test("d12 composed path: one survivor per planted semantic cluster, no cross-label merges") {
     // planes sized to the corpus per the d11 scaladoc rule (2^planes ≈
     // n / expected bucket size: 500 vectors at ~25/label → planes 3-4);

@@ -583,20 +583,19 @@ object Dedup {
     * (weights are driver-side literal constants through the codegen'd
     * DotProduct — the same family the DuckDB oracle recomputes inline).
     */
-  /** The md5-parity ±1 weight of plane `p`, dimension `j` (the family the
-    * DuckDB oracles recompute inline).
+  /** Literal ±1 weight vector of plane `p`: md5-parity family (the one
+    * the DuckDB oracles recompute inline), one hoisted digest instance
+    * per plane — not one per (p, j) — so building a d11/d11b/d12 plan
+    * costs `planes` provider lookups, not planes×dim.
     */
-  private def mdWeight(p: Int, j: Int): Double = {
+  private def planeWeights(p: Int, dim: Int): Column = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
-    if (firstNibble % 2 == 0) 1.0 else -1.0
+    def weight(j: Int): Double = {
+      val firstNibble = (md5.digest(s"$p:$j".getBytes("UTF-8"))(0) >> 4) & 0xF
+      if (firstNibble % 2 == 0) 1.0 else -1.0
+    }
+    array((0 until dim).map(j => lit(weight(j))): _*)
   }
-
-  /** Literal ±1 weight vector of plane `p` (driver-side constants through
-    * the codegen'd DotProduct).
-    */
-  private def planeWeights(p: Int, dim: Int): Column =
-    array((0 until dim).map(j => lit(mdWeight(p, j))): _*)
 
   private def signBucket(v: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
@@ -689,13 +688,18 @@ object Dedup {
     * Oversized home buckets stay excluded under the same maxBucket
     * contract as d11 (probes into them are dropped with them).
     */
-  def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 8,
-      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
-      nprobe: Int = 3): DataFrame = {
+  /** Persisted (vec_id, v, bucket, probes) frame the multi-probe family
+    * shares — the d11 `semanticBucketed` contract extended with the probe
+    * array. One projection pass materializes per-plane margins + home
+    * bucket; probes derive from those columns (not re-derived dot
+    * products — the d11 lesson about duplicated subtrees, enforced
+    * structurally here). Lifecycle is CALLER-owned, same as
+    * [[semanticBucketed]]: Bench/Verify clearCache() after; the composed
+    * d12-nprobe plain path unpersists it itself once labels materialize.
+    */
+  private def semanticProbed(s: SparkSession, dir: String, planes: Int,
+      dim: Int, nprobe: Int): DataFrame = {
     import s.implicits._
-    // One projection pass materializes per-plane margins + home bucket;
-    // probes derive from those columns (not re-derived dot products — the
-    // d11 lesson about duplicated subtrees, enforced structurally here).
     val projected = Tables.embeddings(s, dir)
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("proj",
@@ -709,11 +713,20 @@ object Dedup {
     val ranked = array_sort(array((0 until planes).map(p =>
       struct(abs(element_at($"proj", p + 1)).as("m"),
         $"bucket".bitwiseXOR(lit(1L << p)).as("fb"))): _*))
-    val probed = projected
+    projected
       .withColumn("probes", concat(array($"bucket"),
         transform(slice(ranked, 1, nprobe - 1), pr => pr.getField("fb"))))
       .select($"vec_id", $"v", $"bucket", $"probes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Verified pairs over a [[semanticProbed]] frame (see
+    * [[semanticDedupMultiprobe]] for the operator contract).
+    */
+  private def semanticPairsMultiprobeFrom(probed: DataFrame, minCos: Double,
+      maxBucket: Int): DataFrame = {
+    val s = probed.sparkSession
+    import s.implicits._
     // Home-bucket population cap: same aggregate-then-broadcast shape as
     // d11 (never a bucket-partitioned window). bn >= 2 is NOT required
     // here — a singleton's pairs can arrive via probes.
@@ -744,6 +757,12 @@ object Dedup {
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
+
+  def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 8,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
+      nprobe: Int = 3): DataFrame =
+    semanticPairsMultiprobeFrom(
+      semanticProbed(s, dir, planes, dim, nprobe), minCos, maxBucket)
 
   /** Same md5-parity hyperplane family as d11's oracle, extended with the
     * probe construction: per-vector margins, flipped buckets for the two
@@ -861,31 +880,42 @@ object Dedup {
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
       oversizedCanonical: Boolean = false, nprobe: Int = 1): DataFrame = {
     import s.implicits._
-    val bucketed = semanticBucketed(s, dir, planes, dim)
+    // Build ONLY the candidate frame this path reads: the probe frame
+    // subsumes the bucketed frame (same bucket family plus the probe
+    // array), so the multi-probe path never builds both.
+    val candidates =
+      if (nprobe > 1) semanticProbed(s, dir, planes, dim, nprobe)
+      else semanticBucketed(s, dir, planes, dim)
     val rawPairs =
-      if (nprobe > 1)
-        semanticDedupMultiprobe(s, dir, planes, dim, minCos, maxBucket, nprobe)
-      else semanticPairsFrom(bucketed, minCos, maxBucket)
+      if (nprobe > 1) semanticPairsMultiprobeFrom(candidates, minCos, maxBucket)
+      else semanticPairsFrom(candidates, minCos, maxBucket)
     val pairs = rawPairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     val cc = connectedComponents(pairs)
       .select($"doc_id".as("vec_id"), $"cluster_id")
     val assignments = if (oversizedCanonical) {
-      val overBuckets = bucketed.groupBy($"bucket")
+      val overBuckets = candidates.groupBy($"bucket")
         .agg(count(lit(1)).as("bn"), min($"vec_id").as("cluster_id"))
         .filter($"bn" > maxBucket)
         .select($"bucket", $"cluster_id")
+      // With nprobe > 1 an oversized-bucket member can ALSO hold a cc
+      // label (its probes reach eligible buckets, pairing it there even
+      // though its home bucket never self-joins). Verified-pair labels
+      // win; the anti-join keeps assignments one-row-per-vector — without
+      // it the final left join would emit such vectors twice with
+      // conflicting cluster ids.
       cc.unionByName(
-        bucketed.join(broadcast(overBuckets), Seq("bucket"))
-          .select($"vec_id", $"cluster_id"))
+        candidates.join(broadcast(overBuckets), Seq("bucket"))
+          .select($"vec_id", $"cluster_id")
+          .join(cc.select($"vec_id"), Seq("vec_id"), "left_anti"))
     } else cc
     // connectedComponents materializes its labels (checkpointed lineage
     // on both the union-find and the iterative path), so on the plain
     // path the candidate pipeline's cache is dead weight from here — drop
     // it eagerly rather than leaving lifecycle to the caller (unlike d11,
     // whose lazy result still reads the cache). The oversized-canonical
-    // branch still reads `bucketed` lazily, so there the lifecycle stays
-    // caller-owned, same contract as d11.
-    if (!oversizedCanonical) bucketed.unpersist()
+    // branch still reads `candidates` lazily, so there the lifecycle
+    // stays caller-owned, same contract as d11.
+    if (!oversizedCanonical) candidates.unpersist()
     Tables.embeddings(s, dir).select($"vec_id")
       .join(assignments, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))

@@ -135,7 +135,13 @@ object hashing {
     val nOut = math.min(nprobe, planes + 1)
     val out = new Array[Long](nOut)
     out(0) = sig
-    // selection by repeated min: nprobe is tiny (2-8), planes <= 64
+    // selection by repeated min: nprobe is tiny (2-8), planes <= 64.
+    // A NaN projection (one NaN component poisons every plane's sum)
+    // must not crash the task the way `a < bestAbs` would (false for
+    // NaN → best stays -1): rank NaN as an infinite margin, and let
+    // `best == -1` fall through to first-untaken so the probe set stays
+    // well-formed — hyperplaneSig degrades gracefully on the same input,
+    // this must too.
     val taken = new Array[Boolean](planes)
     var i = 1
     while (i < nOut) {
@@ -143,8 +149,11 @@ object hashing {
       var bestAbs = Double.MaxValue
       var q = 0
       while (q < planes) {
-        val a = math.abs(proj(q))
-        if (!taken(q) && a < bestAbs) { bestAbs = a; best = q }
+        if (!taken(q)) {
+          val a = math.abs(proj(q))
+          val key = if (java.lang.Double.isNaN(a)) Double.PositiveInfinity else a
+          if (best == -1 || key < bestAbs) { bestAbs = key; best = q }
+        }
         q += 1
       }
       taken(best) = true

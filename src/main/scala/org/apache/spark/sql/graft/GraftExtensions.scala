@@ -43,11 +43,16 @@ object GraftExtensions {
     "graft_hyperplane_sig" -> (
       (new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
         (args: Seq[Expression]) => HyperplaneSig(args(0), intArg(args(1), "planes")))),
+    // nprobe is REQUIRED: the Scala callers use different values (s02b 8,
+    // d11b 3), so a silent SQL default would quietly under-probe.
     "graft_hyperplane_probes" -> (
       (new ExpressionInfo(classOf[HyperplaneProbes].getName, "graft_hyperplane_probes"),
-        (args: Seq[Expression]) => HyperplaneProbes(args(0),
-          intArg(args(1), "planes"),
-          if (args.size > 2) intArg(args(2), "nprobe") else 2))),
+        (args: Seq[Expression]) => {
+          if (args.size < 3) throw new IllegalArgumentException(
+            "graft_hyperplane_probes(v, planes, nprobe) requires all three arguments")
+          HyperplaneProbes(args(0), intArg(args(1), "planes"),
+            intArg(args(2), "nprobe"))
+        })),
     "graft_word_shingles" -> (
       (new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
         (args: Seq[Expression]) =>

@@ -342,6 +342,22 @@ class DedupSpec extends SparkSpec {
       "exactly one survivor from the degenerate cluster")
     routed.unpersist()
     spark.catalog.clearCache()
+    // canonical routing composed with multi-probe: an oversized-bucket
+    // member can now ALSO earn a verified-pair (cc) label through its
+    // probes — the output must still be one row per vector, verified
+    // labels winning over the canonical route
+    val mp = Dedup.semanticClusters(spark, dir, maxBucket = 512,
+      oversizedCanonical = true, nprobe = 3).persist()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(mp.count() == total,
+      s"one row per vector expected ($total), got ${mp.count()}")
+    assert(mp.select($"vec_id").distinct().count() == total,
+      "a vector received two conflicting cluster assignments")
+    assert(mp.filter($"vec_id" >= 1000000L).select($"cluster_id")
+      .distinct().count() <= 2,
+      "degenerate members must stay in at most home-canonical + probe clusters")
+    mp.unpersist()
+    spark.catalog.clearCache()
   }
 
   test("d13 segment dedup keeps only the first corpus occurrence of a passage") {

@@ -35,6 +35,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(row2.getAs[Int]("self_n") == sh.length)
   }
 
+  test("hyperplane probes: SQL arity enforced, NaN input degrades gracefully") {
+    GraftExtensions.register(spark)
+    // probe set agrees between SQL and Column surfaces
+    val viaSql = spark.sql(
+      "SELECT graft_hyperplane_probes(array(1.0d, -2.0d, 0.5d), 6, 3) AS p")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql.length == 3 && viaSql.distinct.length == 3,
+      "home + 2 distinct single-bit flips expected")
+    // nprobe is required — a silent default would quietly under-probe
+    // (Scala callers use different values: s02b 8, d11b 3)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_probes(array(1.0d), 4)").collect()
+    }
+    assert(err.getMessage.contains("requires all three arguments") ||
+      err.getCause != null)
+    // one NaN component poisons every projection; the probe selection
+    // must fall back to plane order, never crash the task
+    val nan = org.apache.spark.sql.graft.hashing.hyperplaneProbes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(8)(Double.NaN)), 6, 4)
+    assert(nan.numElements() == 4)
+    val arr = nan.toLongArray()
+    assert(arr(0) == 0L, "NaN > 0 is false: home signature all-zero")
+    assert(arr.distinct.length == 4, "flips must hit distinct planes")
+  }
+
   test("SQL simhash agrees with the operator-level simhash") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(

@@ -1309,6 +1309,123 @@ object Dedup {
        |FROM segh s JOIN keep k USING (h)
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
+  /** d18: segment-level NEAR-dup dedup — the stage between d13 (exact
+    * segment dedup: catches verbatim repeated passages) and d02 (whole-doc
+    * MinHash: near-dup documents): lightly-EDITED repeated passages —
+    * boilerplate headers with a date swapped, template paragraphs with one
+    * entity renamed — that exact segment hashing misses and whole-doc
+    * similarity dilutes below threshold. The practical Dolma/FineWeb-style
+    * paragraph-dedup stage.
+    *
+    * Pipeline: d13's fixed-width segmentation → md5-portable MinHash
+    * banding per SEGMENT (d02b's recipe, reused verbatim — a segment is
+    * just a short document to the banding core) → bucket self-join for
+    * candidate pairs → exact shingle-Jaccard verify → per-doc rollup of
+    * segments that have a near-dup at an EARLIER corpus position (d13's
+    * first-occurrence-wins contract, so the output composes with d13's:
+    * same keeper orientation, fuzzy instead of exact equality).
+    *
+    * Scale shape: the banding shuffle carries (segment, band, 32-byte
+    * digest) — never segment text pairs; candidates are bucket-bounded;
+    * the verify joins shingle ARRAYS onto candidate-sized rows only. At
+    * 100 TB the production swap is the same as d02b → d02: the one-pass
+    * MinHashSig expression over hashed shingles, identical plan shape.
+    * `idBound` caps the portable family's |shingles|×k explode exactly
+    * like d02b/d14 — the price of a cross-engine-checkable oracle, paid
+    * only inside the bounded window.
+    */
+  def segmentNeardup(s: SparkSession, dir: String, width: Int = 10,
+      idBound: Long = 150, k: Int = 16, rows: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .filter($"doc_id" < idBound).select($"doc_id", $"text")
+    // d13's segmentation, verbatim: ord = doc_id*1e6 + position makes
+    // "earlier" a total corpus order
+    val segs = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0),
+          floor((size($"toks") + lit(width - 1)) / lit(width)).cast("int") - 1),
+        i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
+      .select($"doc_id", ($"doc_id" * 1000000L + $"pos").as("ord"),
+        $"col".as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the banding core treats (ord, seg) as a tiny document
+    val banded = portableBands(
+      segs.select($"ord".as("doc_id"), $"seg".as("text")), k, rows)
+      .select($"doc_id".as("ord"), $"band", $"band_hash")
+    val a = banded.select($"band", $"band_hash", $"ord".as("ord_a"))
+    val b = banded.select($"band", $"band_hash", $"ord".as("ord_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter($"ord_a" < $"ord_b")
+      .select($"ord_a", $"ord_b").distinct()
+    // exact verify on the candidate set: distinct-shingle Jaccard
+    val shArr = segs.select($"ord", shingles($"seg", 3).as("sh"))
+    val dupSegs = cand
+      .join(shArr.select($"ord".as("ord_a"), $"sh".as("sha")), Seq("ord_a"))
+      .join(shArr.select($"ord".as("ord_b"), $"sh".as("shb")), Seq("ord_b"))
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .withColumn("uni", size($"sha") + size($"shb") - $"inter")
+      .filter($"uni" > 0 && $"inter" * lit(1.0) / $"uni" >= minJaccard)
+      .select($"ord_b".as("ord")).distinct()
+      .withColumn("is_dup", lit(1L))
+    segs.join(dupSegs, Seq("ord"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        coalesce(sum($"is_dup"), lit(0L)).as("n_fuzzy_dup"),
+        round((count(lit(1)) - coalesce(sum($"is_dup"), lit(0L))) * lit(1.0)
+          / count(lit(1)) + lit(1e-9), 6).as("kept_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  def segmentNeardupSql(width: Int = 10, idBound: Long = 150, k: Int = 16,
+      rows: Int = 2, minJaccard: Double = 0.5): String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE doc_id < $idBound),
+       |seg AS (
+       |  SELECT doc_id, doc_id * 1000000 + seg_id AS ord,
+       |    toks[seg_id * $width + 1 : seg_id * $width + $width] AS st
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS seg_id
+       |        FROM ts)),
+       |shl AS (
+       |  SELECT ord, doc_id,
+       |    list_distinct(list_transform(range(greatest(len(st) - 2, 0)),
+       |      i -> st[i+1] || ' ' || st[i+2] || ' ' || st[i+3])) AS sh
+       |  FROM seg),
+       |ex AS (SELECT ord, unnest(sh) AS s FROM shl),
+       |hashed AS (
+       |  SELECT ord, i,
+       |    ('0x' || substring(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT AS h
+       |  FROM ex CROSS JOIN (SELECT unnest(range($k)) AS i)),
+       |sig AS (SELECT ord, i, min(h) AS mh FROM hashed GROUP BY ord, i),
+       |bands AS (
+       |  SELECT ord, (i // $rows)::INT AS band,
+       |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_hash
+       |  FROM sig GROUP BY ord, (i // $rows)::INT),
+       |cand AS (
+       |  SELECT DISTINCT x.ord AS ord_a, y.ord AS ord_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.ord < y.ord),
+       |dup AS (
+       |  SELECT DISTINCT c.ord_b AS ord
+       |  FROM cand c
+       |  JOIN shl sa ON sa.ord = c.ord_a
+       |  JOIN shl sb ON sb.ord = c.ord_b
+       |  WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+       |    AND len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        >= $minJaccard)
+       |SELECT g.doc_id, count(*) AS n_seg,
+       |  coalesce(sum(CASE WHEN d.ord IS NOT NULL THEN 1 END), 0)::BIGINT
+       |    AS n_fuzzy_dup,
+       |  round((count(*) - coalesce(sum(CASE WHEN d.ord IS NOT NULL THEN 1 END), 0))
+       |    * 1.0 / count(*) + 1e-9, 6) AS kept_ratio
+       |FROM seg g LEFT JOIN dup d USING (ord)
+       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   /** d14: incremental near-dup detection — a NEW batch probed against the
     * EXISTING corpus, the shape a production pipeline actually runs (a
     * daily crawl lands; nobody re-mines 100 TB of history per batch).
@@ -1632,6 +1749,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
+    "d18_segment_neardup" -> ((s: SparkSession, d: String) => segmentNeardup(s, d)),
     "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "d15_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d, idBound = 1500)),
     "d17_source_sketch_overlap" -> ((s: SparkSession, d: String) => sourceSketchOverlap(s, d)),
@@ -1655,6 +1773,7 @@ object Dedup {
   // verified in DedupSpec against planted duplicates + brute-force Jaccard.
   val oracles: Map[String, String] = Map(
     "d13_segment_dedup" -> segmentDedupSql(),
+    "d18_segment_neardup" -> segmentNeardupSql(),
     "d14_dedup_incremental" -> dedupIncrementalSql(),
     "d15_source_overlap" -> sourceOverlapSql(idBound = 1500),
     "d01_dedup_exact" -> dedupExactSql,

@@ -360,6 +360,41 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d18 segment near-dup catches EDITED repeated passages exact segment dedup misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-segnd").toString
+    // a 10-token boilerplate passage; doc 1 quotes it VERBATIM, doc 2
+    // quotes it with the LAST token edited — that kills 1 of 8 3-gram
+    // shingles (jaccard 7/9 ≈ 0.78, comfortably above the 8×2 banding's
+    // ~0.35 s-curve threshold); unique filler keeps docs un-alike as wholes
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val edited = passage.replace("juliet", "zulu")
+    def filler(seed: String) = (1 to 10).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$passage ${filler("aa")}"),
+      (1L, s"${filler("bb")} $passage"),
+      (2L, s"${filler("cc")} $edited"),
+      (3L, filler("dd") + " " + filler("de"))).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.segmentNeardup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 holds the first occurrence: nothing earlier → zero dups
+    assert(out(0L) == (2L, 0L), s"doc 0 got ${out(0L)}")
+    // doc 1's verbatim copy and doc 2's EDITED copy both flag
+    assert(out(1L)._2 == 1L, s"verbatim repeat missed: ${out(1L)}")
+    assert(out(2L)._2 == 1L, s"edited repeat missed: ${out(2L)}")
+    // doc 3 is all-unique filler
+    assert(out(3L)._2 == 0L, s"false positive on unique doc: ${out(3L)}")
+    // and the contrast that justifies the operator: EXACT segment dedup
+    // (d13) cannot see the edited copy
+    val exact = Dedup.segmentDedupOf(
+      spark.read.parquet(s"$dir/documents.parquet"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact(2L) == 2L,
+      "d13 should keep the edited passage (it is not an exact dup)")
+    spark.catalog.clearCache()
+  }
+
   test("d13 segment dedup keeps only the first corpus occurrence of a passage") {
     val passage = (1 to 20).map(i => s"p$i").mkString(" ") // exactly 2 segments
     val tail10 = (1 to 10).map(i => s"u$i").mkString(" ")

@@ -63,6 +63,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.Dedup.simhashDroppedBuckets(emptyDocs).count() == 0)
   }
 
+  test("multi-probe and segment near-dup operators on an empty corpus dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptydir_").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(operators.Dedup.segmentNeardup(spark, dir).count() == 0)
+    assert(operators.Dedup.semanticDedupMultiprobe(spark, dir).count() == 0)
+    assert(operators.Similarity.knnLshMultiprobe(spark, dir).count() == 0)
+    // composed cluster path, both probe modes and canonical routing
+    assert(operators.Dedup.semanticClusters(spark, dir, nprobe = 3).count() == 0)
+    assert(operators.Dedup.semanticClusters(spark, dir,
+      oversizedCanonical = true, nprobe = 3).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("incremental run over an empty feed is a structural no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_emptyrun_").toString
     val store = s"$root/store"; new java.io.File(store).mkdirs()

@@ -1747,6 +1747,100 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** Materialize a semantic dedup index for [[semanticDelta]] probes —
+    * the vector analog of [[writeDedupIndex]], for the pipeline a
+    * production embedding store actually runs (a daily embedding batch
+    * lands; nobody re-buckets 100 TB of vectors per batch): the corpus's
+    * (vec_id, v, bucket) frame stored bucketed by `bucket`, so a delta
+    * probe joins it WITHOUT an exchange on the stored side.
+    *
+    * The bucket family is the production fused `hyperplane_sig`
+    * expression (xxhash64 ±1 planes — one tight loop per vector), not
+    * d11's md5-literal family: a stored serving path has no oracle to
+    * stay portable for, and [[HyperplaneProbes]] shares the same family
+    * by construction, so delta-side probes address stored buckets
+    * directly. Oversized buckets (degenerate/template embeddings) are
+    * dropped AT WRITE TIME — they would tax every future probe with the
+    * same skew (the [[writeDedupIndex]] rationale); eligibility is an
+    * aggregate semi-join, never a bucket-partitioned window (the q26/d11
+    * rule: 2^planes distinct keys would cap parallelism).
+    */
+  def writeSemanticIndex(vectors: DataFrame, table: String,
+      buckets: Int = 8, planes: Int = 12, maxBucket: Int = 512): Unit = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val bucketed = vectors
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .withColumn("bucket",
+        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eligible = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn")).filter($"bn" <= maxBucket)
+      .select($"bucket")
+    bucketed.join(broadcast(eligible), Seq("bucket"))
+      .select($"vec_id", $"v", $"bucket")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(s"${table}_vecs")
+    bucketed.unpersist()
+    ()
+  }
+
+  /** Probe a delta embedding batch against a [[writeSemanticIndex]]
+    * corpus index: the delta's home bucket PLUS its `nprobe - 1`
+    * lowest-margin flips (multi-probe — the same cross-boundary recall
+    * d11b buys, here for free on the probe side since only the delta
+    * expands) address the stored bucket layout directly; candidates are
+    * cosine-verified. Only the delta is projected and shuffled; the
+    * corpus is never rescanned or re-bucketed — per-batch cost is
+    * O(delta) + candidate-sized work regardless of corpus size.
+    */
+  def semanticDelta(spark: SparkSession, table: String, delta: DataFrame,
+      planes: Int = 12, nprobe: Int = 3, minCos: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val probes = delta
+      .select($"vec_id".as("new_id"),
+        graft.functions.VectorFunctions.asDouble($"embedding").as("nv"))
+      .withColumn("bucket", explode(
+        org.apache.spark.sql.graft.GraftFunctions
+          .hyperplane_probes($"nv", planes, nprobe)))
+    spark.table(s"${table}_vecs")
+      .select($"bucket", $"vec_id".as("corpus_id"), $"v".as("cv"))
+      .join(probes, Seq("bucket"))
+      .select($"corpus_id", $"new_id", $"cv", $"nv")
+      // a pair can arrive via several probe buckets — verify once
+      .dropDuplicates("corpus_id", "new_id")
+      .withColumn("cos",
+        round(graft.functions.VectorFunctions.cosine($"cv", $"nv"), 6))
+      .filter($"cos" >= minCos)
+      .select($"corpus_id", $"new_id", $"cos")
+      // replayed appends leave duplicate index rows → duplicate verified
+      // rows; collapse the result-sized frame (the dedupDelta contract)
+      .dropDuplicates("corpus_id", "new_id")
+      .orderBy($"corpus_id", $"new_id")
+  }
+
+  /** Append a batch to a [[writeSemanticIndex]] table, preserving the
+    * bucketed layout (map-only bucket assignment against the SAME plane
+    * family — immediately probeable, no re-bucketing; periodic
+    * [[writeSemanticIndex]] reindexing compacts bucket files and
+    * re-applies the oversized-bucket drop corpus-wide). Replays are
+    * tolerated: [[semanticDelta]] collapses duplicate candidates.
+    */
+  def appendSemanticIndex(vectors: DataFrame, table: String,
+      buckets: Int = 8, planes: Int = 12): Unit = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    vectors
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .withColumn("bucket",
+        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", planes))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(s"${table}_vecs")
+    ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d18_segment_neardup" -> ((s: SparkSession, d: String) => segmentNeardup(s, d)),

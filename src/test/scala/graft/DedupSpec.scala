@@ -476,6 +476,65 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic index: multi-probe delta finds perturbed near-dups, stored side never reshuffles") {
+    val corpus = GenCorpus.generateEmbeddings(spark, 2000)
+    Dedup.writeSemanticIndex(corpus, "sem_idx_spec")
+    // delta: 30 corpus vectors perturbed by a tiny deterministic nudge
+    // (cos ≈ 0.999 to their source — near-dups a daily batch would carry)
+    // + 30 fresh orthogonal-ish random vectors
+    val perturbed = corpus.filter($"vec_id" < 30)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform(graft.functions.VectorFunctions.asDouble($"embedding"),
+          (x, i) => (x + when(i === 0, lit(0.01)).otherwise(lit(0.0)))
+            .cast("float")).as("embedding"))
+    val fresh = GenCorpus.generateEmbeddings(spark, 30)
+      .select(($"vec_id" + 20000L).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    val got = Dedup.semanticDelta(spark, "sem_idx_spec",
+      perturbed.unionByName(fresh), minCos = 0.99)
+    // the production-scale invariant, same as the text index: no
+    // ShuffleExchange between a stored scan and its first join
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val allShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val reshuffledStore = allShuffles.filter { e =>
+      val scans = e.child.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("sem_idx_spec")) => f
+      }
+      val joins = e.child.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      scans.nonEmpty && joins.isEmpty
+    }
+    assert(reshuffledStore.isEmpty,
+      s"stored semantic index reshuffled before its join:\n${reshuffledStore.mkString("\n")}")
+    val pairs = got.select($"corpus_id", $"new_id").as[(Long, Long)].collect()
+    val bySrc = pairs.filter { case (c, n) => n == c + 10000L }
+    // multi-probe recall on a 0.999-cosine perturbation: the nudge can
+    // flip a plane the vector sits on — that is exactly what the probes
+    // cover; demand near-total recovery, tolerate a double-flip straggler
+    assert(bySrc.length >= 28, s"found ${bySrc.length}/30 planted near-dups")
+    // append path: a new batch is immediately probeable with no reindex
+    val appended = corpus.filter($"vec_id" >= 30 && $"vec_id" < 40)
+      .select(($"vec_id" + 30000L).as("vec_id"), $"embedding")
+    Dedup.appendSemanticIndex(appended, "sem_idx_spec")
+    val got2 = Dedup.semanticDelta(spark, "sem_idx_spec",
+      corpus.filter($"vec_id" >= 30 && $"vec_id" < 40)
+        .select(($"vec_id" + 40000L).as("vec_id"), $"embedding"),
+      minCos = 0.999999)
+    val exact = got2.select($"corpus_id", $"new_id").as[(Long, Long)].collect()
+      .filter { case (c, n) => c == n - 10000L }
+    assert(exact.length == 10,
+      s"append not probeable: found ${exact.length}/10 exact copies")
+    spark.catalog.clearCache()
+  }
+
   test("cluster-table memo self-invalidates when the corpus dir is rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     def write(rows: Seq[(Long, String)]): Unit =

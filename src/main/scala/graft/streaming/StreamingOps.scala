@@ -170,6 +170,58 @@ object StreamingOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming SEMANTIC dedup gate — [[dedupStream]]'s contract for
+    * embedding batches: each micro-batch is probed with
+    * `Dedup.semanticDelta` against the stored bucket-partitioned vector
+    * index (multi-probe bucket addressing, corpus never re-bucketed),
+    * vectors with a ≥ `minCos` match are gated, novel vectors land in
+    * the parquet store and GROW the index by map-only bucket assignment
+    * so later batches dedup against everything that came before.
+    *
+    * Same idempotence story as dedupStream: index growth is
+    * marker-guarded per batch id; a replay after partial failure
+    * re-appends, leaving at worst duplicate index rows that
+    * semanticDelta collapses; probe-before-grow gates a replayed
+    * batch's vectors against themselves.
+    */
+  def semanticDedupStream(vectors: DataFrame, indexTable: String,
+      storeDir: String, minCos: Double = 0.99,
+      queryName: String = "graft_semantic_gate",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectors.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bid = f"batch$batchId%06d"
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupIds = graft.operators.Dedup
+          .semanticDelta(spark, indexTable, b, minCos = minCos)
+          .select($"new_id".as("vec_id")).distinct()
+        val kept = b.join(dupIds, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val marker = new java.io.File(s"${storeDir}_idx_marked/$bid")
+        if (!kept.isEmpty) {
+          // per-batch-id path + Overwrite = exactly-once store landing
+          // under replays (the batch id is the idempotence key)
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storeDir/$bid.parquet")
+          if (!marker.exists()) {
+            graft.operators.Dedup.appendSemanticIndex(
+              kept.select($"vec_id", $"embedding"), indexTable)
+            marker.getParentFile.mkdirs()
+            marker.createNewFile()
+          }
+        }
+        kept.unpersist()
+        b.unpersist()
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** File-source ingest: watch a directory for new parquet drops (the
     * streaming form of the reference's "scan the download folder each run"
     * loop), quality-gate + enrich each file incrementally, append to a

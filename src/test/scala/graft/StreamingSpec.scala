@@ -88,6 +88,38 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming semantic gate dedups vector arrivals against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sstream_").toString
+    spark.sql("DROP TABLE IF EXISTS sstream_idx_vecs")
+    val seed = GenCorpus.generateEmbeddings(spark, 10)
+    graft.operators.Dedup.writeSemanticIndex(seed, "sstream_idx")
+    val seed3 = seed.filter($"vec_id" === 3)
+      .select($"embedding").as[Seq[Float]].head()
+    // one-hot vectors are near-orthogonal to every clustered seed
+    // (|cos| ≤ max-component/norm ≈ 0.27 « 0.99) — guaranteed novel
+    def oneHot(d: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == d) 1f else 0f)
+    def nudge(v: Seq[Float]): Seq[Float] = (v.head + 0.01f) +: v.tail
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "sstream_idx", s"$dir/store")
+    // batch 1: a 0.9999-cosine nudge of seed vec 3 (gated by the SEED
+    // index, through a probe if the nudge flipped a low-margin plane)
+    // + two novel one-hots (pass, grow the index)
+    mem.addData((100L, nudge(seed3)), (101L, oneHot(1)), (102L, oneHot(2)))
+    q.processAllAvailable()
+    // batch 2: a nudge of batch-1's vec 101 — only the GROWN index can
+    // gate it — plus one novel vector
+    mem.addData((200L, nudge(oneHot(1))), (201L, oneHot(3)))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptIds == Set(101L, 102L, 201L),
+      s"kept $keptIds, want novel vectors only (100 gated by seed, 200 by growth)")
+    spark.sql("DROP TABLE IF EXISTS sstream_idx_vecs")
+    spark.catalog.clearCache()
+  }
+
   test("stream-stream interval join matches views within the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val vs = MemoryStream[Ev]

@@ -306,6 +306,46 @@ object ScaleProbe {
         println(s"""{"probe":"semantic_multiprobe_gain_x$mult","d11_pairs":$basePairs,"d11b_pairs":$mpPairs}""")
       }
       spark.catalog.clearCache()
+      // Incremental SEMANTIC dedup at scale: bucket-index the full vector
+      // corpus ONCE, probe a fixed 500-vector delta of tiny perturbations
+      // (cos ≈ 0.9999 to their sources) — per-batch cost must track the
+      // DELTA; every perturbed probe must recover its source through the
+      // home bucket or a probe flip.
+      locally {
+        freshTable("probe_sem_idx_vecs")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // maxBucket sized to the corpus's densest LEGITIMATE cluster (the
+        // d11 sizing rule): this corpus is 20 labels × ~10k tightly
+        // clustered vectors, and a label concentrates into ~1 bucket —
+        // the default 512 would drop nearly the whole corpus at write
+        // (correct for degenerate template clusters, wrong for a corpus
+        // that IS clusters). Also surface how much the cap dropped.
+        time(s"semantic_index_build_x$mult") {
+          operators.Dedup.writeSemanticIndex(emb, "probe_sem_idx",
+            maxBucket = 20000)
+          spark.table("probe_sem_idx_vecs").count()
+        }
+        locally {
+          val indexed = spark.table("probe_sem_idx_vecs").count()
+          val total = emb.count()
+          println(s"""{"probe":"semantic_index_coverage_x$mult","indexed":$indexed,"total":$total}""")
+        }
+        val delta = emb.limit(500)
+          .select(($"vec_id" + 900000000L).as("vec_id"),
+            transform(graft.functions.VectorFunctions.asDouble($"embedding"),
+              (x, i) => (x + when(i === 0, lit(0.01)).otherwise(lit(0.0)))
+                .cast("float")).as("embedding"))
+        var found = 0L
+        time(s"semantic_delta_probe_x$mult") {
+          found = operators.Dedup.semanticDelta(
+            spark, "probe_sem_idx", delta, minCos = 0.999)
+            .filter($"new_id" === $"corpus_id" + 900000000L).count()
+          found
+        }
+        println(s"""{"probe":"semantic_delta_recall_x$mult","found":$found,"planted":500}""")
+        spark.sql("DROP TABLE IF EXISTS probe_sem_idx_vecs")
+        spark.catalog.clearCache()
+      }
       // Adversarial d11/d12: one degenerate semantic cluster (a template
       // embedding repeated 100× past the bucket cap) — the pair stage
       // must stay bounded (the oversized bucket never reaches the

@@ -1808,15 +1808,16 @@ object Dedup {
       .select($"bucket", $"vec_id".as("corpus_id"), $"v".as("cv"))
       .join(probes, Seq("bucket"))
       .select($"corpus_id", $"new_id", $"cv", $"nv")
-      // a pair can arrive via several probe buckets — verify once
+      // ONE candidate-level collapse handles both fan-out sources: a pair
+      // arriving via several probe buckets AND the duplicate index rows a
+      // replayed append leaves (they enter through this same join) —
+      // nothing downstream re-fans rows, unlike dedupDelta's shingle
+      // joins which need a second collapse
       .dropDuplicates("corpus_id", "new_id")
       .withColumn("cos",
         round(graft.functions.VectorFunctions.cosine($"cv", $"nv"), 6))
       .filter($"cos" >= minCos)
       .select($"corpus_id", $"new_id", $"cos")
-      // replayed appends leave duplicate index rows → duplicate verified
-      // rows; collapse the result-sized frame (the dedupDelta contract)
-      .dropDuplicates("corpus_id", "new_id")
       .orderBy($"corpus_id", $"new_id")
   }
 

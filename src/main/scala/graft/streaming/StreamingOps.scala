@@ -184,8 +184,15 @@ object StreamingOps {
     * semanticDelta collapses; probe-before-grow gates a replayed
     * batch's vectors against themselves.
     */
+  /** `planes`/`nprobe` MUST match the values the index was written with —
+    * a mismatched plane count produces signatures from a different bit
+    * space that silently never match (near-zero recall, no error), which
+    * is why the wrapper threads them through to both the probe and the
+    * growth append rather than trusting defaults to agree.
+    */
   def semanticDedupStream(vectors: DataFrame, indexTable: String,
       storeDir: String, minCos: Double = 0.99,
+      planes: Int = 12, nprobe: Int = 3,
       queryName: String = "graft_semantic_gate",
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectors.writeStream
@@ -198,19 +205,30 @@ object StreamingOps {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupIds = graft.operators.Dedup
-          .semanticDelta(spark, indexTable, b, minCos = minCos)
+          .semanticDelta(spark, indexTable, b,
+            planes = planes, nprobe = nprobe, minCos = minCos)
           .select($"new_id".as("vec_id")).distinct()
         val kept = b.join(dupIds, Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val marker = new java.io.File(s"${storeDir}_idx_marked/$bid")
         if (!kept.isEmpty) {
-          // per-batch-id path + Overwrite = exactly-once store landing
-          // under replays (the batch id is the idempotence key)
-          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$storeDir/$bid.parquet")
+          // The store landing must be REPLAY-STABLE: after a partial index
+          // append, the replayed batch's kept set SHRINKS (probe-before-
+          // grow gates vectors against their own partial index rows), so
+          // rewriting the store from the replay would silently lose the
+          // already-landed vectors. The _SUCCESS marker of the first
+          // committed write is the idempotence key: write once per batch
+          // id, never rewrite.
+          val committed = new java.io.File(
+            s"$storeDir/$bid.parquet/_SUCCESS").exists()
+          if (!committed) {
+            kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$storeDir/$bid.parquet")
+          }
           if (!marker.exists()) {
             graft.operators.Dedup.appendSemanticIndex(
-              kept.select($"vec_id", $"embedding"), indexTable)
+              kept.select($"vec_id", $"embedding"), indexTable,
+              planes = planes)
             marker.getParentFile.mkdirs()
             marker.createNewFile()
           }

@@ -478,6 +478,7 @@ class DedupSpec extends SparkSpec {
 
   test("semantic index: multi-probe delta finds perturbed near-dups, stored side never reshuffles") {
     val corpus = GenCorpus.generateEmbeddings(spark, 2000)
+    spark.sql("DROP TABLE IF EXISTS sem_idx_spec_vecs")
     Dedup.writeSemanticIndex(corpus, "sem_idx_spec")
     // delta: 30 corpus vectors perturbed by a tiny deterministic nudge
     // (cos ≈ 0.999 to their source — near-dups a daily batch would carry)
@@ -502,6 +503,8 @@ class DedupSpec extends SparkSpec {
     val allShuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
+    assert(allShuffles.nonEmpty,
+      "traversal found no exchanges anywhere - plan walk is broken")
     val reshuffledStore = allShuffles.filter { e =>
       val scans = e.child.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -520,6 +523,11 @@ class DedupSpec extends SparkSpec {
     // flip a plane the vector sits on — that is exactly what the probes
     // cover; demand near-total recovery, tolerate a double-flip straggler
     assert(bySrc.length >= 28, s"found ${bySrc.length}/30 planted near-dups")
+    // PRECISION: the 30 negated fresh vectors (cos = -1 to their sources,
+    // ≈0 to everything else) must never verify — a broken cosine filter
+    // would emit every bucket collision and recall alone would stay green
+    assert(pairs.forall { case (_, n) => n < 20000L },
+      s"false positives on guaranteed-novel vectors: ${pairs.filter(_._2 >= 20000L).mkString(",")}")
     // append path: a new batch is immediately probeable with no reindex
     val appended = corpus.filter($"vec_id" >= 30 && $"vec_id" < 40)
       .select(($"vec_id" + 30000L).as("vec_id"), $"embedding")
@@ -532,6 +540,7 @@ class DedupSpec extends SparkSpec {
       .filter { case (c, n) => c == n - 10000L }
     assert(exact.length == 10,
       s"append not probeable: found ${exact.length}/10 exact copies")
+    spark.sql("DROP TABLE IF EXISTS sem_idx_spec_vecs")
     spark.catalog.clearCache()
   }
 

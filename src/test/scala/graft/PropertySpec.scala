@@ -31,6 +31,32 @@ class PropertySpec extends SparkSpec {
   private def utf8Array(xs: Seq[String]) =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
 
+  test("hyperplaneProbes: home-first, distinct single-bit flips, family-consistent") {
+    val vec = Gen.zip(
+      Gen.choose(2, 32),
+      Gen.choose(Long.MinValue, Long.MaxValue))
+      .map { case (dim, s) =>
+        // deterministic pseudo-random doubles from the sample seed
+        Array.tabulate(dim)(j => ((hashing.mix64(s + j) >>> 11) * 1.1e-16) - 0.45)
+      }
+    forAll(Gen.zip(vec, Gen.choose(1, 10), Gen.choose(1, 12)), n = 200) {
+      case (v, planes0, nprobe) =>
+        val planes = math.min(planes0, 10)
+        val arr = new GenericArrayData(v.map(x => x: Any))
+        val probes = hashing.hyperplaneProbes(arr, planes, nprobe).toLongArray()
+        val home = hashing.hyperplaneSig(new GenericArrayData(v.map(x => x: Any)), planes)
+        // probe 0 IS the home signature of the same family — the property
+        // that lets probe sigs address hyperplaneSig-built indexes
+        assert(probes(0) == home)
+        assert(probes.length == math.min(nprobe, planes + 1))
+        // every extra probe flips exactly one plane bit, all distinct
+        probes.drop(1).foreach { p =>
+          assert(java.lang.Long.bitCount(p ^ home) == 1, "must be a single-bit flip")
+        }
+        assert(probes.distinct.length == probes.length, "probes must be distinct")
+    }
+  }
+
   test("wordShingleHashes = sorted distinct xxhash64 of string shingles") {
     forAll(Gen.zip(text, Gen.choose(1, 4))) { case (t, n) =>
       val words = t.split(" ", -1)

@@ -72,6 +72,14 @@ object ScaleProbe {
       big.count()
     }
     isolate()
+    // Corpus-wide segment near-dup (d18b): MinHash banding over EVERY
+    // fixed-width segment — the segment frame is ~6-7× the doc count, so
+    // this times the d02 machinery at its multiplied input size.
+    time(s"segment_neardup_full_x$mult") {
+      operators.Dedup.segmentNeardupFullOf(
+        big.select($"doc_id", $"text")).count()
+    }
+    isolate()
     time(s"dedup_groups_x$mult") {
       operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
     }

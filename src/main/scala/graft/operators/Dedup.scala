@@ -1334,15 +1334,14 @@ object Dedup {
     * like d02b/d14 — the price of a cross-engine-checkable oracle, paid
     * only inside the bounded window.
     */
-  def segmentNeardup(s: SparkSession, dir: String, width: Int = 10,
-      idBound: Long = 150, k: Int = 16, rows: Int = 2,
-      minJaccard: Double = 0.5): DataFrame = {
+  /** d13's segmentation as a frame: (doc_id, ord, seg) where ord =
+    * doc_id*1e6 + position makes "earlier" a total corpus order. Shared
+    * by both segment near-dup forms; lifecycle caller-owned.
+    */
+  private def segmentFrame(documents: DataFrame, width: Int): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .filter($"doc_id" < idBound).select($"doc_id", $"text")
-    // d13's segmentation, verbatim: ord = doc_id*1e6 + position makes
-    // "earlier" a total corpus order
-    val segs = docs
+    documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0),
@@ -1351,6 +1350,31 @@ object Dedup {
       .select($"doc_id", ($"doc_id" * 1000000L + $"pos").as("ord"),
         $"col".as("seg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Per-doc rollup over a [[segmentFrame]] and the set of segment ords
+    * flagged as having an earlier near-dup.
+    */
+  private def segmentNeardupRollup(segs: DataFrame,
+      dupOrds: DataFrame): DataFrame = {
+    val s = segs.sparkSession
+    import s.implicits._
+    segs.join(dupOrds, Seq("ord"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        coalesce(sum($"is_dup"), lit(0L)).as("n_fuzzy_dup"),
+        round((count(lit(1)) - coalesce(sum($"is_dup"), lit(0L))) * lit(1.0)
+          / count(lit(1)) + lit(1e-9), 6).as("kept_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  def segmentNeardup(s: SparkSession, dir: String, width: Int = 10,
+      idBound: Long = 150, k: Int = 16, rows: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val segs = segmentFrame(
+      Tables.documents(s, dir).filter($"doc_id" < idBound)
+        .select($"doc_id", $"text"), width)
     // the banding core treats (ord, seg) as a tiny document
     val banded = portableBands(
       segs.select($"ord".as("doc_id"), $"seg".as("text")), k, rows)
@@ -1370,13 +1394,40 @@ object Dedup {
       .filter($"uni" > 0 && $"inter" * lit(1.0) / $"uni" >= minJaccard)
       .select($"ord_b".as("ord")).distinct()
       .withColumn("is_dup", lit(1L))
-    segs.join(dupSegs, Seq("ord"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_seg"),
-        coalesce(sum($"is_dup"), lit(0L)).as("n_fuzzy_dup"),
-        round((count(lit(1)) - coalesce(sum($"is_dup"), lit(0L))) * lit(1.0)
-          / count(lit(1)) + lit(1e-9), 6).as("kept_ratio"))
-      .orderBy($"doc_id")
+    segmentNeardupRollup(segs, dupSegs)
+  }
+
+  /** Corpus-wide production form of [[segmentNeardup]]: the SAME
+    * segmentation and rollup, with candidates from the production
+    * xxhash-family pipeline ([[minhashPairs]] over the segment frame —
+    * a segment is a short document to it, so the whole d02 machinery
+    * including the skew guard and hashed-shingle merge-walk verify is
+    * reused verbatim). No idBound: this is the form that runs over the
+    * full corpus (hash-seeded → rows-only; DedupSpec pins verdict parity
+    * with the oracled d18 on the planted-passage corpus, ScaleProbe
+    * times it at 3.2M segments).
+    */
+  def segmentNeardupFull(s: SparkSession, dir: String, width: Int = 10,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): DataFrame =
+    segmentNeardupFullOf(Tables.documents(s, dir), width, bands, rows,
+      maxBucket, minJaccard)
+
+  /** Core of [[segmentNeardupFull]] over any (doc_id, text) frame. */
+  def segmentNeardupFullOf(documents: DataFrame, width: Int = 10,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
+    val dupSegs = minhashPairs(
+      segs.select($"ord".as("doc_id"), $"seg".as("text")),
+      bands, rows, maxBucket, minJaccard)
+      // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
+      // the later occurrence is the fuzzy dup, d13's keeper orientation
+      .select($"doc_b".as("ord")).distinct()
+      .withColumn("is_dup", lit(1L))
+    segmentNeardupRollup(segs, dupSegs)
   }
 
   def segmentNeardupSql(width: Int = 10, idBound: Long = 150, k: Int = 16,
@@ -1845,6 +1896,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d18_segment_neardup" -> ((s: SparkSession, d: String) => segmentNeardup(s, d)),
+    "d18b_segment_neardup_full" ->
+      ((s: SparkSession, d: String) => segmentNeardupFull(s, d)),
     "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "d15_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d, idBound = 1500)),
     "d17_source_sketch_overlap" -> ((s: SparkSession, d: String) => sourceSketchOverlap(s, d)),

@@ -393,6 +393,13 @@ class DedupSpec extends SparkSpec {
     assert(exact(2L) == 2L,
       "d13 should keep the edited passage (it is not an exact dup)")
     spark.catalog.clearCache()
+    // the corpus-wide production-family form must reach the same verdicts
+    // on this corpus (same segmentation + rollup, xxhash candidates)
+    val full = Dedup.segmentNeardupFullOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full == out, s"production-family verdicts diverge: $full vs $out")
+    spark.catalog.clearCache()
   }
 
   test("d13 segment dedup keeps only the first corpus occurrence of a passage") {

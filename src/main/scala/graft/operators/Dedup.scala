@@ -1309,34 +1309,11 @@ object Dedup {
        |FROM segh s JOIN keep k USING (h)
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
-  /** d18: segment-level NEAR-dup dedup — the stage between d13 (exact
-    * segment dedup: catches verbatim repeated passages) and d02 (whole-doc
-    * MinHash: near-dup documents): lightly-EDITED repeated passages —
-    * boilerplate headers with a date swapped, template paragraphs with one
-    * entity renamed — that exact segment hashing misses and whole-doc
-    * similarity dilutes below threshold. The practical Dolma/FineWeb-style
-    * paragraph-dedup stage.
-    *
-    * Pipeline: d13's fixed-width segmentation → md5-portable MinHash
-    * banding per SEGMENT (d02b's recipe, reused verbatim — a segment is
-    * just a short document to the banding core) → bucket self-join for
-    * candidate pairs → exact shingle-Jaccard verify → per-doc rollup of
-    * segments that have a near-dup at an EARLIER corpus position (d13's
-    * first-occurrence-wins contract, so the output composes with d13's:
-    * same keeper orientation, fuzzy instead of exact equality).
-    *
-    * Scale shape: the banding shuffle carries (segment, band, 32-byte
-    * digest) — never segment text pairs; candidates are bucket-bounded;
-    * the verify joins shingle ARRAYS onto candidate-sized rows only. At
-    * 100 TB the production swap is the same as d02b → d02: the one-pass
-    * MinHashSig expression over hashed shingles, identical plan shape.
-    * `idBound` caps the portable family's |shingles|×k explode exactly
-    * like d02b/d14 — the price of a cross-engine-checkable oracle, paid
-    * only inside the bounded window.
-    */
   /** d13's segmentation as a frame: (doc_id, ord, seg) where ord =
     * doc_id*1e6 + position makes "earlier" a total corpus order. Shared
-    * by both segment near-dup forms; lifecycle caller-owned.
+    * by both segment near-dup forms. NOT persisted here — each caller
+    * caches exactly the projection it re-reads (d18 the full frame,
+    * d18b a text-free digest frame).
     */
   private def segmentFrame(documents: DataFrame, width: Int): DataFrame = {
     val s = documents.sparkSession
@@ -1349,7 +1326,6 @@ object Dedup {
         i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
       .select($"doc_id", ($"doc_id" * 1000000L + $"pos").as("ord"),
         $"col".as("seg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Per-doc rollup over a [[segmentFrame]] and the set of segment ords
@@ -1368,6 +1344,30 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d18: segment-level NEAR-dup dedup — the stage between d13 (exact
+    * segment dedup: catches verbatim repeated passages) and d02 (whole-doc
+    * MinHash: near-dup documents): lightly-EDITED repeated passages —
+    * boilerplate headers with a date swapped, template paragraphs with one
+    * entity renamed — that exact segment hashing misses and whole-doc
+    * similarity dilutes below threshold. The practical Dolma/FineWeb-style
+    * paragraph-dedup stage.
+    *
+    * Pipeline: d13's fixed-width segmentation → md5-portable MinHash
+    * banding per SEGMENT (d02b's recipe, reused verbatim — a segment is
+    * just a short document to the banding core) → bucket self-join for
+    * candidate pairs → exact shingle-Jaccard verify → per-doc rollup of
+    * segments that have a near-dup at an EARLIER corpus position (d13's
+    * first-occurrence-wins contract, so the output composes with d13's:
+    * same keeper orientation, fuzzy instead of exact equality).
+    *
+    * Scale shape: the banding shuffle carries (segment, band, 32-byte
+    * digest) — never segment text pairs; candidates are bucket-bounded;
+    * the verify joins shingle ARRAYS onto candidate-sized rows only.
+    * `idBound` caps the portable family's |shingles|×k explode exactly
+    * like d02b/d14 — the price of a cross-engine-checkable oracle, paid
+    * only inside the bounded window; [[segmentNeardupFull]] is the
+    * corpus-wide production form.
+    */
   def segmentNeardup(s: SparkSession, dir: String, width: Int = 10,
       idBound: Long = 150, k: Int = 16, rows: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
@@ -1375,6 +1375,7 @@ object Dedup {
     val segs = segmentFrame(
       Tables.documents(s, dir).filter($"doc_id" < idBound)
         .select($"doc_id", $"text"), width)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the banding core treats (ord, seg) as a tiny document
     val banded = portableBands(
       segs.select($"ord".as("doc_id"), $"seg".as("text")), k, rows)
@@ -1397,15 +1398,35 @@ object Dedup {
     segmentNeardupRollup(segs, dupSegs)
   }
 
-  /** Corpus-wide production form of [[segmentNeardup]]: the SAME
-    * segmentation and rollup, with candidates from the production
-    * xxhash-family pipeline ([[minhashPairs]] over the segment frame —
-    * a segment is a short document to it, so the whole d02 machinery
-    * including the skew guard and hashed-shingle merge-walk verify is
-    * reused verbatim). No idBound: this is the form that runs over the
-    * full corpus (hash-seeded → rows-only; DedupSpec pins verdict parity
-    * with the oracled d18 on the planted-passage corpus, ScaleProbe
-    * times it at 3.2M segments).
+  /** Corpus-wide production form of [[segmentNeardup]]: the same
+    * segmentation and first-occurrence rollup, with an EXACT-FIRST
+    * two-stage pair pipeline:
+    *
+    *  1. Exact stage (d13's logic): min-ord keeper per distinct segment
+    *     digest; every other occurrence is a dup by definition. This is
+    *     what makes hot verbatim boilerplate (a header repeated 100k×)
+    *     the FAST path: it collapses to one representative before any
+    *     banding, so it can never inflate an LSH bucket past the cap —
+    *     the failure mode of banding the raw segment stream, where the
+    *     skew guard would silently unflag exactly the hottest mass.
+    *  2. Near-dup stage: [[minhashPairs]] (the production xxhash d02
+    *     machinery, skew guard and merge-walk verify included) over the
+    *     KEEPERS only — one row per distinct segment text. A keeper
+    *     pairing with an earlier keeper is a fuzzy dup; its own exact
+    *     copies are already flagged by stage 1 and stay consistent
+    *     (their earlier partner is the keeper's partner, transitively).
+    *
+    * maxBucket here caps buckets of DISTINCT near-identical variants
+    * (an edited-template explosion), not verbatim repeats;
+    * [[segmentNeardupFullDroppedBuckets]] surfaces what the cap dropped,
+    * same observability contract as d02/d11.
+    *
+    * Semantics vs the oracled d18: identical on its planted corpus
+    * (spec-pinned), with two documented deltas — exact repeats of
+    * sub-shingle-width segments ARE flagged here (d18's shingle-based
+    * verify cannot see them; strictly more correct), and candidate
+    * recall past the exact stage follows this family's 16×4 s-curve
+    * rather than the oracle's 8×2.
     */
   def segmentNeardupFull(s: SparkSession, dir: String, width: Int = 10,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
@@ -1419,15 +1440,48 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
-    val dupSegs = minhashPairs(
-      segs.select($"ord".as("doc_id"), $"seg".as("text")),
+    val docs = documents.select($"doc_id", $"text")
+    // text-free digest frame carries the exact stage AND the rollup —
+    // the corpus-sized cache holds 16-byte digests, never segment text
+    // (the segment strings are read exactly once, by the keeper-side
+    // shingle computation, which minhashPairs caches as hashed shingles)
+    val meta = segmentFrame(docs, width)
+      .select($"doc_id", $"ord", md5($"seg").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
+      .select($"ord")
+    val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
+      .select($"ord")
+    val reps = segmentFrame(docs, width).join(keeperOrds, Seq("ord"))
+    val nearDups = minhashPairs(
+      reps.select($"ord".as("doc_id"), $"seg".as("text")),
       bands, rows, maxBucket, minJaccard)
       // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
       // the later occurrence is the fuzzy dup, d13's keeper orientation
-      .select($"doc_b".as("ord")).distinct()
+      .select($"doc_b".as("ord"))
+    val dupSegs = exactDups.unionByName(nearDups).distinct()
       .withColumn("is_dup", lit(1L))
-    segmentNeardupRollup(segs, dupSegs)
+    segmentNeardupRollup(meta, dupSegs)
+  }
+
+  /** Observability for [[segmentNeardupFull]]'s bucket cap: the keeper
+    * (distinct-segment) buckets the near-dup stage pruned as oversized.
+    * A hit here means > maxBucket DISTINCT near-identical variants of
+    * one passage — raise the cap, or accept that only their exact
+    * repeats are flagged.
+    */
+  def segmentNeardupFullDroppedBuckets(s: SparkSession, dir: String,
+      width: Int = 10, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val segs = segmentFrame(docs, width)
+    val keeperOrds = segs.select($"ord", md5($"seg").as("h"))
+      .groupBy($"h").agg(min($"ord").as("ord")).select($"ord")
+    minhashDroppedBuckets(
+      segmentFrame(docs, width).join(keeperOrds, Seq("ord"))
+        .select($"ord".as("doc_id"), $"seg".as("text")),
+      bands, rows, maxBucket)
   }
 
   def segmentNeardupSql(width: Int = 10, idBound: Long = 150, k: Int = 16,

@@ -400,6 +400,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(full == out, s"production-family verdicts diverge: $full vs $out")
     spark.catalog.clearCache()
+    // HOT boilerplate far past the LSH bucket cap: a verbatim passage in
+    // 200 docs. Banding the raw segment stream would silently unflag all
+    // of it (every bucket > maxBucket=64); the exact-first stage must
+    // collapse it to ONE keeper and flag the other 199 occurrences.
+    val hotDir = java.nio.file.Files.createTempDirectory("graft-seghot").toString
+    val hot = (0L until 200L).map(i =>
+      (5000L + i, s"${filler(s"u$i")} $passage")).toDF("doc_id", "text")
+    hot.write.parquet(s"$hotDir/documents.parquet")
+    val hotOut = Dedup.segmentNeardupFullOf(
+      spark.read.parquet(s"$hotDir/documents.parquet"))
+    val flagged = hotOut.agg(sum($"n_fuzzy_dup")).as[Long].head()
+    assert(flagged == 199L,
+      s"hot verbatim boilerplate must flag 199 later copies, got $flagged")
+    spark.catalog.clearCache()
   }
 
   test("d13 segment dedup keeps only the first corpus occurrence of a passage") {

@@ -40,8 +40,7 @@ class PropertySpec extends SparkSpec {
         Array.tabulate(dim)(j => ((hashing.mix64(s + j) >>> 11) * 1.1e-16) - 0.45)
       }
     forAll(Gen.zip(vec, Gen.choose(1, 10), Gen.choose(1, 12)), n = 200) {
-      case (v, planes0, nprobe) =>
-        val planes = math.min(planes0, 10)
+      case (v, planes, nprobe) =>
         val arr = new GenericArrayData(v.map(x => x: Any))
         val probes = hashing.hyperplaneProbes(arr, planes, nprobe).toLongArray()
         val home = hashing.hyperplaneSig(new GenericArrayData(v.map(x => x: Any)), planes)

@@ -56,11 +56,24 @@ object Tables {
     * see a producer-dependent type.
     */
   def normalizeTs(raw: DataFrame, c: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{abs, col, expr, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema(c).dataType match {
       case LongType =>
-        raw.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        // A plain INT64 carries no unit, and assuming nanos silently
+        // shifts a millis/micros producer by 10^3–10^6. The unit is
+        // disambiguated by magnitude instead: for any instant between
+        // 1970-04-26 and ~2286 the four encodings occupy disjoint
+        // decades (seconds ~1e9, millis ~1e12, micros ~1e15, nanos
+        // ~1e18), so per-row thresholds at 1e10/1e13/1e16 decode each
+        // unambiguously (driver testdata writes TIMESTAMP(NANOS) under
+        // nanosAsLong → first branch).
+        val mag = abs(col(c))
+        raw.withColumn(c,
+          when(mag >= 10000000000000000L, expr(s"timestamp_micros($c div 1000)"))
+            .when(mag >= 10000000000000L, expr(s"timestamp_micros($c)"))
+            .when(mag >= 10000000000L, expr(s"timestamp_millis($c)"))
+            .otherwise(expr(s"timestamp_seconds($c)")))
       case TimestampNTZType =>
         raw.withColumn(c, col(c).cast(TimestampType))
       case _ => raw

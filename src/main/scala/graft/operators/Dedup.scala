@@ -1280,7 +1280,7 @@ object Dedup {
           floor((size($"toks") + lit(width - 1)) / lit(width)).cast("int") - 1),
         i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
       .select($"doc_id", md5($"col").as("h"),
-        ($"doc_id" * 1000000L + $"pos").as("ord"))
+        (shiftleft($"doc_id", 32) + $"pos").as("ord"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = segs.groupBy($"h").agg(min($"ord").as("keeper"))
     segs.join(keepers, "h")
@@ -1298,7 +1298,7 @@ object Dedup {
        |  SELECT doc_id, unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS seg_id, toks
        |  FROM ts),
        |segh AS (
-       |  SELECT doc_id, doc_id * 1000000 + seg_id AS ord,
+       |  SELECT doc_id, doc_id * 4294967296 + seg_id AS ord,
        |    md5(array_to_string(toks[seg_id * $width + 1 : seg_id * $width + $width], ' ')) AS h
        |  FROM seg),
        |keep AS (SELECT h, min(ord) AS keeper FROM segh GROUP BY h)
@@ -1310,7 +1310,10 @@ object Dedup {
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
   /** d13's segmentation as a frame: (doc_id, ord, seg) where ord =
-    * doc_id*1e6 + position makes "earlier" a total corpus order. Shared
+    * doc_id<<32 | position makes "earlier" a total corpus order
+    * (bounds: doc_id < 2^31, < 2^32 segments/doc — ~40B tokens at
+    * width 10, far past any real document; the previous 1e6 base
+    * overflowed into the next doc's ord space at ~10M tokens). Shared
     * by both segment near-dup forms. NOT persisted here — each caller
     * caches exactly the projection it re-reads (d18 the full frame,
     * d18b a text-free digest frame).
@@ -1324,7 +1327,7 @@ object Dedup {
         sequence(lit(0),
           floor((size($"toks") + lit(width - 1)) / lit(width)).cast("int") - 1),
         i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
-      .select($"doc_id", ($"doc_id" * 1000000L + $"pos").as("ord"),
+      .select($"doc_id", (shiftleft($"doc_id", 32) + $"pos").as("ord"),
         $"col".as("seg"))
   }
 
@@ -1490,7 +1493,7 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE doc_id < $idBound),
        |seg AS (
-       |  SELECT doc_id, doc_id * 1000000 + seg_id AS ord,
+       |  SELECT doc_id, doc_id * 4294967296 + seg_id AS ord,
        |    toks[seg_id * $width + 1 : seg_id * $width + $width] AS st
        |  FROM (SELECT doc_id, toks,
        |          unnest(range(0, (len(toks) + ${width - 1}) // $width)) AS seg_id

@@ -34,6 +34,31 @@ case class CusumOut(event_type: String, day: java.sql.Date, n: Long,
   */
 object StreamingOps {
 
+  /** Replay markers and _SUCCESS probes resolved through the Hadoop
+    * FileSystem of the path itself — NOT java.io.File, which on
+    * HDFS/S3 always reports "absent", so a replay after a partial
+    * index append would rewrite the batch's store file with the
+    * shrunken kept set (probe-before-grow gates replayed vectors
+    * against their own partial index rows) and silently lose
+    * already-landed data. The same resolution the parquet writer uses.
+    */
+  private def hadoopPath(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hadoopPath(spark, path)
+    fs.exists(p)
+  }
+
+  /** Create an empty marker file (parent dirs implicit in Hadoop FS). */
+  private def touchMarker(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hadoopPath(spark, path)
+    fs.create(p, true).close()
+  }
+
   /** Watermarked tumbling-window aggregation — streaming form of
     * Events.windowAgg. State is bounded by the watermark horizon.
     */
@@ -157,12 +182,11 @@ object StreamingOps {
           .select($"new_id".as("doc_id")).distinct()
         val kept = b.join(dupIds, Seq("doc_id"), "left_anti")
         graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
-        val marker = new java.io.File(s"${storeDir}_idx_marked/$bid")
-        if (!marker.exists() && !kept.isEmpty) {
+        val marker = s"${storeDir}_idx_marked/$bid"
+        if (!pathExists(spark, marker) && !kept.isEmpty) {
           graft.operators.Dedup.appendDedupIndex(
             kept.select($"doc_id", $"text"), indexTable)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          touchMarker(spark, marker)
         }
         b.unpersist()
         ()
@@ -210,7 +234,7 @@ object StreamingOps {
           .select($"new_id".as("vec_id")).distinct()
         val kept = b.join(dupIds, Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val marker = new java.io.File(s"${storeDir}_idx_marked/$bid")
+        val marker = s"${storeDir}_idx_marked/$bid"
         if (!kept.isEmpty) {
           // The store landing must be REPLAY-STABLE: after a partial index
           // append, the replayed batch's kept set SHRINKS (probe-before-
@@ -219,18 +243,17 @@ object StreamingOps {
           // already-landed vectors. The _SUCCESS marker of the first
           // committed write is the idempotence key: write once per batch
           // id, never rewrite.
-          val committed = new java.io.File(
-            s"$storeDir/$bid.parquet/_SUCCESS").exists()
+          val committed =
+            pathExists(spark, s"$storeDir/$bid.parquet/_SUCCESS")
           if (!committed) {
             kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$storeDir/$bid.parquet")
           }
-          if (!marker.exists()) {
+          if (!pathExists(spark, marker)) {
             graft.operators.Dedup.appendSemanticIndex(
               kept.select($"vec_id", $"embedding"), indexTable,
               planes = planes)
-            marker.getParentFile.mkdirs()
-            marker.createNewFile()
+            touchMarker(spark, marker)
           }
         }
         kept.unpersist()

@@ -81,6 +81,30 @@ class EventsTypeToleranceSpec extends SparkSpec {
     }
   }
 
+  test("INT64 timestamp unit is disambiguated by magnitude (s/ms/us/ns)") {
+    // A plain INT64 ts column carries no unit; the loader decodes it by
+    // magnitude (thresholds at 1e10/1e13/1e16 — disjoint decades for any
+    // instant between 1970-04-26 and ~2286). Whole-second instants
+    // round-trip exactly through all four encodings, so all four must
+    // load bit-identical to the TimestampType original.
+    val wsDir = s"$tmp/wholesec"
+    val whole = canonical.withColumn("ts", timestamp_seconds(unix_seconds($"ts")))
+    whole.write.mode("overwrite").parquet(s"$wsDir/canon/events.parquet")
+    val units = Seq("sec" -> 1L, "ms" -> 1000L, "us" -> 1000000L,
+      "ns" -> 1000000000L)
+    for ((unit, mult) <- units) {
+      whole.withColumn("ts", unix_seconds($"ts") * lit(mult))
+        .write.mode("overwrite").parquet(s"$wsDir/$unit/events.parquet")
+    }
+    val base = sortedRows(Tables.events(spark, s"$wsDir/canon"))
+    for ((unit, _) <- units) {
+      val loaded = Tables.events(spark, s"$wsDir/$unit")
+      assert(loaded.schema("ts").dataType == TimestampType,
+        s"unit $unit: ts should load as TimestampType")
+      assert(sortedRows(loaded) == base, s"unit $unit: rows differ")
+    }
+  }
+
   test("e02/e04/e11 produce identical results on every encoding") {
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "e02_sessionize" -> (d => pipeline.Events.sessionize(spark, d)),

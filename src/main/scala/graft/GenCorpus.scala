@@ -74,6 +74,58 @@ object GenCorpus {
     base.unionByName(dups)
   }
 
+  /** Adversarially SKEWED corpus — the pathological key shapes the
+    * benign generators never produce, planted at a controlled fraction
+    * so every dedup-family cap/salting claim can be stressed with a
+    * measurable ground truth. On top of `nBase` standard docs
+    * (ids [0, nBase), source tag "base"), three hot masses of
+    * `hotPct`% of nBase each:
+    *
+    *  - "hot_exact": ONE document text (base doc 0's tokens) repeated
+    *    verbatim — the 100k×-header shape. Every copy shares every
+    *    band, so all 16 minhash buckets blow any cap; exact-first
+    *    stages must catch this mass BEFORE banding.
+    *  - "hot_template": ONE template (base doc 1's tokens) plus a
+    *    per-doc 2-token suffix — distinct texts at shingle-Jaccard
+    *    ≈ 0.9–0.97, no exact-stage collapse, most bands identical →
+    *    a hot band-hash bucket family of DISTINCT docs, the shape
+    *    that forces a drop-vs-link decision at the bucket cap.
+    *  - "hot_segment": otherwise-normal unique docs that all OPEN with
+    *    the same `width`-token boilerplate segment (cookie banner /
+    *    license header shape) — hot at segment granularity only;
+    *    whole-doc near-dup never fires, d13/d18b must.
+    *
+    * The `source` column carries the class tag so probes can compute
+    * per-class flag recall exactly.
+    */
+  def generateSkewedDocs(spark: org.apache.spark.sql.SparkSession,
+      nBase: Long, hotPct: Int, width: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(hotPct >= 1 && hotPct <= 30, s"hotPct must be in [1,30], got $hotPct")
+    val hotN = nBase * hotPct / 100
+    def withTag(df: DataFrame, tag: String): DataFrame =
+      df.withColumn("source", lit(tag))
+    val base = withTag(spark.range(nBase).select($"id".as("doc_id"))
+      .select(col("doc_id") :: finish(tokensFor($"doc_id")): _*), "base")
+    val hotExact = withTag(spark.range(hotN)
+      .select(($"id" + nBase).as("doc_id"))
+      .select(col("doc_id") :: finish(tokensFor(lit(0L))): _*), "hot_exact")
+    val hotTemplate = withTag(spark.range(hotN)
+      .select(($"id" + nBase + hotN).as("doc_id"))
+      .withColumn("mut", concat(tokensFor(lit(1L)), array(
+        concat(lit("m"), pmod(xxhash64($"doc_id", lit(7)), lit(100000)).cast("string")),
+        concat(lit("m"), pmod(xxhash64($"doc_id", lit(8)), lit(100000)).cast("string")))))
+      .select(col("doc_id") :: finish($"mut"): _*), "hot_template")
+    val boiler = transform(sequence(lit(0), lit(width - 1)),
+      j => concat(lit("b"), j.cast("string")))
+    val hotSegment = withTag(spark.range(hotN)
+      .select(($"id" + nBase + 2 * hotN).as("doc_id"))
+      .withColumn("mut", concat(boiler, tokensFor($"doc_id")))
+      .select(col("doc_id") :: finish($"mut"): _*), "hot_segment")
+    base.unionByName(hotExact).unionByName(hotTemplate)
+      .unionByName(hotSegment)
+  }
+
   /** Clustered embeddings table matching the testdata schema
     * (vec_id BIGINT, embedding FLOAT[64], label INT): 20 label
     * centroids in [-1,1)^64, each vector = its label's centroid +

@@ -81,7 +81,7 @@ object Dedup {
     */
   def minhashPairs(documents: DataFrame,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, oversizedLink: Boolean = false): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     // The shingle frame feeds banding AND both sides of the candidate
@@ -95,20 +95,42 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = minhashBandedFrom(docs, bands, rows)
 
-    // One shuffle on the bucket key: count per bucket, keep 2..maxBucket
-    // (singleton buckets can't pair; oversized ones are boilerplate skew).
+    // Bucket populations as a partial-aggregatable groupBy joined back
+    // onto the banding stream — NOT a window partitioned by the bucket
+    // key: a window funnels an entire hot bucket (under boilerplate
+    // skew, a constant FRACTION of all banding rows) through one
+    // sort-everything task that AQE cannot split, while the join-back is
+    // an ordinary skewed join AQE re-plans at runtime. The aggregate also
+    // carries each bucket's min doc_id, the representative the
+    // oversized-link mode stars against.
+    val bucketStats = banded.groupBy($"band", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"), min($"doc_id").as("rep"))
     val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"band_hash")))
-      .filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket)
+      .join(bucketStats.filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket),
+        Seq("band", "band_hash"))
 
     val a = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_a"))
     val b = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    val allPairs = a.join(b, Seq("band", "band_hash"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+
+    // Oversized buckets: default is drop-with-observability
+    // (minhashDroppedBuckets reports them; exact dedup upstream owns
+    // verbatim mass). With `oversizedLink` each member is instead paired
+    // against the bucket's min-id representative — O(bucket_n) candidate
+    // rows, never the O(bucket_n²) all-pairs grind — so a hot NEAR-dup
+    // template (distinct texts, no exact-stage collapse) is still
+    // flagged; transitive closure via dedupClusters recovers
+    // member-member edges through the shared representative.
+    val candidates = (if (!oversizedLink) allPairs else {
+      val starred = banded
+        .join(bucketStats.filter($"bucket_n" > maxBucket),
+          Seq("band", "band_hash"))
+        .filter($"doc_id" =!= $"rep")
+        .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+      allPairs.unionByName(starred)
+    }).dropDuplicates("doc_a", "doc_b")
 
     val withSh = candidates
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
@@ -205,11 +227,15 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val bucketed = simhashBanded(documents)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"band_bits")))
+    // Aggregate-then-join bucket cap, not a bucket-partitioned window —
+    // same straggler reasoning as minhashPairs (a hot bucket in a window
+    // is one unsplittable sort task; the join-back is AQE-splittable).
+    val bandedFp = simhashBanded(documents)
+    val eligible = bandedFp.groupBy($"band", $"band_bits")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket)
+      .select($"band", $"band_bits")
+    val bucketed = bandedFp.join(eligible, Seq("band", "band_bits"))
 
     val a = bucketed.select($"band", $"band_bits", $"doc_id".as("doc_a"), $"fp".as("fp_a"))
     val b = bucketed.select($"band", $"band_bits", $"doc_id".as("doc_b"), $"fp".as("fp_b"))
@@ -1778,11 +1804,15 @@ object Dedup {
     import s.implicits._
     val sh = shingleFrame(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashBandedFrom(sh, bands, rows)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"band", $"band_hash")))
+    // Aggregate-then-join cap (minhashPairs' straggler reasoning): the
+    // hot bucket a window would sort in one task is exactly the
+    // boilerplate skew this write-time filter exists to exclude.
+    val bandedIdx = minhashBandedFrom(sh, bands, rows)
+    val okBuckets = bandedIdx.groupBy($"band", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" <= maxBucket)
+      .select($"band", $"band_hash")
+    bandedIdx.join(okBuckets, Seq("band", "band_hash"))
       .select($"doc_id", $"band", $"band_hash")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "band_hash").sortBy("band_hash")

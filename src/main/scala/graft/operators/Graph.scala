@@ -179,6 +179,21 @@ object Graph {
     * lambdas, which measured 20× slower than generated code on the ×16
     * probe's 184M expanded pairs (the round-1 SimHash lesson again).
     */
+  /** Observability for the fan bound (the minhashDroppedBuckets
+    * contract): customers whose supplier fan exceeds `maxFan` — the rows
+    * [[projectionCommon]] excludes from pair expansion — with their fan
+    * sizes. A hub customer touching a constant fraction of suppliers
+    * surfaces here instead of silently vanishing; one partial-agg
+    * groupBy, diagnostic-only.
+    */
+  def fanExcluded(pairs: DataFrame, maxFan: Int = 64): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.groupBy($"ck").agg(countDistinct($"sk").as("fan"))
+      .filter($"fan" > maxFan)
+      .orderBy($"fan".desc, $"ck")
+  }
+
   def projectionCommon(pairs: DataFrame, maxFan: Int, minCommon: Long): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._

@@ -302,13 +302,19 @@ object Relational {
     * orders on the shuffle key, dims broadcast. The one genuinely large
     * shuffle in the suite — the plan AQE would skew-split at 100 TB.
     */
-  def revenueChain(s: SparkSession, dir: String): DataFrame = {
+  def revenueChain(s: SparkSession, dir: String): DataFrame =
+    revenueChainOf(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+
+  /** Core of [[revenueChain]] over explicit inputs (the skew probe feeds
+    * it hot-key variants of the fact tables).
+    */
+  def revenueChainOf(li: DataFrame, o: DataFrame, c: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val s = li.sparkSession
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
-    val n = broadcast(Tables.nation(s, dir))
-    val r = broadcast(Tables.region(s, dir))
+    val n = broadcast(nation)
+    val r = broadcast(region)
     li.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .join(n, $"c_nationkey" === $"n_nationkey")

@@ -104,6 +104,28 @@ class DedupSpec extends SparkSpec {
     assert(dropped.forall(_._2 == 100L))
   }
 
+  test("minhash oversized-link stars hot buckets against the representative") {
+    // Same 100-identical-doc hot bucket, plus a small legit pair: with
+    // oversizedLink every hot member must pair with the bucket's min-id
+    // representative (linear volume: exactly 99 star pairs, never the
+    // 4950 all-pairs grind), and normal-sized buckets pair as before.
+    val docs = mkDocs((1L to 100L).map(i => i -> base) ++
+      Seq(200L -> unrelated, 201L -> unrelated))
+    val pairs = Dedup.minhashPairs(docs, maxBucket = 10, minJaccard = 0.0,
+        oversizedLink = true)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val hotPairs = pairs.filter(p => p._1 <= 100L && p._2 <= 100L)
+    assert(hotPairs == (2L to 100L).map(i => (1L, i)).toSet,
+      s"expected 99 star pairs rooted at doc 1, got ${hotPairs.size}")
+    assert(pairs.contains((200L, 201L)), "normal-sized bucket must still pair")
+    // drop mode on the same corpus stays silent on the hot mass —
+    // the contract difference the skew probe measures corpus-wide
+    val dropPairs = Dedup.minhashPairs(docs, maxBucket = 10,
+        minJaccard = 0.0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!dropPairs.exists(p => p._1 <= 100L && p._2 <= 100L))
+  }
+
   test("simhash skew guard caps boilerplate buckets, keeps normal pairs") {
     // 100 identical boilerplate docs share every band: uncapped that is
     // 100*99/2 = 4950 candidate pairs; the cap must suppress them while a

@@ -256,6 +256,54 @@ object ScaleProbe {
         val recall = if (tot > 0) hit.toDouble / tot else 0.0
         println(f"""{"probe":"pq_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
       }
+      // Stored PQ serving path at the same scale: write once, search the
+      // stored artifacts (no in-query training), then append a delta and
+      // probe it — the service-shaped costs next to the in-query number.
+      spark.catalog.clearCache()
+      locally {
+        import graft.functions.VectorFunctions.asDouble
+        val pqDir = java.nio.file.Files
+          .createTempDirectory("probe_pq_idx_").toString
+        time(s"pq_index_write_x$mult") {
+          operators.PqIndex.writePqIndex(
+            Tables.embeddings(spark, sfDir), pqDir)
+          spark.read.parquet(pqDir + "/members").count()
+        }
+        val queries = Tables.embeddings(spark, sfDir)
+          .filter($"vec_id" < 32)
+          .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+        time(s"pq_index_search_x$mult") {
+          operators.PqIndex.searchPqIndex(spark, pqDir, queries).count()
+        }
+        locally {
+          val brute = operators.Similarity.knnBrute(spark, sfDir)
+            .select($"query_id", $"neighbor_id")
+          val stored = operators.PqIndex.searchPqIndex(spark, pqDir, queries)
+            .select($"query_id", $"neighbor_id")
+          val hit = brute.join(stored, Seq("query_id", "neighbor_id"), "left_semi").count()
+          val tot = brute.count()
+          val recall = if (tot > 0) hit.toDouble / tot else 0.0
+          println(f"""{"probe":"pq_stored_recall_x$mult","hits":$hit,"of":$tot,"recall":$recall%.3f}""")
+        }
+        val delta = Tables.embeddings(spark, sfDir)
+          .filter($"vec_id" < 500)
+          .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+        time(s"pq_index_append_x$mult") {
+          operators.PqIndex.appendPqVectors(spark, pqDir, delta)
+          spark.read.parquet(pqDir + "/members").count()
+        }
+        val deltaQ = Tables.embeddings(spark, sfDir)
+          .filter($"vec_id" < 500)
+          .select(($"vec_id" + 5000000L).as("query_id"),
+            asDouble($"embedding").as("qv"))
+        locally {
+          val found = operators.PqIndex
+            .searchPqIndex(spark, pqDir, deltaQ, k = 1)
+            .filter($"neighbor_id" === $"query_id" - 5000000L ||
+              $"sim" >= 0.999999).count()
+          println(s"""{"probe":"pq_append_recall_x$mult","self_or_copy_top1":$found,"planted":500}""")
+        }
+      }
       spark.catalog.clearCache()
       time(s"semantic_dedup_x$mult") {
         operators.Dedup.semanticDedup(spark, sfDir).count()

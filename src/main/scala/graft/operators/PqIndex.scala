@@ -126,25 +126,65 @@ object PqIndex {
     // every lookup below is position-indexed)
     val coarse = IvfIndex.train(emb, coarseK, iters)
       .zipWithIndex.map { case ((_, c), i) => (i, c) }
-    val centLit = typedlit(coarse.map(_._2))
     val assigned = IvfIndex.assign(emb, coarse)
-    val resid = assigned.select($"vec_id",
-      zip_with($"v", element_at(centLit, $"cluster_id" + 1),
-        (a, b) => a - b).as("embedding"), $"cluster_id")
+    val resid = residuals(assigned, coarse)
     val books = train(resid, m, kCode, iters)
-    val d = books.head.head._2.size
     val indexed = encode(resid, books)
       .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
     val queries = emb.filter($"vec_id" < queryBound)
       .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
-    // probe the nprobe nearest coarse cells per query (the s04 pattern)
+    adcTopK(probeCells(queries, coarse, nprobe),
+      indexed.select($"cluster_id", $"vec_id".as("neighbor_id"), $"code"),
+      emb.select($"vec_id".as("neighbor_id"), asDouble($"embedding").as("nv")),
+      coarse, books, k, shortlist)
+  }
+
+  /** Residual frame (v − coarse centroid) under the `embedding` name
+    * [[encode]]/[[train]] expect — shared by the in-query pipeline and
+    * the stored-index writer/appender so their codes are identical by
+    * construction.
+    */
+  private def residuals(assigned: DataFrame,
+      coarse: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val centLit = typedlit(coarse.map(_._2))
+    assigned.select($"vec_id",
+      zip_with($"v", element_at(centLit, $"cluster_id" + 1),
+        (a, b) => a - b).as("embedding"), $"cluster_id")
+  }
+
+  /** Route each query to its `nprobe` nearest coarse cells (the s04
+    * probe pattern: K-row broadcast, per-query top-nprobe window).
+    */
+  private def probeCells(queries: DataFrame,
+      coarse: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
     val cDf = s.createDataFrame(coarse).toDF("cluster_id", "centroid")
     val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"cluster_id")
-    val probes = queries.crossJoin(broadcast(cDf))
+    queries.crossJoin(broadcast(cDf))
       .withColumn("csim", cosine($"qv", $"centroid"))
       .withColumn("prn", row_number().over(wProbe))
       .filter($"prn" <= nprobe)
       .select($"query_id", $"qv", $"cluster_id")
+  }
+
+  /** ADC score + shortlist + exact re-rank — the search core shared by
+    * [[knnPq]] and [[searchPqIndex]] (stored-path parity with the
+    * in-query pipeline is structural, not asserted-after-the-fact).
+    * `probes`: (query_id, qv, cluster_id); `members`:
+    * (cluster_id, neighbor_id, code); `raw`: (neighbor_id, nv) — joined
+    * only for the queries × shortlist re-rank rows.
+    */
+  private def adcTopK(probes: DataFrame, members: DataFrame,
+      raw: DataFrame, coarse: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]], k: Int,
+      shortlist: Int): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
+    val centLit = typedlit(coarse.map(_._2))
+    val d = books.head.head._2.size
     // ADC against x̂ = c + r̂: dot and reconstructed norm are static sums
     // of codegen'd sub-expressions over element_at of literal codebooks
     def cSub(sub: Int) =
@@ -163,8 +203,7 @@ object PqIndex {
     }.reduce(_ + _)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
     val cand = probes
-      .join(indexed.select($"cluster_id", $"vec_id".as("neighbor_id"), $"code"),
-        Seq("cluster_id"))
+      .join(members, Seq("cluster_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("adc", adcDot / (sqrt(normSq($"qv")) * sqrt(recNormSq)))
       .withColumn("arn", row_number().over(wAdc))
@@ -172,12 +211,124 @@ object PqIndex {
       .select($"query_id", $"qv", $"neighbor_id")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     cand
-      .join(emb.select($"vec_id".as("neighbor_id"),
-        asDouble($"embedding").as("nv")), "neighbor_id")
+      .join(raw, "neighbor_id")
       .withColumn("cos", cosine($"qv", $"nv"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor_id", round($"cos", 6).as("sim"))
       .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Stored serving path (VERDICT r10 #2) — the IvfIndex.writeIndex
+  // pattern for IVF-PQ: train once, write centroids + codebooks +
+  // cluster-partitioned codes, then search/append against the stored
+  // artifacts without ever retraining. At 100 TB this is the difference
+  // between an ANN SERVICE and a per-query training job: the corpus
+  // pays the Lloyd scans once, probes prune partitions via the
+  // cluster_id layout, and a daily embedding batch lands map-only.
+  // ------------------------------------------------------------------
+
+  /** Train the coarse quantizer + residual codebooks and write the full
+    * index: `path/centroids` (K rows), `path/codebooks`
+    * (m × kCode rows), `path/members` (vec_id, code[m]) partitioned by
+    * cluster_id — the corpus-sized artifact carries m bytes-worth of
+    * code per vector, never the raw floats (the 32× PQ win made
+    * durable). `path/raw` additionally stores (vec_id, nv) for the
+    * shortlist re-rank — at 100 TB this is the existing vector store,
+    * written here so the index is self-contained.
+    */
+  def writePqIndex(vectors: DataFrame, path: String, m: Int = 8,
+      kCode: Int = 256, iters: Int = 2, coarseK: Int = 16): Unit = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val coarse = IvfIndex.train(vectors, coarseK, iters)
+      .zipWithIndex.map { case ((_, c), i) => (i, c) }
+    s.createDataFrame(coarse).toDF("cluster_id", "centroid")
+      .coalesce(1) // K rows of kilobytes — one file IS the right layout
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/centroids")
+    val assigned = IvfIndex.assign(vectors, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid = residuals(assigned, coarse)
+    val books = train(resid, m, kCode, iters)
+    s.createDataFrame(for {
+      (book, sub) <- books.zipWithIndex
+      (cid, c) <- book
+    } yield (sub, cid, c)).toDF("sub", "cid", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/codebooks")
+    encode(resid, books)
+      .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster_id").parquet(path + "/members")
+    assigned.select($"vec_id", $"v".as("nv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/raw")
+    assigned.unpersist()
+    ()
+  }
+
+  private def readCoarse(s: SparkSession,
+      path: String): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    s.read.parquet(path + "/centroids")
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+  }
+
+  private def readBooks(s: SparkSession,
+      path: String): Seq[Seq[(Int, Seq[Double])]] = {
+    import s.implicits._
+    val rows = s.read.parquet(path + "/codebooks")
+      .as[(Int, Int, Seq[Double])].collect()
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, bs) => bs.sortBy(_._2).map(b => (b._2, b._3)).toSeq }
+  }
+
+  /** Top-k search against a stored PQ index: probe cells against the
+    * stored centroids, ADC-score the probed members' CODES against the
+    * stored codebooks (plan literals, codegen'd static sums), exactly
+    * re-rank the shortlist against the raw store. The members scan is
+    * pruned to probed cluster_id partitions at runtime — same dynamic
+    * partition pruning contract as IvfIndex.searchIndex, asserted in
+    * SimilaritySpec. `queries` is (query_id, qv: array<double>).
+    */
+  def searchPqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 4, shortlist: Int = 2048): DataFrame = {
+    import s.implicits._
+    val coarse = readCoarse(s, path)
+    val books = readBooks(s, path)
+    val members = s.read.parquet(path + "/members")
+      .select($"cluster_id", $"vec_id".as("neighbor_id"), $"code")
+    val raw = s.read.parquet(path + "/raw")
+      .select($"vec_id".as("neighbor_id"), $"nv")
+    adcTopK(probeCells(queries, coarse, nprobe), members, raw,
+      coarse, books, k, shortlist)
+  }
+
+  /** Append new vectors WITHOUT retraining: coarse-assign against the
+    * stored centroids and encode against the stored codebooks — both
+    * map-only passes over the delta — then land in the partitioned
+    * members layout plus the raw store. Immediately searchable;
+    * codebook drift is a rebuild decision, not an append-time cost
+    * (IvfIndex.appendVectors' contract).
+    */
+  def appendPqVectors(s: SparkSession, path: String,
+      newVectors: DataFrame): Unit = {
+    import s.implicits._
+    val coarse = readCoarse(s, path)
+    val books = readBooks(s, path)
+    val assigned = IvfIndex.assign(newVectors, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    encode(residuals(assigned, coarse), books)
+      .join(assigned.select($"vec_id", $"cluster_id"), "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster_id").parquet(path + "/members")
+    assigned.select($"vec_id", $"v".as("nv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(path + "/raw")
+    assigned.unpersist()
+    ()
   }
 }

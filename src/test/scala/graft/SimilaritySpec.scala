@@ -139,6 +139,45 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatched.isEmpty, "exact re-rank must agree with brute cosine")
   }
 
+  test("stored pq index: search is identical to the in-query s06 pipeline, " +
+      "prunes partitions, append is searchable without retraining") {
+    import graft.operators.PqIndex
+    import graft.functions.VectorFunctions.asDouble
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx_").toString
+    val emb = Tables.embeddings(spark, sf)
+    PqIndex.writePqIndex(emb, dir, m = 8, kCode = 16, iters = 2, coarseK = 8)
+
+    val queries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val stored = PqIndex.searchPqIndex(spark, dir, queries,
+      k = 5, nprobe = 2, shortlist = 256)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cluster_id in:\n${plan.take(2000)}")
+
+    // training is deterministic (seeds = first ids, fixed iters) and the
+    // ADC/re-rank core is SHARED code, so the stored path must equal the
+    // in-query pipeline row for row — recall parity by construction
+    val inQuery = graft.operators.PqIndex.knnPq(spark, sf, queryBound = 8,
+      k = 5, m = 8, kCode = 16, iters = 2, coarseK = 8, nprobe = 2,
+      shortlist = 256)
+    assert(stored.collect().toSeq == inQuery.collect().toSeq,
+      "stored-index search must be row-identical to in-query s06")
+
+    // delta append: exact copy of vector 3, no retrain, found at rank 1
+    val v3 = emb.filter($"vec_id" === 3).select($"embedding").head()
+      .getSeq[Float](0).toVector
+    PqIndex.appendPqVectors(spark, dir,
+      Seq((910001L, v3)).toDF("vec_id", "embedding"))
+    val q3 = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val top = PqIndex.searchPqIndex(spark, dir, q3, k = 1, nprobe = 2,
+      shortlist = 256)
+      .select($"neighbor_id", $"sim").head()
+    assert(top.getLong(0) == 910001L && top.getDouble(1) == 1.0,
+      s"planted exact copy must be rank 1 with sim 1.0: $top")
+  }
+
   test("stored ivf index: search reads only probed partitions (dynamic " +
       "pruning), delta append is searchable without retraining") {
     import graft.operators.IvfIndex

@@ -687,4 +687,54 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long, Double)].collect()
     assert(got.toSeq == again.toSeq)
   }
+
+  test("d18b near-dup stage: measured banding s-curve tracks 1-(1-j^4)^16") {
+    // The d18b scaladoc asserts candidate recall past the exact stage
+    // "follows this family's 16×4 s-curve". Measure it: plant PAIRS of
+    // passages at graded exact shingle-Jaccard and compare the fraction
+    // the 16-band × 4-row pipeline surfaces against the theoretical
+    // collision probability p(j) = 1 - (1 - j^4)^16.
+    //
+    // Construction: each pair shares a passage of L=42 pair-unique tokens;
+    // the B side replaces the last r tokens with fresh ones. Word-3-gram
+    // shingles: |A| = |B| = 40, shared = 40 - r, so j = (40-r)/(40+r)
+    // exactly — no sampling error on the x-axis. Pair-unique vocabularies
+    // keep cross-pair band-hash collisions at the 2^-64 floor.
+    val nPairs = 300
+    val levels = Seq(2, 5, 8, 12, 16) // j = 0.905, 0.778, 0.667, 0.538, 0.429
+    val docs = (for {
+      (r, li) <- levels.zipWithIndex
+      p <- 0 until nPairs
+    } yield {
+      val tag = s"l${li}p$p"
+      val toksA = (0 until 42).map(i => s"${tag}t$i")
+      val toksB = toksA.dropRight(r) ++ (0 until r).map(i => s"${tag}x$i")
+      val base = (li.toLong * nPairs + p) * 2
+      Seq((base, toksA.mkString(" ")), (base + 1, toksB.mkString(" ")))
+    }).flatten
+    val df = docs.toDF("doc_id", "text")
+    // minJaccard below every planted level: the verify stage must pass
+    // every CANDIDATE through, so found/planted measures banding alone.
+    val found = Dedup.minhashPairs(df, bands = 16, rows = 4, minJaccard = 0.01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => b == a + 1 && a % 2 == 0 }
+      .map(_._1 / (2L * nPairs)).groupBy(identity).view.mapValues(_.size).toMap
+    val report = levels.zipWithIndex.map { case (r, li) =>
+      val j = (40.0 - r) / (40.0 + r)
+      val theory = 1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+      val measured = found.getOrElse(li.toLong, 0).toDouble / nPairs
+      info(f"j=$j%.3f: measured $measured%.3f vs theory $theory%.3f (r=$r)")
+      (j, measured, theory)
+    }
+    report.foreach { case (j, measured, theory) =>
+      // 300 Bernoulli trials: stderr <= 0.029; 0.12 covers ~4 sigma plus
+      // the one-hash construction's deviation from ideal permutations.
+      assert(math.abs(measured - theory) <= 0.12,
+        f"s-curve off at j=$j%.3f: measured $measured%.3f, theory $theory%.3f")
+    }
+    // The curve must actually be an s-curve: monotone in j.
+    val ms = report.map(_._2)
+    assert(ms.zip(ms.tail).forall { case (hi, lo) => hi >= lo },
+      s"measured recall not monotone in j: $ms")
+  }
 }

@@ -18,6 +18,12 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Plan strings are diagnostics; the ~2 GB default means a deep
+      // composed DAG (p07: ~10 chained stages whose anti-join sides each
+      // re-render the parent's InMemoryRelation innerChildren) can spend
+      // MINUTES of driver CPU string-building before the first job. Cap
+      // it — SizeLimitedWriter aborts the tree walk at the limit.
+      .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.ui.enabled", "false")
 
   /** Session for local work with `cpus` cores; registers the graft SQL

@@ -27,10 +27,13 @@ object SparkEntry {
       operators.Apss.queries ++
       operators.Similarity.queries ++ operators.Graph.queries ++
       multimodal.Multimodal.queries ++
-      Map("p01_corpus_curate" -> ((s: SparkSession, d: String) =>
-        pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
-          .select("doc_id", "predicted_lang", "n_tokens", "fingerprint")
-          .orderBy("doc_id")))
+      Map(
+        "p01_corpus_curate" -> ((s: SparkSession, d: String) =>
+          pipeline.CorpusPipeline.curate(graft.Tables.documents(s, d))
+            .select("doc_id", "predicted_lang", "n_tokens", "fingerprint")
+            .orderBy("doc_id")),
+        "p07_curation_dag" -> ((s: SparkSession, d: String) =>
+          pipeline.CorpusPipeline.curationDag(s, d)))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =

@@ -679,6 +679,22 @@ object Dedup {
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame =
     semanticPairsFrom(semanticBucketed(s, dir, planes, dim), minCos, maxBucket)
 
+  /** Public core of the d11 pair stage over any (vec_id, v: array<double>)
+    * frame — p07's doc-granular semantic gate composes this over hashed
+    * doc vectors instead of the embeddings table. Same sign-partition
+    * bucket family, partial-agg eligibility rule, and within-bucket
+    * verify as d11; same persist lifecycle (caller clearCache()s).
+    */
+  def semanticPairsOf(vecs: DataFrame, planes: Int = 8, dim: Int = 64,
+      minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val bucketed = vecs.select($"vec_id", $"v")
+      .withColumn("bucket", signBucket($"v", planes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semanticPairsFrom(bucketed, minCos, maxBucket)
+  }
+
   /** Observability for d11's bucket cap (the minhash/simhash contract):
     * sign-partition buckets the pair stage prunes as oversized, with
     * populations. A legitimate giant semantic cluster (press-release

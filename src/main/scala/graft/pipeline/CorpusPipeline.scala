@@ -70,4 +70,236 @@ object CorpusPipeline {
 
   def run(s: SparkSession, dir: String): DataFrame =
     curate(Tables.documents(s, dir))
+
+  // ------------------------------------------------------------------
+  // p07: the full modern curation DAG — the FineWeb/Dolma production
+  // shape, chaining the §2 stages end-to-end with a per-stage kill-rate
+  // waterfall:
+  //   d01 exact → d18b segment near-dup → d02 MinHash near-dup →
+  //   d12-style semantic dedup → d16 decontaminate → t22 Gopher +
+  //   t20 classifier quality → t23 PII redact → p04 temperature mix →
+  //   p02 sequence pack → p06 epoch shuffle.
+  // Every stage is an existing operator's `...Of` core; this file only
+  // wires them and counts the waterfall.
+  // ------------------------------------------------------------------
+
+  /** Knobs for [[curateFull]]. Defaults fit the synthetic test corpus
+    * (docs of 10–99 words); a production run would retune the quality
+    * gates, not the shape.
+    */
+  case class FullConfig(
+      segWidth: Int = 10,
+      segKeptRatioMin: Double = 0.5,
+      nearDupJaccard: Double = 0.5,
+      nearDupBands: Int = 16,
+      nearDupRows: Int = 4,
+      maxBucket: Int = 64,
+      semPlanes: Int = 8,
+      semDim: Int = 64,
+      semMinCos: Double = 0.9,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopKinds: Int = 2,
+      minQualityProb: Double = 0.5,
+      mixAlpha: Double = 0.5,
+      mixBudget: Long = 100000L,
+      packBudget: Int = 512,
+      packShards: Int = 8,
+      epoch: Int = 1,
+      epochShards: Int = 16)
+
+  /** Everything [[curateFull]] produces: the curated doc set (with the
+    * PII-redacted text), the packed sequences, the epoch-1 schedule over
+    * those sequences, and the per-stage waterfall
+    * (stage_ord, stage, n_in, n_out, n_killed, kill_rate).
+    */
+  case class CurationResult(docs: DataFrame, packed: DataFrame,
+      schedule: DataFrame, waterfall: DataFrame)
+
+  /** Deterministic feature-hashed bag-of-words doc vectors (the hashing
+    * trick): token → one of `dim` buckets by xxhash64, ±1 sign by a
+    * second hash, summed per bucket. Cosine over these is unigram-
+    * distribution similarity — the doc-granular stand-in for a model
+    * embedding that keeps the semantic stage runnable (and bit-stable)
+    * on a text-only corpus. Two partial-aggregatable shuffles on doc_id;
+    * no window, no collect.
+    */
+  private[graft] def hashedDocVectors(docs: DataFrame, dim: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id",
+        pmod(xxhash64($"w"), lit(dim.toLong)).cast("int").as("j"),
+        when(pmod(xxhash64(concat($"w", lit("#sign"))), lit(2L)) === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
+      .groupBy($"doc_id", $"j").agg(sum($"sgn").as("x"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"j", $"x"))).as("m"))
+      .select($"doc_id".as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at($"m", j), lit(0.0))).as("v"))
+  }
+
+  /** The full curation DAG. `benchmark` is the held-out eval set the
+    * decontamination stage guards (any frame with a `text` column).
+    *
+    * Stage-by-stage scale shape (each is the already-audited §2
+    * operator): exact dedup is one shuffle on the content hash; segment
+    * near-dup is d18b's exact-first banding over segment digests;
+    * doc near-dup is d02's capped LSH; the semantic gate runs d11's
+    * bucket/verify over [[hashedDocVectors]]; decontamination is d16's
+    * Bloom pre-filter; both quality gates and the PII pass are map-only;
+    * the mixture stage applies p04's temperature weights as a hash-
+    * threshold Bernoulli downsample (p_i = min(1, budget·w_i/Z/n_i) —
+    * map-only against a broadcast |sources|-row table, NOT a per-source
+    * rank window, so no low-cardinality parallelism ceiling); packing
+    * and the epoch schedule are p02/p06 over the survivors.
+    *
+    * Kill-rate accounting: each doc-set stage persists its output and
+    * counts it once (the count doubles as the materialization the next
+    * stage reads). The pack row changes granularity — its n_out is
+    * SEQUENCES, not documents — and the PII row kills nothing by
+    * construction (it rewrites text). Caller owns the cache lifecycle
+    * (Bench/Verify clearCache() per the repo convention).
+    */
+  def curateFull(documents: DataFrame, benchmark: DataFrame,
+      cfg: FullConfig = FullConfig()): CurationResult = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    // Eager localCheckpoint between stages, not persist(): each stage's
+    // lineage collapses to a materialized-RDD leaf, so (a) downstream
+    // plans — whose dedup loser sides reference the parent 2–4× — stay
+    // O(stage) instead of compounding ~3× per stage (exponential plan
+    // trees stall the driver in Catalyst/plan-string work long before any
+    // task runs), and (b) a failed stage N retry re-reads stage N-1's
+    // blocks, not the whole upstream DAG. A production run on a real
+    // cluster would make the same cut reliably (checkpoint dir or an
+    // intermediate table per stage); the count() doubles as the stage's
+    // kill-rate measurement.
+    def staged(name: String, nIn: Long, df: DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
+      val p = df.localCheckpoint()
+      val n = p.count()
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      stages += ((name, nIn, n))
+      (p, n)
+    }
+
+    val raw = documents.select($"doc_id", $"source", $"text").localCheckpoint()
+    val nRaw = raw.count()
+    stages += (("p00_raw", nRaw, nRaw))
+
+    // d01: exact dedup, keep min doc_id per content hash.
+    val keeper = raw
+      .groupBy(sha2($"text", 256).as("_h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val (exact, nExact) =
+      staged("d01_exact", nRaw, raw.join(keeper, Seq("doc_id"), "left_semi"))
+
+    // d18b: drop docs that are mostly duplicated passages (kept_ratio
+    // below the floor) — the paragraph-dedup verdict applied doc-level.
+    val segKill = Dedup
+      .segmentNeardupFullOf(exact.select($"doc_id", $"text"), cfg.segWidth,
+        cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
+      .filter($"kept_ratio" < cfg.segKeptRatioMin)
+      .select($"doc_id")
+    val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
+      exact.join(segKill, Seq("doc_id"), "left_anti"))
+
+    // d02: whole-doc MinHash near-dup, greedy keep-first (drop doc_b).
+    val ndLosers = Dedup
+      .minhashPairs(afterSeg.select($"doc_id", $"text"), cfg.nearDupBands,
+        cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
+      .select($"doc_b".as("doc_id")).distinct()
+    val (afterNd, nNd) = staged("d02_minhash_neardup", nSeg,
+      afterSeg.join(ndLosers, Seq("doc_id"), "left_anti"))
+
+    // d12-style semantic gate over hashed doc vectors, keep-first.
+    val semLosers = Dedup
+      .semanticPairsOf(hashedDocVectors(afterNd, cfg.semDim), cfg.semPlanes,
+        cfg.semDim, cfg.semMinCos, maxBucket = 512)
+      .select($"vec_b".as("doc_id")).distinct()
+    val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
+      afterNd.join(semLosers, Seq("doc_id"), "left_anti"))
+
+    // d16: Bloom-gated decontamination against the benchmark.
+    val contaminated = DocumentPipeline
+      .decontaminateBloomAgainst(afterSem.select($"doc_id", $"text"), benchmark)
+      .filter($"contaminated").select($"doc_id")
+    val (afterDecon, nDecon) = staged("d16_decontaminate", nSem,
+      afterSem.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // t22 + t20: Gopher heuristics AND the hashed-unigram classifier.
+    val gopherKeep = DocumentPipeline
+      .gopherFilterOf(afterDecon, cfg.minWords, cfg.maxWords,
+        cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds)
+      .filter($"keep").select($"doc_id")
+    val clsKeep = DocumentPipeline.classifierQualityOf(afterDecon)
+      .filter($"quality_prob" >= cfg.minQualityProb).select($"doc_id")
+    val (afterQ, nQ) = staged("t22_t20_quality", nDecon,
+      afterDecon.join(gopherKeep, Seq("doc_id"), "left_semi")
+        .join(clsKeep, Seq("doc_id"), "left_semi"))
+
+    // t23: PII redaction — rewrites text, kills nothing.
+    val (afterPii, nPii) = staged("t23_pii_redact", nQ,
+      graft.operators.Redact.redactOf(afterQ, "text",
+          graft.operators.Redact.corpusRules)
+        .select($"doc_id", $"source", $"redacted".as("text")))
+
+    // p04: temperature mixture applied as a hash-threshold Bernoulli
+    // downsample at p_i = min(1, budget·n_i^α / Z / n_i).
+    val counts = afterPii.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow($"n_docs".cast("double"), lit(cfg.mixAlpha)))
+    val z = counts.agg(sum($"w").as("z"))
+    val pKeep = counts.crossJoin(z)
+      .select($"source",
+        least(lit(1.0), lit(cfg.mixBudget.toDouble) * $"w" / $"z" / $"n_docs")
+          .as("p_keep"))
+    val u = conv(substring(md5(concat_ws("@", lit("mix"), $"doc_id")), 1, 15),
+      16, 10).cast("double") / lit(math.pow(2.0, 60))
+    val (afterMix, nMix) = staged("p04_temperature_mix", nPii,
+      afterPii.join(broadcast(pKeep), Seq("source"))
+        .filter(u < $"p_keep").drop("p_keep"))
+
+    // p02: pack into fixed token-budget sequences (granularity change:
+    // n_out is sequences).
+    val (packed, nPacked) = staged("p02_sequence_pack", nMix,
+      DocumentPipeline.sequencePackOf(afterMix, cfg.packBudget,
+        cfg.packShards))
+
+    // p06: epoch schedule over the packed sequences.
+    val seqKeyed = packed
+      .select(concat_ws("/", $"source", $"seq_id").as("doc_id"))
+    val (schedule, _) = staged("p06_epoch_shuffle", nPacked,
+      DocumentPipeline.epochShuffleOf(seqKeyed, cfg.epoch, cfg.epochShards))
+
+    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut), i) =>
+      (i, name, nIn, nOut, nIn - nOut,
+        if (nIn == 0) 0.0
+        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6)
+    }
+    val waterfall = s.createDataFrame(wf)
+      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate")
+      .orderBy("stage_ord")
+    CurationResult(afterPii, packed, schedule, waterfall)
+  }
+
+  /** p07 `queries` entry: run [[curateFull]] over the dir's documents
+    * (benchmark = the d06/d16 doc_id < 5 convention) and return the
+    * waterfall. Rows-only in the driver gate (the DAG composes hash-
+    * seeded LSH stages); CorpusPipelineSpec pins stage semantics with
+    * planted kills.
+    */
+  def curationDag(s: SparkSession, dir: String,
+      cfg: FullConfig = FullConfig()): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    curateFull(docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5), cfg).waterfall
+  }
 }

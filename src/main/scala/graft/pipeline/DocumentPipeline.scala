@@ -1017,15 +1017,33 @@ object DocumentPipeline {
       estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame =
     decontaminateBloomOf(Tables.documents(s, dir), estimatedItems, numBits)
 
-  /** Core of [[decontaminateBloom]] over any (doc_id, text) frame. */
+  /** Core of [[decontaminateBloom]] over any (doc_id, text) frame:
+    * d16's doc_id < 5 benchmark convention routed through
+    * [[decontaminateBloomAgainst]].
+    */
   def decontaminateBloomOf(docs: DataFrame,
+      estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame =
+    decontaminateBloomAgainst(docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5), estimatedItems, numBits)
+
+  /** d16's Bloom-gated decontamination against an EXPLICIT benchmark
+    * frame (any frame with a `text` column) — p07's decontaminate stage
+    * composes this with a held-out eval set instead of the d16 demo's
+    * doc_id split. Same machinery: the benchmark's distinct shingles
+    * collapse into one driver-side Bloom sketch (bytes bounded by
+    * `numBits`, independent of corpus size) that pre-filters the probe
+    * side map-only; only sketch survivors reach the exact confirm
+    * semi-join, so the shuffle is contaminated-candidate-sized.
+    */
+  def decontaminateBloomAgainst(docs: DataFrame, benchmarkDocs: DataFrame,
       estimatedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sh = docs.select($"doc_id",
       explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
-    val benchmark = sh.filter($"doc_id" < 5)
-      .select($"shingle").distinct()
+    val benchmark = benchmarkDocs
+      .select(explode(graft.operators.Dedup.shingles($"text", 3)).as("shingle"))
+      .distinct()
     val bfRow = benchmark
       .agg(org.apache.spark.sql.graft.GraftFunctions
         .bloom_filter_agg(xxhash64($"shingle"), estimatedItems, numBits)
@@ -1038,7 +1056,7 @@ object DocumentPipeline {
         .agg(countDistinct($"shingle").as("n_overlapping_shingles"))
         .withColumn("contaminated", lit(false))
     val bloom = lit(bfRow.getAs[Array[Byte]]("bf"))
-    sh.filter($"doc_id" >= 5)
+    sh
       .filter(org.apache.spark.sql.graft.GraftFunctions
         .might_contain(bloom, xxhash64($"shingle")))
       .join(benchmark, Seq("shingle"), "left_semi")

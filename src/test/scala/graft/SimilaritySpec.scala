@@ -7,6 +7,26 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  /** True iff some parquet scan in the plan carries a runtime
+    * DynamicPruningExpression in its partitionFilters. Walks the TREE
+    * (descending into AQE's inner plan) rather than substring-matching
+    * plan.toString — the PQ search plan renders ~447k chars of codebook
+    * literals and spark.sql.maxPlanStringLength truncates the string
+    * before the dynamicpruning node ever prints.
+    */
+  private def hasDynamicPartitionPruning(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruning
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec    => Seq(s)
+    }.flatten
+    scans(plan).exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[DynamicPruning])))
+  }
+
   lazy val brute = Similarity.knnBrute(spark, sf)
     .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
   lazy val lsh = Similarity.knnLsh(spark, sf)
@@ -151,9 +171,9 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
     val stored = PqIndex.searchPqIndex(spark, dir, queries,
       k = 5, nprobe = 2, shortlist = 256)
-    val plan = stored.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"expected dynamic partition pruning on cluster_id in:\n${plan.take(2000)}")
+    assert(hasDynamicPartitionPruning(stored.queryExecution.executedPlan),
+      "expected a DynamicPruning partitionFilter on the member scan " +
+        s"(cluster_id):\n${stored.queryExecution.executedPlan.toString.take(2000)}")
 
     // training is deterministic (seeds = first ids, fixed iters) and the
     // ADC/re-rank core is SHARED code, so the stored path must equal the
@@ -191,9 +211,9 @@ class SimilaritySpec extends SparkSpec {
     val res = IvfIndex.searchIndex(spark, dir, queries, k = 5, nprobe = 2)
     // the probe equi-join on the partition column must prune partitions
     // at runtime, not scan the whole member table
-    val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"expected dynamic partition pruning on cluster_id in:\n${plan.take(2000)}")
+    assert(hasDynamicPartitionPruning(res.queryExecution.executedPlan),
+      "expected a DynamicPruning partitionFilter on the member scan " +
+        s"(cluster_id):\n${res.queryExecution.executedPlan.toString.take(2000)}")
     val rows = res.collect()
     assert(rows.length == 8 * 5, s"8 queries x 5: got ${rows.length}")
 

@@ -686,13 +686,22 @@ object Dedup {
     * verify as d11; same persist lifecycle (caller clearCache()s).
     */
   def semanticPairsOf(vecs: DataFrame, planes: Int = 8, dim: Int = 64,
-      minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+      minCos: Double = 0.3, maxBucket: Int = 512): DataFrame =
+    semanticPairsHandle(vecs, planes, dim, minCos, maxBucket)._1
+
+  /** [[semanticPairsOf]] plus the persisted bucketed frame, so a caller
+    * embedding this as one stage of a longer pipeline (p07) can
+    * unpersist it as soon as the stage's output is materialized instead
+    * of letting the cache live until the next clearCache().
+    */
+  def semanticPairsHandle(vecs: DataFrame, planes: Int = 8, dim: Int = 64,
+      minCos: Double = 0.3, maxBucket: Int = 512): (DataFrame, DataFrame) = {
     val s = vecs.sparkSession
     import s.implicits._
     val bucketed = vecs.select($"vec_id", $"v")
       .withColumn("bucket", signBucket($"v", planes, dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    semanticPairsFrom(bucketed, minCos, maxBucket)
+    (semanticPairsFrom(bucketed, minCos, maxBucket), bucketed)
   }
 
   /** Observability for d11's bucket cap (the minhash/simhash contract):
@@ -1899,6 +1908,106 @@ object Dedup {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_shingles")
     sh.unpersist()
+  }
+
+  /** Materialize a SEGMENT-granularity dedup index for [[segmentDelta]]
+    * probes — d18b's paragraph-dedup contract made incremental: the
+    * corpus's distinct segment KEEPERS (first occurrence per digest)
+    * stored three ways, all in probe-without-reshuffle bucketed layout:
+    *
+    *  - `<table>_segdigests`: md5 digests, bucketed by digest — the
+    *    exact-match fast path (verbatim boilerplate, d13's stage);
+    *  - `<table>_bands` / `<table>_shingles` (via [[writeDedupIndex]]
+    *    over keeper segments as pseudo-docs, ord as doc_id): the
+    *    minhash banding + shingle-verify path that catches EDITED
+    *    boilerplate — a header with a date swapped — which digests miss.
+    *
+    * Keeper-only indexing is the same exact-first discipline as
+    * [[segmentNeardupFull]]: hot verbatim mass collapses to one
+    * representative before banding, so it can never blow an LSH bucket.
+    */
+  def writeSegmentIndex(documents: DataFrame, table: String,
+      width: Int = 10, buckets: Int = 8, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = 64): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
+      .select($"ord", md5($"seg").as("h"), $"seg")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = segs
+      .join(segs.groupBy($"h").agg(min($"ord").as("ord")), Seq("ord", "h"))
+    keepers.select($"h")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(s"${table}_segdigests")
+    writeDedupIndex(keepers.select($"ord".as("doc_id"), $"seg".as("text")),
+      table, buckets, bands, rows, maxBucket)
+    segs.unpersist()
+    ()
+  }
+
+  /** Probe a delta batch of documents against a [[writeSegmentIndex]]
+    * keeper store: each delta segment is a dup if its digest is stored
+    * (exact) or [[dedupDelta]] finds a stored keeper at ≥ `minJaccard`
+    * (edited); the per-doc rollup is d18b's
+    * (doc_id, n_seg, n_fuzzy_dup, kept_ratio) contract, computed
+    * O(delta) — the corpus is never rescanned, both join sides land on
+    * the stored tables' bucketed layout.
+    *
+    * Intra-batch segment dups are NOT counted here (the stored index is
+    * the reference set); run [[segmentNeardupFullOf]] inside the batch
+    * first if within-batch boilerplate matters.
+    */
+  def segmentDelta(spark: SparkSession, table: String, delta: DataFrame,
+      width: Int = 10, bands: Int = 16, rows: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val segs = segmentFrame(delta.select($"doc_id", $"text"), width)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = segs.select($"ord", md5($"seg").as("h"))
+      .join(spark.table(s"${table}_segdigests"), Seq("h"), "left_semi")
+      .select($"ord")
+    val fuzzy = dedupDelta(spark, table,
+      segs.select($"ord".as("doc_id"), $"seg".as("text")),
+      bands, rows, minJaccard)
+      .select($"new_id".as("ord"))
+    val dupOrds = exact.unionByName(fuzzy).distinct()
+      .withColumn("is_dup", lit(1L))
+    segmentNeardupRollup(segs.select($"doc_id", $"ord"), dupOrds)
+  }
+
+  /** Grow a [[writeSegmentIndex]] store with a batch's NOVEL keeper
+    * segments (first occurrence within the batch, digest not already
+    * stored): digest rows + band/shingle rows append in the bucketed
+    * layout. Replayed appends leave duplicate rows — [[segmentDelta]]'s
+    * exact path is a semi-join (duplicate-insensitive) and its fuzzy
+    * path collapses duplicate candidates, so growth runs at-least-once.
+    */
+  def appendSegmentIndex(documents: DataFrame, table: String,
+      width: Int = 10, buckets: Int = 8, bands: Int = 16,
+      rows: Int = 4): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
+      .select($"ord", md5($"seg").as("h"), $"seg")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: novel's plan anti-joins the digest
+    // table, and the digest APPEND below comes before the band/shingle
+    // append reads novel again — a cache-miss recompute after the first
+    // write would see its own digests and silently append nothing.
+    // Checkpointing cuts the lineage so both writes read the same rows.
+    val novel = segs
+      .join(segs.groupBy($"h").agg(min($"ord").as("ord")), Seq("ord", "h"))
+      .join(s.table(s"${table}_segdigests"), Seq("h"), "left_anti")
+      .localCheckpoint()
+    novel.select($"h")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(s"${table}_segdigests")
+    appendDedupIndex(novel.select($"ord".as("doc_id"), $"seg".as("text")),
+      table, buckets, bands, rows)
+    segs.unpersist()
+    ()
   }
 
   /** Materialize a semantic dedup index for [[semanticDelta]] probes —

@@ -12,15 +12,24 @@ import graft.operators.Dedup
   *
   * Scale shape: the quality gate and annotations are map-only; exact dedup
   * is one shuffle on the content hash; near-dup removal reuses the
-  * MinHash-LSH candidate machinery and drops the higher doc_id of each
-  * confirmed pair (greedy keep-first, the standard corpus policy).
+  * MinHash-LSH candidate machinery and drops every doc that appears as
+  * the later element (doc_b) of a confirmed pair — stricter than
+  * connected-component canonical-pick on transitive chains, which is
+  * the conservative direction for a training corpus.
   */
 object CorpusPipeline {
 
   case class Config(
       minTokens: Int = 10,
       minStopwordRatio: Double = 0.0,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      // Star-link oversized LSH buckets against their min-id
+      // representative instead of dropping them (Dedup.minhashPairs
+      // oversizedLink). Default ON for curation: the SkewProbe measured
+      // drop mode passing 97% of a hot near-identical template family
+      // (144/5000 flagged) while star mode flags 5000/5000 AND runs
+      // faster (SURVEY §7.10) — exactly the mass curation exists to kill.
+      nearDupStarMode: Boolean = true)
 
   /** Returns the curated corpus with per-doc annotations. */
   def curate(documents: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -46,10 +55,14 @@ object CorpusPipeline {
     val exactDeduped = scored.join(keeper, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. near-dup removal: drop the larger id of each confirmed pair
+    // 3. near-dup removal: drop any doc appearing as the LATER element
+    // (doc_b) of a confirmed pair. On a transitive chain A~B, B~C with
+    // A≁C this also drops C (whose only match, B, was itself dropped) —
+    // stricter than connected-component canonical-pick, the conservative
+    // bias a training corpus wants (never keeps both ends of a chain).
     val nearDupLosers = Dedup
       .minhashPairs(exactDeduped.select($"doc_id", $"text"),
-        minJaccard = cfg.nearDupJaccard)
+        minJaccard = cfg.nearDupJaccard, oversizedLink = cfg.nearDupStarMode)
       .select($"doc_b".as("doc_id")).distinct()
     exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -94,9 +107,13 @@ object CorpusPipeline {
       nearDupBands: Int = 16,
       nearDupRows: Int = 4,
       maxBucket: Int = 64,
+      // see Config.nearDupStarMode — default ON for the same SkewProbe
+      // evidence (drop mode silently passes hot-template near-dup mass)
+      nearDupStarMode: Boolean = true,
       semPlanes: Int = 8,
       semDim: Int = 64,
       semMinCos: Double = 0.9,
+      semMaxBucket: Int = 512,
       minWords: Int = 20,
       maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0,
@@ -211,21 +228,31 @@ object CorpusPipeline {
     val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
       exact.join(segKill, Seq("doc_id"), "left_anti"))
 
-    // d02: whole-doc MinHash near-dup, greedy keep-first (drop doc_b).
+    // d02: whole-doc MinHash near-dup. Drops any doc appearing as the
+    // LATER element (doc_b) of a confirmed pair — on transitive chains
+    // this over-deletes relative to canonical-pick (see curate()), the
+    // conservative direction for a training corpus. Star mode pairs
+    // oversized-bucket members against the bucket representative so hot
+    // near-identical templates are flagged instead of silently passed.
     val ndLosers = Dedup
       .minhashPairs(afterSeg.select($"doc_id", $"text"), cfg.nearDupBands,
-        cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
+        cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard,
+        oversizedLink = cfg.nearDupStarMode)
       .select($"doc_b".as("doc_id")).distinct()
     val (afterNd, nNd) = staged("d02_minhash_neardup", nSeg,
       afterSeg.join(ndLosers, Seq("doc_id"), "left_anti"))
 
-    // d12-style semantic gate over hashed doc vectors, keep-first.
-    val semLosers = Dedup
-      .semanticPairsOf(hashedDocVectors(afterNd, cfg.semDim), cfg.semPlanes,
-        cfg.semDim, cfg.semMinCos, maxBucket = 512)
-      .select($"vec_b".as("doc_id")).distinct()
+    // d12-style semantic gate over hashed doc vectors; same
+    // drop-the-later-element policy as the d02 stage.
+    val (semPairs, semBucketed) = Dedup
+      .semanticPairsHandle(hashedDocVectors(afterNd, cfg.semDim),
+        cfg.semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
+    val semLosers = semPairs.select($"vec_b".as("doc_id")).distinct()
     val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
       afterNd.join(semLosers, Seq("doc_id"), "left_anti"))
+    // the staged() count above materialized the losers — the bucketed
+    // cache is dead weight from here on (Bench reps would stack copies)
+    semBucketed.unpersist()
 
     // d16: Bloom-gated decontamination against the benchmark.
     val contaminated = DocumentPipeline

@@ -194,6 +194,53 @@ object StreamingOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming SEGMENT near-dup gate — [[dedupStream]]'s contract at
+    * PARAGRAPH granularity (d18b made streaming): each micro-batch's
+    * docs are probed with `Dedup.segmentDelta` against the stored
+    * segment-keeper index; docs whose kept_ratio (fraction of segments
+    * with no stored exact-or-edited keeper match) falls below
+    * `segKeptRatioMin` are gated — the mostly-boilerplate arrivals a
+    * whole-doc gate dilutes below threshold — and survivors' NOVEL
+    * keeper segments grow the index so batch N+1's edited boilerplate
+    * is gated by batch N's keepers.
+    *
+    * Same idempotence story as dedupStream: probe-before-grow (a
+    * replayed batch's segments match themselves in the index → replayed
+    * docs gate out, never double-keep), marker-guarded index growth,
+    * at-least-once appends whose duplicate rows segmentDelta tolerates.
+    */
+  def segmentDedupStream(docs: DataFrame, indexTable: String,
+      storeDir: String, width: Int = 10, segKeptRatioMin: Double = 0.5,
+      minJaccard: Double = 0.5,
+      queryName: String = "graft_segment_gate",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bid = f"batch$batchId%06d"
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gated = graft.operators.Dedup
+          .segmentDelta(spark, indexTable, b, width, minJaccard = minJaccard)
+          .filter($"kept_ratio" < segKeptRatioMin)
+          .select($"doc_id")
+        val kept = b.join(gated, Seq("doc_id"), "left_anti")
+        graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
+        val marker = s"${storeDir}_idx_marked/$bid"
+        if (!pathExists(spark, marker) && !kept.isEmpty) {
+          graft.operators.Dedup.appendSegmentIndex(
+            kept.select($"doc_id", $"text"), indexTable, width)
+          touchMarker(spark, marker)
+        }
+        b.unpersist()
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Streaming SEMANTIC dedup gate — [[dedupStream]]'s contract for
     * embedding batches: each micro-batch is probed with
     * `Dedup.semanticDelta` against the stored bucket-partitioned vector

@@ -40,6 +40,148 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("kept_ratio") <= 1.0)
   }
 
+  // ------------------------------------------------------------------
+  // p07 curateFull: a planted corpus where every stage has a family only
+  // IT can kill, so each waterfall row's n_killed is pinned exactly.
+  //
+  // Geometry that keeps the plants orthogonal (all words distinct unless
+  // shared on purpose; a changed word mid-segment kills exactly 3 of the
+  // segment's 8 3-shingles → segment jaccard 5/11 ≈ 0.4545, while 3
+  // changes in a 30-word doc kill 9 of 28 → doc jaccard 19/37 ≈ 0.5135;
+  // threshold 0.48 separates them):
+  //   d01  exact dup            — identical text, later id dies
+  //   d18b segment near-dup     — 3 of 4 segments exact copies of an
+  //                               earlier doc → kept_ratio 0.25 < 0.5
+  //   d02  doc near-dup         — 1 word changed per segment: no exact
+  //                               segment match, segment verify 0.4545 <
+  //                               0.48 ≤ doc verify 0.5135
+  //   d02  hot template family  — 30 variants of one template (2 changed
+  //                               words each → jaccard vs template 22/34
+  //                               ≈ 0.647); with maxBucket=4 every
+  //                               template bucket is oversized, so ONLY
+  //                               star mode links them to the rep
+  //   d12  semantic             — word-REVERSED copy: identical bag of
+  //                               words (cos = 1.0) but ~zero shared
+  //                               3-shingles, invisible to d02/d18b
+  //   d16  contamination        — embeds one benchmark 3-gram verbatim
+  //   t22  quality              — 3 words < minWords = 5
+  //   t23  PII                  — email redacted, kill = 0 by contract
+  // ------------------------------------------------------------------
+
+  private def tk(i: Int): String = f"tk$i%04d"
+  private def words(from: Int, n: Int): Seq[String] = (from until from + n).map(tk)
+
+  private lazy val plantedDocs: Seq[(Long, String, String)] = {
+    val a1 = words(0, 30)
+    val k = words(30, 30)
+    val n1 = words(70, 30)
+    val n2 = n1.updated(4, tk(100)).updated(14, tk(101)).updated(24, tk(102))
+    val t = words(110, 30)
+    val variants = (0 until 30).map { i =>
+      (131L + i, t.updated(3, s"va${i}x").updated(13, s"vb${i}x"))
+    }
+    val m1 = words(300, 30)
+    // contamination trips at >= 3 overlapping shingles: embed the whole
+    // 5-word benchmark run (3 consecutive trigrams)
+    val c = words(330, 15).updated(5, "bmalpha").updated(6, "bmbravo")
+      .updated(7, "bmcharlie").updated(8, "bmdelta").updated(9, "bmecho")
+    val p = words(360, 10).updated(5, "alice@example.com")
+    val fillers = (0 until 10).map { i =>
+      (300L + i, words(400 + 25 * i, 25))
+    }
+    (Seq(
+      100L -> a1, 101L -> a1,
+      110L -> k, 111L -> (k ++ words(60, 10)),
+      120L -> n1, 121L -> n2,
+      130L -> t) ++ variants ++ Seq(
+      200L -> m1, 201L -> m1.reverse,
+      210L -> c, 220L -> words(350, 3), 230L -> p) ++ fillers)
+      .map { case (id, ws) =>
+        (id, if (id % 2 == 0) "web" else "books", ws.mkString(" ")) }
+  }
+
+  private lazy val benchmarkDf =
+    Seq((1L, "bmalpha bmbravo bmcharlie bmdelta bmecho"))
+      .toDF("doc_id", "text")
+
+  // semMinCos = 0.98: the reversed-doc plant sits at cos exactly 1.0;
+  // the template variants (28/30 shared words, cos ≈ 0.93) must NOT be
+  // caught semantically or the drop-mode contrast test would be masked
+  // by the downstream gate
+  private val p07Cfg = CorpusPipeline.FullConfig(
+    nearDupJaccard = 0.48, nearDupBands = 32, nearDupRows = 2,
+    maxBucket = 4, semMinCos = 0.98,
+    minWords = 5, minMeanWordLen = 0.0, maxMeanWordLen = 100.0,
+    minStopKinds = 0, minQualityProb = 0.0,
+    packBudget = 128, packShards = 4, epochShards = 4)
+
+  private def killsOf(wf: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    wf.select($"stage", $"n_killed").as[(String, Long)].collect().toMap
+
+  test("p07 waterfall: every stage kills exactly its planted family") {
+    val docs = plantedDocs.toDF("doc_id", "source", "text")
+    val r = CorpusPipeline.curateFull(docs, benchmarkDf, p07Cfg)
+    val kills = killsOf(r.waterfall)
+    assert(kills("p00_raw") == 0)
+    assert(kills("d01_exact") == 1, s"exact: ${kills("d01_exact")}")
+    assert(kills("d18_segment_neardup") == 1,
+      s"segment: ${kills("d18_segment_neardup")}")
+    // the near-dup pair's later half + all 30 template variants (star
+    // mode links oversized buckets to the min-id rep = the template)
+    assert(kills("d02_minhash_neardup") == 31,
+      s"minhash: ${kills("d02_minhash_neardup")}")
+    assert(kills("d12_semantic_dedup") == 1,
+      s"semantic: ${kills("d12_semantic_dedup")}")
+    assert(kills("d16_decontaminate") == 1,
+      s"decon: ${kills("d16_decontaminate")}")
+    assert(kills("t22_t20_quality") == 1,
+      s"quality: ${kills("t22_t20_quality")}")
+    assert(kills("t23_pii_redact") == 0, "PII rewrites, never kills")
+    assert(kills("p04_temperature_mix") == 0,
+      "budget >> corpus => p_keep = 1 for every source")
+
+    // survivor identity, not just counts
+    val kept = r.docs.select($"doc_id").as[Long].collect().toSet
+    val expected = Set(100L, 110L, 120L, 130L, 200L, 230L) ++
+      (300L until 310L).toSet
+    assert(kept == expected, s"survivors: ${kept.toSeq.sorted}")
+
+    // the PII stage rewrote the email in place
+    val pText = r.docs.filter($"doc_id" === 230L)
+      .select($"text").as[String].head()
+    assert(!pText.contains("alice@example.com") && pText.contains("tk0360"),
+      s"email must be redacted, rest intact: $pText")
+
+    // pack stage changes granularity: its n_out counts SEQUENCES and
+    // matches the packed frame; the epoch schedule covers every sequence
+    val wfRows = r.waterfall
+      .select($"stage", $"n_in", $"n_out").as[(String, Long, Long)]
+      .collect().map { case (st, i, o) => st -> ((i, o)) }.toMap
+    val (packIn, packOut) = wfRows("p02_sequence_pack")
+    assert(packIn == kept.size.toLong, "pack n_in counts surviving docs")
+    assert(packOut == r.packed.count() && packOut > 0 && packOut < packIn,
+      s"pack n_out counts sequences: $packOut")
+    assert(r.schedule.count() == packOut, "schedule covers every sequence")
+  }
+
+  test("p07 drop mode silently passes the hot template family star mode kills") {
+    val docs = plantedDocs.toDF("doc_id", "source", "text")
+    val r = CorpusPipeline.curateFull(docs, benchmarkDf,
+      p07Cfg.copy(nearDupStarMode = false))
+    val kills = killsOf(r.waterfall)
+    // the near-dup PAIR still dies (its bucket has 2 members, under the
+    // cap) but the 30 template variants live in oversized buckets drop
+    // mode discards — the exact leak the SkewProbe measured (SURVEY §7.10)
+    assert(kills("d02_minhash_neardup") >= 1 &&
+      kills("d02_minhash_neardup") <= 3,
+      s"drop mode should pass the template family: " +
+        s"${kills("d02_minhash_neardup")}")
+    val kept = r.docs.select($"doc_id").as[Long].collect().toSet
+    val survivingVariants = (131L until 161L).count(kept)
+    assert(survivingVariants >= 27,
+      s"expected the template family to leak through, $survivingVariants")
+  }
+
   test("curated corpus on test data removes the planted near-duplicates") {
     val docs = Tables.documents(spark, sf)
     val curated = CorpusPipeline.curate(docs)

@@ -88,6 +88,54 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming segment gate drops mostly-boilerplate docs via the growing keeper index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_segstream_").toString
+    Seq("bands", "shingles", "segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS segstream_idx_$t"))
+    // 10-word segments; editing the LAST word of a segment changes
+    // exactly one of its 8 3-shingles → jaccard 7/9 ≈ 0.78, a
+    // deterministic fuzzy match at the 0.5 verify threshold (an exact
+    // copy would be the digest path instead)
+    def seg(tag: String): Seq[String] = (0 until 10).map(j => s"$tag$j")
+    def edit(s: Seq[String], repl: String): Seq[String] =
+      s.init :+ repl
+    def doc(segs: Seq[Seq[String]]): String = segs.flatten.mkString(" ")
+    val boiler = seg("bo")
+    val seed = Seq(
+      0L -> doc(Seq(boiler, seg("s0a"), seg("s0b"), seg("s0c"))),
+      1L -> doc(Seq(seg("s1a"), seg("s1b"), seg("s1c"), seg("s1d"))))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSegmentIndex(seed, "segstream_idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.segmentDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "segstream_idx", s"$dir/store")
+    // batch 1: doc 100 is 3 EDITED copies of the seed boilerplate + one
+    // novel segment (kept_ratio 0.25 < 0.5 → gated by the SEED keepers);
+    // docs 101/102 are fully novel (pass, their segments grow the index)
+    mem.addData(
+      (100L, doc(Seq(edit(boiler, "xa"), edit(boiler, "xb"),
+        edit(boiler, "xc"), seg("n100")))),
+      (101L, doc(Seq(seg("c1"), seg("c2"), seg("c3"), seg("c4")))),
+      (102L, doc(Seq(seg("d1"), seg("d2"), seg("d3"), seg("d4")))))
+    q.processAllAvailable()
+    // batch 2: doc 200 is mostly EDITED copies of batch-1 doc 101's
+    // segments — only the GROWN index can gate it — plus a fresh doc
+    mem.addData(
+      (200L, doc(Seq(edit(seg("c1"), "ya"), edit(seg("c2"), "yb"),
+        edit(seg("c3"), "yc"), seg("n200")))),
+      (201L, doc(Seq(seg("e1"), seg("e2"), seg("e3"), seg("e4")))))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(101L, 102L, 201L),
+      s"kept $keptIds, want novel docs only (100 gated by seed keepers, " +
+        "200 by batch-1 growth)")
+    Seq("bands", "shingles", "segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS segstream_idx_$t"))
+    spark.catalog.clearCache()
+  }
+
   test("streaming semantic gate dedups vector arrivals against the growing index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sstream_").toString

@@ -1502,6 +1502,22 @@ object Dedup {
     val meta = segmentFrame(docs, width)
       .select($"doc_id", $"ord", md5($"seg").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    segmentNeardupRollup(meta,
+      segmentDupOrdsOf(docs, meta, width, bands, rows, maxBucket,
+        minJaccard).withColumn("is_dup", lit(1L)))
+  }
+
+  /** The flagged (ord) set behind [[segmentNeardupFullOf]] — exact-stage
+    * later occurrences plus near-dup later keepers — exposed so
+    * incremental pipelines can union WITHIN-batch dup ords with
+    * stored-index matches before a single rollup. `meta` is the
+    * (doc_id, ord, h=md5(seg)) digest frame over the same docs.
+    */
+  private[graft] def segmentDupOrdsOf(docs: DataFrame, meta: DataFrame,
+      width: Int, bands: Int, rows: Int, maxBucket: Int,
+      minJaccard: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
       .select($"ord")
     val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
@@ -1513,9 +1529,7 @@ object Dedup {
       // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
       // the later occurrence is the fuzzy dup, d13's keeper orientation
       .select($"doc_b".as("ord"))
-    val dupSegs = exactDups.unionByName(nearDups).distinct()
-      .withColumn("is_dup", lit(1L))
-    segmentNeardupRollup(meta, dupSegs)
+    exactDups.unionByName(nearDups).distinct()
   }
 
   /** Observability for [[segmentNeardupFull]]'s bucket cap: the keeper
@@ -1964,6 +1978,19 @@ object Dedup {
     import spark.implicits._
     val segs = segmentFrame(delta.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    segmentNeardupRollup(segs.select($"doc_id", $"ord"),
+      segmentDeltaOrds(spark, table, segs, bands, rows, minJaccard)
+        .withColumn("is_dup", lit(1L)))
+  }
+
+  /** The stored-index-matched (ord) set behind [[segmentDelta]], over an
+    * already-built [[segmentFrame]] — see [[segmentDupOrdsOf]] for why
+    * the ord set is exposed separately from the rollup.
+    */
+  private[graft] def segmentDeltaOrds(spark: SparkSession, table: String,
+      segs: DataFrame, bands: Int, rows: Int,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
     val exact = segs.select($"ord", md5($"seg").as("h"))
       .join(spark.table(s"${table}_segdigests"), Seq("h"), "left_semi")
       .select($"ord")
@@ -1971,9 +1998,30 @@ object Dedup {
       segs.select($"ord".as("doc_id"), $"seg".as("text")),
       bands, rows, minJaccard)
       .select($"new_id".as("ord"))
-    val dupOrds = exact.unionByName(fuzzy).distinct()
-      .withColumn("is_dup", lit(1L))
-    segmentNeardupRollup(segs.select($"doc_id", $"ord"), dupOrds)
+    exact.unionByName(fuzzy).distinct()
+  }
+
+  /** d18b's rollup for a delta batch against a [[writeSegmentIndex]]
+    * store, counting BOTH dup sources the batch form would see on the
+    * union corpus (stored corpus ords all precede delta ords): segments
+    * matching a stored keeper (exact digest or ≥ `minJaccard` edited,
+    * via [[segmentDeltaOrds]]) and within-batch later occurrences
+    * ([[segmentDupOrdsOf]]) — unioned BEFORE one rollup so a segment
+    * dup'd both ways counts once.
+    */
+  def segmentDeltaFull(spark: SparkSession, table: String, delta: DataFrame,
+      width: Int = 10, bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = delta.select($"doc_id", $"text")
+    val segs = segmentFrame(docs, width)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meta = segs.select($"doc_id", $"ord", md5($"seg").as("h"))
+    val within = segmentDupOrdsOf(docs, meta, width, bands, rows,
+      maxBucket, minJaccard)
+    val stored = segmentDeltaOrds(spark, table, segs, bands, rows, minJaccard)
+    segmentNeardupRollup(segs.select($"doc_id", $"ord"),
+      within.unionByName(stored).distinct().withColumn("is_dup", lit(1L)))
   }
 
   /** Grow a [[writeSegmentIndex]] store with a batch's NOVEL keeper

@@ -181,8 +181,23 @@ object CorpusPipeline {
     * construction (it rewrites text). Caller owns the cache lifecycle
     * (Bench/Verify clearCache() per the repo convention).
     */
+  /** With `stateTable = Some(t)`, [[curateFull]] also persists each
+    * dedup stage's reference state — the stage INPUTS, which is what a
+    * later [[curateDelta]] must compare against to reproduce the batch
+    * verdicts (a corpus doc killed by the quality gate still owned its
+    * content hash at the d01 stage):
+    *
+    *  - `<t>_docdigests`: sha2(text) of every raw doc (d01's input);
+    *  - `<t>_seg_{segdigests,bands,shingles}`: segment-keeper index
+    *    over the d01 survivors (d18b's input);
+    *  - `<t>_doc_{bands,shingles}`: doc minhash index over the
+    *    segment-stage survivors (d02's input);
+    *  - `<t>_sem_vecs`: hashed-BoW vectors of the d02 survivors
+    *    (d12's input), hyperplane-bucketed.
+    */
   def curateFull(documents: DataFrame, benchmark: DataFrame,
-      cfg: FullConfig = FullConfig()): CurationResult = {
+      cfg: FullConfig = FullConfig(),
+      stateTable: Option[String] = None): CurationResult = {
     val s = documents.sparkSession
     import s.implicits._
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
@@ -209,6 +224,12 @@ object CorpusPipeline {
     val raw = documents.select($"doc_id", $"source", $"text").localCheckpoint()
     val nRaw = raw.count()
     stages += (("p00_raw", nRaw, nRaw))
+    stateTable.foreach { t =>
+      raw.select(sha2($"text", 256).as("h"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(8, "h").sortBy("h")
+        .format("parquet").saveAsTable(s"${t}_docdigests")
+    }
 
     // d01: exact dedup, keep min doc_id per content hash.
     val keeper = raw
@@ -225,6 +246,10 @@ object CorpusPipeline {
         cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
       .filter($"kept_ratio" < cfg.segKeptRatioMin)
       .select($"doc_id")
+    stateTable.foreach(t => Dedup.writeSegmentIndex(
+      exact.select($"doc_id", $"text"), s"${t}_seg", cfg.segWidth,
+      bands = cfg.nearDupBands, rows = cfg.nearDupRows,
+      maxBucket = cfg.maxBucket))
     val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
       exact.join(segKill, Seq("doc_id"), "left_anti"))
 
@@ -239,6 +264,10 @@ object CorpusPipeline {
         cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard,
         oversizedLink = cfg.nearDupStarMode)
       .select($"doc_b".as("doc_id")).distinct()
+    stateTable.foreach(t => Dedup.writeDedupIndex(
+      afterSeg.select($"doc_id", $"text"), s"${t}_doc",
+      bands = cfg.nearDupBands, rows = cfg.nearDupRows,
+      maxBucket = cfg.maxBucket))
     val (afterNd, nNd) = staged("d02_minhash_neardup", nSeg,
       afterSeg.join(ndLosers, Seq("doc_id"), "left_anti"))
 
@@ -253,6 +282,10 @@ object CorpusPipeline {
     // the staged() count above materialized the losers — the bucketed
     // cache is dead weight from here on (Bench reps would stack copies)
     semBucketed.unpersist()
+    stateTable.foreach(t => Dedup.writeSemanticIndex(
+      hashedDocVectors(afterNd, cfg.semDim)
+        .select($"vec_id", $"v".as("embedding")),
+      s"${t}_sem", planes = cfg.semPlanes, maxBucket = cfg.semMaxBucket))
 
     // d16: Bloom-gated decontamination against the benchmark.
     val contaminated = DocumentPipeline
@@ -305,6 +338,165 @@ object CorpusPipeline {
       .select(concat_ws("/", $"source", $"seq_id").as("doc_id"))
     val (schedule, _) = staged("p06_epoch_shuffle", nPacked,
       DocumentPipeline.epochShuffleOf(seqKeyed, cfg.epoch, cfg.epochShards))
+
+    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut), i) =>
+      (i, name, nIn, nOut, nIn - nOut,
+        if (nIn == 0) 0.0
+        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6)
+    }
+    val waterfall = s.createDataFrame(wf)
+      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate")
+      .orderBy("stage_ord")
+    CurationResult(afterPii, packed, schedule, waterfall)
+  }
+
+  /** Incremental p07: run a delta batch through the FULL curation DAG
+    * against the state a prior `curateFull(…, stateTable = Some(t))`
+    * persisted, at O(delta) cost — the corpus is never rescanned; every
+    * stored side joins in its bucketed layout.
+    *
+    * Verdict parity with the batch run on the union corpus (delta ids
+    * above all corpus ids) holds stage by stage: d01 kills a delta doc
+    * iff its hash is stored (any raw corpus doc owned it) or an
+    * earlier delta doc owns it; d18b/d02/d12 union stored-keeper
+    * matches with within-delta flags — identical to the union run's
+    * earlier-partner rule — away from two documented divergences:
+    * LSH bucket caps are evaluated per side (a bucket straddling the
+    * cap only when corpus+delta combine behaves differently), and the
+    * p04 mixture recomputes p_keep from DELTA source counts (mixture
+    * is inherently a global decision; run it corpus-wide at remix
+    * time). Pack/schedule are per-run artifacts over the delta.
+    *
+    * With `growState` the stage stores absorb the delta afterwards
+    * (digests of all raw delta docs; segment/doc/semantic indexes from
+    * each stage's survivors — the same stage-input discipline as the
+    * initial write), so the next delta dedups against everything seen.
+    */
+  def curateDelta(delta: DataFrame, benchmark: DataFrame,
+      stateTable: String, cfg: FullConfig = FullConfig(),
+      growState: Boolean = false): CurationResult = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def staged(name: String, nIn: Long, df: DataFrame): (DataFrame, Long) = {
+      val p = df.localCheckpoint()
+      val n = p.count()
+      stages += ((name, nIn, n))
+      (p, n)
+    }
+
+    val raw = delta.select($"doc_id", $"source", $"text").localCheckpoint()
+    val nRaw = raw.count()
+    stages += (("p00_raw", nRaw, nRaw))
+
+    // d01: killed if the hash is stored OR an earlier delta doc owns it
+    val hashed = raw.select($"doc_id", sha2($"text", 256).as("h"))
+    val withinKeeper = hashed.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val storedHit = hashed
+      .join(s.table(s"${stateTable}_docdigests"), Seq("h"), "left_semi")
+      .select($"doc_id")
+    val (exact, nExact) = staged("d01_exact", nRaw,
+      raw.join(withinKeeper, Seq("doc_id"), "left_semi")
+        .join(storedHit, Seq("doc_id"), "left_anti"))
+
+    // d18b: stored-keeper ∪ within-delta segment dups, one rollup
+    val segKill = Dedup
+      .segmentDeltaFull(s, s"${stateTable}_seg",
+        exact.select($"doc_id", $"text"), cfg.segWidth, cfg.nearDupBands,
+        cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
+      .filter($"kept_ratio" < cfg.segKeptRatioMin)
+      .select($"doc_id")
+    val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
+      exact.join(segKill, Seq("doc_id"), "left_anti"))
+
+    // d02: stored-corpus matches (new_id is always the later element —
+    // corpus ids precede the delta's) ∪ within-delta pair losers
+    val ndLosers = Dedup
+      .dedupDelta(s, s"${stateTable}_doc",
+        afterSeg.select($"doc_id", $"text"), cfg.nearDupBands,
+        cfg.nearDupRows, cfg.nearDupJaccard)
+      .select($"new_id".as("doc_id"))
+      .unionByName(Dedup
+        .minhashPairs(afterSeg.select($"doc_id", $"text"), cfg.nearDupBands,
+          cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard,
+          oversizedLink = cfg.nearDupStarMode)
+        .select($"doc_b".as("doc_id")))
+      .distinct()
+    val (afterNd, nNd) = staged("d02_minhash_neardup", nSeg,
+      afterSeg.join(ndLosers, Seq("doc_id"), "left_anti"))
+
+    // d12: stored-vector matches ∪ within-delta pair losers
+    val vecs = hashedDocVectors(afterNd, cfg.semDim).localCheckpoint()
+    val (semPairs, semBucketed) = Dedup.semanticPairsHandle(vecs,
+      cfg.semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
+    val semLosers = Dedup
+      .semanticDelta(s, s"${stateTable}_sem",
+        vecs.select($"vec_id", $"v".as("embedding")),
+        planes = cfg.semPlanes, minCos = cfg.semMinCos)
+      .select($"new_id".as("doc_id"))
+      .unionByName(semPairs.select($"vec_b".as("doc_id")))
+      .distinct()
+    val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
+      afterNd.join(semLosers, Seq("doc_id"), "left_anti"))
+    semBucketed.unpersist()
+
+    // d16 → p06: stateless / per-run, identical to the batch form
+    val contaminated = DocumentPipeline
+      .decontaminateBloomAgainst(afterSem.select($"doc_id", $"text"), benchmark)
+      .filter($"contaminated").select($"doc_id")
+    val (afterDecon, nDecon) = staged("d16_decontaminate", nSem,
+      afterSem.join(contaminated, Seq("doc_id"), "left_anti"))
+    val gopherKeep = DocumentPipeline
+      .gopherFilterOf(afterDecon, cfg.minWords, cfg.maxWords,
+        cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds)
+      .filter($"keep").select($"doc_id")
+    val clsKeep = DocumentPipeline.classifierQualityOf(afterDecon)
+      .filter($"quality_prob" >= cfg.minQualityProb).select($"doc_id")
+    val (afterQ, nQ) = staged("t22_t20_quality", nDecon,
+      afterDecon.join(gopherKeep, Seq("doc_id"), "left_semi")
+        .join(clsKeep, Seq("doc_id"), "left_semi"))
+    val (afterPii, nPii) = staged("t23_pii_redact", nQ,
+      graft.operators.Redact.redactOf(afterQ, "text",
+          graft.operators.Redact.corpusRules)
+        .select($"doc_id", $"source", $"redacted".as("text")))
+    val counts = afterPii.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow($"n_docs".cast("double"), lit(cfg.mixAlpha)))
+    val z = counts.agg(sum($"w").as("z"))
+    val pKeep = counts.crossJoin(z)
+      .select($"source",
+        least(lit(1.0), lit(cfg.mixBudget.toDouble) * $"w" / $"z" / $"n_docs")
+          .as("p_keep"))
+    val u = conv(substring(md5(concat_ws("@", lit("mix"), $"doc_id")), 1, 15),
+      16, 10).cast("double") / lit(math.pow(2.0, 60))
+    val (afterMix, nMix) = staged("p04_temperature_mix", nPii,
+      afterPii.join(broadcast(pKeep), Seq("source"))
+        .filter(u < $"p_keep").drop("p_keep"))
+    val (packed, nPacked) = staged("p02_sequence_pack", nMix,
+      DocumentPipeline.sequencePackOf(afterMix, cfg.packBudget,
+        cfg.packShards))
+    val seqKeyed = packed
+      .select(concat_ws("/", $"source", $"seq_id").as("doc_id"))
+    val (schedule, _) = staged("p06_epoch_shuffle", nPacked,
+      DocumentPipeline.epochShuffleOf(seqKeyed, cfg.epoch, cfg.epochShards))
+
+    if (growState) {
+      raw.select(sha2($"text", 256).as("h"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, "h").sortBy("h")
+        .format("parquet").saveAsTable(s"${stateTable}_docdigests")
+      Dedup.appendSegmentIndex(exact.select($"doc_id", $"text"),
+        s"${stateTable}_seg", cfg.segWidth,
+        bands = cfg.nearDupBands, rows = cfg.nearDupRows)
+      Dedup.appendDedupIndex(afterSeg.select($"doc_id", $"text"),
+        s"${stateTable}_doc",
+        bands = cfg.nearDupBands, rows = cfg.nearDupRows)
+      Dedup.appendSemanticIndex(
+        hashedDocVectors(afterNd, cfg.semDim)
+          .select($"vec_id", $"v".as("embedding")),
+        s"${stateTable}_sem", planes = cfg.semPlanes)
+    }
 
     val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut), i) =>
       (i, name, nIn, nOut, nIn - nOut,

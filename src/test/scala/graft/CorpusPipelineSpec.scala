@@ -164,6 +164,92 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.schedule.count() == packOut, "schedule covers every sequence")
   }
 
+  test("p07 incremental: a delta probes the stored stage state, matches the " +
+      "union-batch verdicts, and growth gates the next delta") {
+    val stateTbls = Seq("docdigests", "seg_segdigests", "seg_bands",
+      "seg_shingles", "doc_bands", "doc_shingles", "sem_vecs")
+    stateTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS p07state_$t"))
+    val corpus = plantedDocs.toDF("doc_id", "source", "text")
+    val batch = CorpusPipeline.curateFull(corpus, benchmarkDf, p07Cfg,
+      stateTable = Some("p07state"))
+    val batchKept = batch.docs.select($"doc_id").as[Long].collect().toSet
+
+    // delta families, one per stage, against CORPUS state this time:
+    //   1000 exact copy of corpus doc 100 (even of a later-killed corpus
+    //        doc: 1001 copies doc 210, which d16 killed — its hash is
+    //        still d01 state); 1006 within-delta copy of 1005
+    //   1002 three exact segments of corpus doc 110 + one novel
+    //   1003 per-segment-edited near-dup of corpus doc 120 (different
+    //        positions than doc 121 used)
+    //   1004 pair-swapped permutation of doc 200's words: identical bag
+    //        of words (cos 1.0 vs the stored vector) but zero shared
+    //        3-shingles, so only the semantic stage can see it
+    //   1007 embedded benchmark run; 1008 under minWords; 1005/1009/1010 novel
+    val a1 = words(0, 30)
+    val k = words(30, 30)
+    val n1 = words(70, 30)
+    val m1 = words(300, 30)
+    def pairSwap(ws: Seq[String]): Seq[String] =
+      ws.grouped(2).flatMap(_.reverse).toSeq
+    val novel1005 = words(700, 25)
+    val delta = Seq(
+      1000L -> a1,
+      1001L -> plantedDocs.find(_._1 == 210L).get._3.split(" ").toSeq,
+      1002L -> (k ++ words(730, 10)),
+      1003L -> n1.updated(5, tk(740)).updated(15, tk(741)).updated(25, tk(742)),
+      1004L -> pairSwap(m1),
+      1005L -> novel1005,
+      1006L -> novel1005,
+      1007L -> words(750, 15).updated(5, "bmalpha").updated(6, "bmbravo")
+        .updated(7, "bmcharlie").updated(8, "bmdelta").updated(9, "bmecho"),
+      1008L -> words(770, 3),
+      1009L -> words(780, 25),
+      1010L -> words(810, 25))
+      .map { case (id, ws) =>
+        (id, if (id % 2 == 0) "web" else "books", ws.mkString(" ")) }
+    val deltaDf = delta.toDF("doc_id", "source", "text")
+
+    val inc = CorpusPipeline.curateDelta(deltaDf, benchmarkDf, "p07state",
+      p07Cfg, growState = true)
+    val kills = killsOf(inc.waterfall)
+    assert(kills("d01_exact") == 3, s"exact: ${kills("d01_exact")}")
+    assert(kills("d18_segment_neardup") == 1,
+      s"segment: ${kills("d18_segment_neardup")}")
+    assert(kills("d02_minhash_neardup") == 1,
+      s"minhash: ${kills("d02_minhash_neardup")}")
+    assert(kills("d12_semantic_dedup") == 1,
+      s"semantic: ${kills("d12_semantic_dedup")}")
+    assert(kills("d16_decontaminate") == 1,
+      s"decon: ${kills("d16_decontaminate")}")
+    assert(kills("t22_t20_quality") == 1,
+      s"quality: ${kills("t22_t20_quality")}")
+    val incKept = inc.docs.select($"doc_id").as[Long].collect().toSet
+    assert(incKept == Set(1005L, 1009L, 1010L), s"delta survivors: $incKept")
+
+    // verdict parity: the batch DAG over corpus ∪ delta must keep
+    // exactly the same delta docs (and leave corpus verdicts unchanged)
+    val union = CorpusPipeline.curateFull(
+      corpus.unionByName(deltaDf), benchmarkDf, p07Cfg)
+    val unionKept = union.docs.select($"doc_id").as[Long].collect().toSet
+    assert(unionKept.filter(_ >= 1000L) == incKept,
+      s"union-batch delta verdicts ${unionKept.filter(_ >= 1000L)} != " +
+        s"incremental $incKept")
+    assert(unionKept.filter(_ < 1000L) == batchKept,
+      "delta arrival must not change corpus verdicts (ids precede)")
+
+    // growth: a copy of delta-1's kept doc is now gated at the d01 stage
+    val delta2 = Seq((2000L, "web", novel1005.mkString(" ")),
+      (2001L, "books", words(840, 25).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val inc2 = CorpusPipeline.curateDelta(delta2, benchmarkDf, "p07state",
+      p07Cfg)
+    assert(killsOf(inc2.waterfall)("d01_exact") == 1,
+      "grown digest store must gate the copy of 1005")
+    assert(inc2.docs.select($"doc_id").as[Long].collect().toSet == Set(2001L))
+    stateTbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS p07state_$t"))
+    spark.catalog.clearCache()
+  }
+
   test("p07 drop mode silently passes the hot template family star mode kills") {
     val docs = plantedDocs.toDF("doc_id", "source", "text")
     val r = CorpusPipeline.curateFull(docs, benchmarkDf,

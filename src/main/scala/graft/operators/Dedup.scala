@@ -1360,6 +1360,208 @@ object Dedup {
        |FROM segh s JOIN keep k USING (h)
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
+  /** d19: EXACT SUBSTRING-SPAN dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * substring form) curation stage the fixed-segment family cannot
+    * express: any ≥ `k`-token run that appeared verbatim EARLIER in the
+    * corpus (any alignment, any earlier doc, or earlier in the same
+    * doc) is removed from the text, rather than voting on a whole
+    * fixed-width segment. d13/d18 only see width-aligned windows; d10
+    * masks hot n-grams by document frequency; this operator removes
+    * arbitrary-offset repeated SPANS exactly once-per-corpus.
+    *
+    * Pipeline (every step a shuffle-friendly relational op — the
+    * suffix-array construction the reference paper uses is a
+    * single-node algorithm; the distributed equivalent is positional
+    * k-gram fingerprints + interval algebra):
+    *  1. positional k-gram digests (doc_id, pos, md5 of the joined
+    *     k tokens) — md5-of-string keeps the whole operator
+    *     cross-engine checkable, the d02b/d13 portability pattern;
+    *  2. one partial-agg shuffle on the digest: keeper = min corpus ord
+    *     (doc_id<<32 | pos); every other occurrence of a shared gram
+    *     flags its k-token window (self-join-free: occurrence count ≥ 2
+    *     and ord ≠ keeper);
+    *  3. flagged windows merge into maximal spans per doc
+    *     (gaps-and-islands over a PER-DOC window — bounded by doc
+    *     length, never a global sort): a shared run of length L ≥ k
+    *     yields L-k+1 consecutive flagged positions that collapse into
+    *     one [s, e) span;
+    *  4. covered positions anti-join the token stream and the survivors
+    *     rebuild the cleaned text (position-sorted collect per doc).
+    *
+    * Scale shape: the gram shuffle carries (doc_id, pos, 16-byte
+    * digest) — ~n_tokens rows, the same order as the inverted-index/
+    * tf family; span merge is per-doc-bounded; the rebuild explode is
+    * ≤ corpus token count. The md5-of-joined-string gram costs
+    * O(k · n_tokens) hashed bytes — the price of the oracle; a
+    * production swap-in is a rolling xxhash64 over per-token hashes
+    * (O(n_tokens)), same plan shape, different digest column.
+    *
+    * Single pass by design: removing a later occurrence never changes
+    * the keeper's text, so no iteration is needed; overlapping shared
+    * runs merge into one span (removal, not per-gram masking).
+    */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    substringDedupOf(Tables.documents(s, dir), k)
+
+  /** Core of [[substringDedup]] over any (doc_id, text) frame. */
+  def substringDedupOf(documents: DataFrame, k: Int = 20): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = toks
+      .filter(size($"toks") >= k)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), (size($"toks") - lit(k)).cast("int")),
+        i => md5(array_join(slice($"toks", i + 1, lit(k)), " ")))))
+      .select($"doc_id", $"pos", $"col".as("h"))
+    val keepers = grams.groupBy($"h")
+      .agg(min(shiftleft($"doc_id", 32) + $"pos").as("keeper"),
+        count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"h", $"keeper")
+    val flagged = grams.join(keepers, Seq("h"))
+      .filter(shiftleft($"doc_id", 32) + $"pos" =!= $"keeper")
+      .select($"doc_id", $"pos")
+    substringCleanFromFlagged(toks, flagged, k)
+  }
+
+  /** d19b: [[substringDedupOf]]'s production form — positional k-gram
+    * fingerprints by POLYNOMIAL ROLLING HASH (RollingKgramHashes, a
+    * codegen'd single-pass expression: each token hashed once, O(1) per
+    * position) instead of md5 over every k-token window (O(k · n)
+    * hashed bytes — ~20× the work at k=20). Two independent 64-bit
+    * families pair into an effectively-128-bit gram key: this operator
+    * has no verify stage, and at 100 TB gram counts a single 64-bit
+    * key expects millions of birthday collisions, each a silent false
+    * span removal. Identical span semantics and output schema to d19 —
+    * DedupSpec asserts row-for-row equality on the test corpus.
+    */
+  def substringDedupFast(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    substringDedupFastOf(Tables.documents(s, dir), k)
+
+  /** Core of [[substringDedupFast]] over any (doc_id, text) frame. */
+  def substringDedupFastOf(documents: DataFrame, k: Int = 20): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rolling fingerprints return an EMPTY array for docs shorter than
+    // k, so the short-doc filter is implicit in the explode
+    val grams = documents.select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .rolling_kgram_hashes($"text", k, 17L).as("g1"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .rolling_kgram_hashes($"text", k, 29L).as("g2"))
+      .select($"doc_id", posexplode(arrays_zip($"g1", $"g2")))
+      .select($"doc_id", $"pos", $"col.g1".as("h1"), $"col.g2".as("h2"))
+    val keepers = grams.groupBy($"h1", $"h2")
+      .agg(min(shiftleft($"doc_id", 32) + $"pos").as("keeper"),
+        count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"h1", $"h2", $"keeper")
+    val flagged = grams.join(keepers, Seq("h1", "h2"))
+      .filter(shiftleft($"doc_id", 32) + $"pos" =!= $"keeper")
+      .select($"doc_id", $"pos")
+    substringCleanFromFlagged(toks, flagged, k)
+  }
+
+  /** Shared tail of the substring-dedup family: merge flagged k-windows
+    * into maximal spans (gaps-and-islands over a PER-DOC window), drop
+    * covered token positions, rebuild the cleaned text, emit per-doc
+    * stats + cleaned digest.
+    */
+  private def substringCleanFromFlagged(toks: DataFrame, flagged: DataFrame,
+      k: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = flagged
+      .withColumn("prev_end", max($"pos" + k)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when($"prev_end".isNull || $"pos" > $"prev_end", 1L).otherwise(0L))
+        .over(byPos))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), (max($"pos") + k).as("e"))
+    val spanStats = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s").as("n_removed"))
+    val covered = spans
+      .select($"doc_id", explode(sequence($"s", $"e" - 1)).as("pos"))
+    val rebuilt = toks
+      .select($"doc_id", posexplode($"toks"))
+      .select($"doc_id", $"pos", $"col".as("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"tok"))),
+        x => x.getField("tok")), " ").as("cleaned"))
+    toks.select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+      .join(spanStats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        md5(coalesce($"cleaned", lit(""))).as("cleaned_digest"))
+      .orderBy($"doc_id")
+  }
+
+  def substringDedupSql(k: Int = 20): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(range(len(toks) - $k + 1)) AS pos, toks
+       |  FROM d WHERE len(toks) >= $k),
+       |gh AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(toks[pos + 1 : pos + $k], ' ')) AS h
+       |  FROM g),
+       |keep AS (
+       |  SELECT h, min(doc_id * 4294967296 + pos) AS keeper
+       |  FROM gh GROUP BY h HAVING count(*) >= 2),
+       |f AS (
+       |  SELECT doc_id, pos FROM gh JOIN keep USING (h)
+       |  WHERE doc_id * 4294967296 + pos <> keeper),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM f),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM isl),
+       |sp AS (
+       |  SELECT doc_id, isl, min(pos) AS s, max(pos) + $k AS e
+       |  FROM isl2 GROUP BY doc_id, isl),
+       |st AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |    sum(e - s)::BIGINT AS n_removed
+       |  FROM sp GROUP BY doc_id),
+       |cov AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM sp),
+       |tp AS (
+       |  SELECT doc_id, unnest(range(len(toks))) AS pos, toks FROM d),
+       |tok AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+       |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |reb AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       |  coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(st.n_removed, 0)::BIGINT AS n_removed,
+       |  md5(coalesce(reb.cleaned, '')) AS cleaned_digest
+       |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN reb USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** d13's segmentation as a frame: (doc_id, ord, seg) where ord =
     * doc_id<<32 | position makes "earlier" a total corpus order
     * (bounds: doc_id < 2^31, < 2^32 segments/doc — ~40B tokens at
@@ -2156,6 +2358,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d18_segment_neardup" -> ((s: SparkSession, d: String) => segmentNeardup(s, d)),
+    "d19_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
+    "d19b_substring_fast" -> ((s: SparkSession, d: String) => substringDedupFast(s, d)),
     "d18b_segment_neardup_full" ->
       ((s: SparkSession, d: String) => segmentNeardupFull(s, d)),
     "d14_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
@@ -2182,6 +2386,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d13_segment_dedup" -> segmentDedupSql(),
     "d18_segment_neardup" -> segmentNeardupSql(),
+    "d19_substring_dedup" -> substringDedupSql(),
     "d14_dedup_incremental" -> dedupIncrementalSql(),
     "d15_source_overlap" -> sourceOverlapSql(idBound = 1500),
     "d01_dedup_exact" -> dedupExactSql,

@@ -226,6 +226,43 @@ object hashing {
     new GenericArrayData(trimmed)
   }
 
+  /** POSITIONAL k-gram fingerprints by polynomial rolling hash — the
+    * O(n_tokens) production family behind substring-span dedup (d19's
+    * md5-of-joined-window portable form hashes O(k · n_tokens) bytes;
+    * this hashes each token once and rolls). out(i) fingerprints tokens
+    * [i, i+k): H(i) = Σ_j h(i+j)·B^(k-1-j) over Z/2^64, updated in O(1)
+    * per position. `seed` derives both the per-token xxhash and the
+    * multiplier, so two calls with different seeds give INDEPENDENT
+    * 64-bit families — paired downstream into an effectively-128-bit
+    * key, because at corpus scale (10^13 grams) a single 64-bit family
+    * expects millions of birthday collisions and this operator has no
+    * verify stage to absorb a false merge.
+    */
+  def rollingKgramHashes(text: UTF8String, k: Int, seed: Long): ArrayData = {
+    val words = text.split(space, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hashUtf8(words(i), seed); i += 1 }
+    val b = mix64(seed) | 1L
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk *= b; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var acc = 0L
+    i = 0
+    while (i < k) { acc = acc * b + h(i); i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - k) {
+      acc = (acc - h(i - 1) * bk) * b + h(i + k - 1)
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two SORTED long arrays via a linear merge walk — no
     * per-pair hash-set build (what array_intersect does). The verify stage
     * of the dedup pipeline calls this once per candidate pair.
@@ -477,6 +514,22 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional rolling k-gram fingerprints (see
+  * hashing.rollingKgramHashes) — element i fingerprints tokens [i, i+k).
+  */
+case class RollingKgramHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.rollingKgramHashes(input.asInstanceOf[UTF8String], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.rollingKgramHashes($a, $k, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature from pre-hashed shingles (array<long>). */
 case class MinHashSigFromHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -669,6 +722,8 @@ object GraftFunctions {
     col(WinnowFingerprints(e(shingles), window))
   def word_shingle_hashes(text: Column, n: Int): Column =
     col(WordShingleHashes(e(text), n))
+  def rolling_kgram_hashes(text: Column, k: Int, seed: Long): Column =
+    col(RollingKgramHashes(e(text), k, seed))
   def minhash_sig_from_hashes(hashes: Column, k: Int = 64): Column =
     col(MinHashSigFromHashes(e(hashes), k))
   def sorted_intersection_size(a: Column, b: Column): Column =

@@ -737,4 +737,53 @@ class DedupSpec extends SparkSpec {
     assert(ms.zip(ms.tail).forall { case (hi, lo) => hi >= lo },
       s"measured recall not monotone in j: $ms")
   }
+
+  test("d19 substring dedup removes exactly the later copies of >=k-token runs") {
+    def w(tag: String, n: Int): Seq[String] = (0 until n).map(i => s"$tag$i")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = w("a", 40)                   // doc 1: the keeper
+    val shared = base.slice(5, 30)          // 25-token run
+    val doc2 = w("b", 10) ++ shared ++ w("c", 10)
+    val doc3 = w("d", 8) ++ shared ++ w("e", 8)
+    val blockB = w("f", 22)
+    val doc4 = blockB ++ w("g", 5) ++ blockB // within-doc repeat
+    val doc5 = w("h", 12) ++ base.slice(0, 19) ++ w("i", 3) // 19 < k: untouched
+    val doc6 = w("j", 10)                   // shorter than k: untouched
+    val docs = Seq(
+      1L -> base, 2L -> doc2, 3L -> doc3, 4L -> doc4, 5L -> doc5, 6L -> doc6)
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.substringDedupOf(docs, k = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    // keeper and sub-threshold docs untouched, digests = their own text
+    for ((id, ws) <- Seq(1L -> base, 5L -> doc5, 6L -> doc6)) {
+      val (_, spans, removed, dig) = out(id)
+      assert(spans == 0 && removed == 0, s"doc $id must be untouched")
+      assert(dig == md5hex(ws.mkString(" ")))
+    }
+    // docs 2 and 3: exactly the 25-token copied run removed, one span
+    assert(out(2L) == ((45L, 1L, 25L,
+      md5hex((w("b", 10) ++ w("c", 10)).mkString(" ")))))
+    assert(out(3L) == ((41L, 1L, 25L,
+      md5hex((w("d", 8) ++ w("e", 8)).mkString(" ")))))
+    // doc 4: the SECOND occurrence of its own 22-token block removed
+    assert(out(4L) == ((49L, 1L, 22L,
+      md5hex((blockB ++ w("g", 5)).mkString(" ")))))
+  }
+
+  test("d19b rolling-hash fast path is row-identical to the md5 form") {
+    val docs = Tables.documents(spark, sf)
+    val slow = operators.Dedup.substringDedupOf(docs).collect().toSeq
+    val fast = operators.Dedup.substringDedupFastOf(docs).collect().toSeq
+    assert(slow.nonEmpty && slow == fast,
+      s"fast path diverged: ${fast.diff(slow).take(3)} vs ${slow.diff(fast).take(3)}")
+    // the corpus has planted near-dup docs sharing long runs — the
+    // operator must actually fire on it, not just agree on no-ops
+    assert(slow.exists(_.getLong(2) > 0), "expected some spans removed")
+    spark.catalog.clearCache()
+  }
 }

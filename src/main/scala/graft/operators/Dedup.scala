@@ -1450,24 +1450,109 @@ object Dedup {
     val toks = documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rolling fingerprints return an EMPTY array for docs shorter than
-    // k, so the short-doc filter is implicit in the explode
-    val grams = documents.select($"doc_id",
+    substringCleanFromFlagged(toks, fastFlagged(fastGrams(documents, k)), k)
+  }
+
+  /** Positional rolling-fingerprint frame (doc_id, pos, h1, h2) of the
+    * fast substring family — two independent 64-bit families paired
+    * into the effectively-128-bit gram key (see [[substringDedupFast]]).
+    * Rolling fingerprints return an EMPTY array for docs shorter than
+    * k, so the short-doc filter is implicit in the explode.
+    */
+  private def fastGrams(documents: DataFrame, k: Int): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents.select($"doc_id",
         org.apache.spark.sql.graft.GraftFunctions
           .rolling_kgram_hashes($"text", k, 17L).as("g1"),
         org.apache.spark.sql.graft.GraftFunctions
           .rolling_kgram_hashes($"text", k, 29L).as("g2"))
       .select($"doc_id", posexplode(arrays_zip($"g1", $"g2")))
       .select($"doc_id", $"pos", $"col.g1".as("h1"), $"col.g2".as("h2"))
+  }
+
+  /** Non-keeper occurrences of shared grams: (doc_id, pos) windows to
+    * remove. One partial-agg shuffle (min-ord + count per gram — a hot
+    * verbatim gram's million occurrences partial-aggregate map-side,
+    * never a hot reducer) and one join back.
+    */
+  private def fastFlagged(grams: DataFrame): DataFrame = {
+    val s = grams.sparkSession
+    import s.implicits._
     val keepers = grams.groupBy($"h1", $"h2")
       .agg(min(shiftleft($"doc_id", 32) + $"pos").as("keeper"),
         count(lit(1)).as("n"))
       .filter($"n" >= 2)
       .select($"h1", $"h2", $"keeper")
-    val flagged = grams.join(keepers, Seq("h1", "h2"))
+    grams.join(keepers, Seq("h1", "h2"))
       .filter(shiftleft($"doc_id", 32) + $"pos" =!= $"keeper")
       .select($"doc_id", $"pos")
-    substringCleanFromFlagged(toks, flagged, k)
+  }
+
+  /** [[substringDedupFastOf]]'s REWRITE form: returns
+    * (doc_id, cleaned) — the text with every later copy of a ≥ k-token
+    * shared run removed — for pipeline composition (p07's optional
+    * substring stage), where the caller wants the text back, not the
+    * audit digest.
+    */
+  def substringRewriteOf(documents: DataFrame, k: Int = 20): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents.select($"doc_id", split($"text", " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    substringCleanCore(toks, fastFlagged(fastGrams(documents, k)), k)
+      .select($"doc_id", $"cleaned")
+  }
+
+  /** Materialize the gram store for [[substringRewriteDelta]] probes:
+    * the corpus's DISTINCT (h1, h2) fingerprints, bucketed so a delta
+    * semi-join lands on the stored layout without an exchange. Distinct
+    * is enough — a delta gram matching ANY corpus occurrence is a later
+    * copy by construction (corpus ords precede the delta's).
+    */
+  def writeSubstringIndex(documents: DataFrame, table: String,
+      k: Int = 20, buckets: Int = 8): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    fastGrams(documents, k).select($"h1", $"h2").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "h1", "h2").sortBy("h1", "h2")
+      .format("parquet").saveAsTable(s"${table}_grams")
+  }
+
+  /** Delta-batch substring rewrite against a [[writeSubstringIndex]]
+    * store: a delta window is removed if its gram is stored (some
+    * corpus doc owned it first) OR a within-delta earlier occurrence
+    * owns it — the union-batch rule at O(delta) cost.
+    */
+  def substringRewriteDelta(spark: SparkSession, table: String,
+      delta: DataFrame, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = delta.select($"doc_id", split($"text", " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = fastGrams(delta, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stored = grams
+      .join(spark.table(s"${table}_grams"), Seq("h1", "h2"), "left_semi")
+      .select($"doc_id", $"pos")
+    val flagged = stored.unionByName(fastFlagged(grams)).distinct()
+    val out = substringCleanCore(toks, flagged, k)
+      .select($"doc_id", $"cleaned")
+    grams.unpersist()
+    out
+  }
+
+  /** Grow a [[writeSubstringIndex]] store with a batch's grams
+    * (duplicates are harmless — the probe is a semi-join).
+    */
+  def appendSubstringIndex(documents: DataFrame, table: String,
+      k: Int = 20, buckets: Int = 8): Unit = {
+    val s = documents.sparkSession
+    import s.implicits._
+    fastGrams(documents, k).select($"h1", $"h2").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "h1", "h2").sortBy("h1", "h2")
+      .format("parquet").saveAsTable(s"${table}_grams")
   }
 
   /** Shared tail of the substring-dedup family: merge flagged k-windows
@@ -1476,6 +1561,20 @@ object Dedup {
     * stats + cleaned digest.
     */
   private def substringCleanFromFlagged(toks: DataFrame, flagged: DataFrame,
+      k: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    substringCleanCore(toks, flagged, k)
+      .select($"doc_id", $"n_tokens", $"n_spans", $"n_removed",
+        md5($"cleaned").as("cleaned_digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, n_tokens, n_spans, n_removed, cleaned) for every doc —
+    * cleaned text with flagged k-windows merged into maximal spans and
+    * removed (empty string for a fully-covered doc).
+    */
+  private def substringCleanCore(toks: DataFrame, flagged: DataFrame,
       k: Int): DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
@@ -1507,8 +1606,7 @@ object Dedup {
       .select($"doc_id", $"n_tokens",
         coalesce($"n_spans", lit(0L)).as("n_spans"),
         coalesce($"n_removed", lit(0L)).as("n_removed"),
-        md5(coalesce($"cleaned", lit(""))).as("cleaned_digest"))
-      .orderBy($"doc_id")
+        coalesce($"cleaned", lit("")).as("cleaned"))
   }
 
   def substringDedupSql(k: Int = 20): String =

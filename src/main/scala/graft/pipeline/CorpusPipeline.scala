@@ -101,6 +101,11 @@ object CorpusPipeline {
     * gates, not the shape.
     */
   case class FullConfig(
+      // Some(k): insert d19 between d01 and d18b — every later copy of
+      // a >= k-token verbatim run is REMOVED from the text (Lee et al.
+      // 2022 substring dedup; rewrites like t23, kills nothing itself —
+      // docs gutted below minWords die at the quality gate)
+      substringK: Option[Int] = None,
       segWidth: Int = 10,
       segKeptRatioMin: Double = 0.5,
       nearDupJaccard: Double = 0.5,
@@ -188,8 +193,10 @@ object CorpusPipeline {
     * content hash at the d01 stage):
     *
     *  - `<t>_docdigests`: sha2(text) of every raw doc (d01's input);
+    *  - `<t>_sub_grams` (when cfg.substringK is set): distinct rolling
+    *    k-gram fingerprints of the d01 survivors (d19's input);
     *  - `<t>_seg_{segdigests,bands,shingles}`: segment-keeper index
-    *    over the d01 survivors (d18b's input);
+    *    over the substring-stage output (d18b's input);
     *  - `<t>_doc_{bands,shingles}`: doc minhash index over the
     *    segment-stage survivors (d02's input);
     *  - `<t>_sem_vecs`: hashed-BoW vectors of the d02 survivors
@@ -239,19 +246,36 @@ object CorpusPipeline {
     val (exact, nExact) =
       staged("d01_exact", nRaw, raw.join(keeper, Seq("doc_id"), "left_semi"))
 
+    // d19 (optional): exact substring-span dedup — REWRITES text (later
+    // copies of >= k-token runs removed), kills nothing itself; the
+    // quality gate downstream owns gutted docs. All later stages read
+    // the cleaned text.
+    val (afterSub, nSub) = cfg.substringK match {
+      case None => (exact, nExact)
+      case Some(kk) =>
+        stateTable.foreach(t => Dedup.writeSubstringIndex(
+          exact.select($"doc_id", $"text"), s"${t}_sub", kk))
+        val rewritten = Dedup
+          .substringRewriteOf(exact.select($"doc_id", $"text"), kk)
+        staged("d19_substring_dedup", nExact,
+          exact.join(rewritten, Seq("doc_id"), "left")
+            .select($"doc_id", $"source",
+              coalesce($"cleaned", $"text").as("text")))
+    }
+
     // d18b: drop docs that are mostly duplicated passages (kept_ratio
     // below the floor) — the paragraph-dedup verdict applied doc-level.
     val segKill = Dedup
-      .segmentNeardupFullOf(exact.select($"doc_id", $"text"), cfg.segWidth,
+      .segmentNeardupFullOf(afterSub.select($"doc_id", $"text"), cfg.segWidth,
         cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
       .filter($"kept_ratio" < cfg.segKeptRatioMin)
       .select($"doc_id")
     stateTable.foreach(t => Dedup.writeSegmentIndex(
-      exact.select($"doc_id", $"text"), s"${t}_seg", cfg.segWidth,
+      afterSub.select($"doc_id", $"text"), s"${t}_seg", cfg.segWidth,
       bands = cfg.nearDupBands, rows = cfg.nearDupRows,
       maxBucket = cfg.maxBucket))
-    val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
-      exact.join(segKill, Seq("doc_id"), "left_anti"))
+    val (afterSeg, nSeg) = staged("d18_segment_neardup", nSub,
+      afterSub.join(segKill, Seq("doc_id"), "left_anti"))
 
     // d02: whole-doc MinHash near-dup. Drops any doc appearing as the
     // LATER element (doc_b) of a confirmed pair — on transitive chains
@@ -400,15 +424,27 @@ object CorpusPipeline {
       raw.join(withinKeeper, Seq("doc_id"), "left_semi")
         .join(storedHit, Seq("doc_id"), "left_anti"))
 
+    // d19 (optional): stored-gram ∪ within-delta window removal
+    val (afterSub, nSub) = cfg.substringK match {
+      case None => (exact, nExact)
+      case Some(kk) =>
+        val rewritten = Dedup.substringRewriteDelta(s, s"${stateTable}_sub",
+          exact.select($"doc_id", $"text"), kk)
+        staged("d19_substring_dedup", nExact,
+          exact.join(rewritten, Seq("doc_id"), "left")
+            .select($"doc_id", $"source",
+              coalesce($"cleaned", $"text").as("text")))
+    }
+
     // d18b: stored-keeper ∪ within-delta segment dups, one rollup
     val segKill = Dedup
       .segmentDeltaFull(s, s"${stateTable}_seg",
-        exact.select($"doc_id", $"text"), cfg.segWidth, cfg.nearDupBands,
+        afterSub.select($"doc_id", $"text"), cfg.segWidth, cfg.nearDupBands,
         cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
       .filter($"kept_ratio" < cfg.segKeptRatioMin)
       .select($"doc_id")
-    val (afterSeg, nSeg) = staged("d18_segment_neardup", nExact,
-      exact.join(segKill, Seq("doc_id"), "left_anti"))
+    val (afterSeg, nSeg) = staged("d18_segment_neardup", nSub,
+      afterSub.join(segKill, Seq("doc_id"), "left_anti"))
 
     // d02: stored-corpus matches (new_id is always the later element —
     // corpus ids precede the delta's) ∪ within-delta pair losers
@@ -486,7 +522,9 @@ object CorpusPipeline {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(8, "h").sortBy("h")
         .format("parquet").saveAsTable(s"${stateTable}_docdigests")
-      Dedup.appendSegmentIndex(exact.select($"doc_id", $"text"),
+      cfg.substringK.foreach(kk => Dedup.appendSubstringIndex(
+        exact.select($"doc_id", $"text"), s"${stateTable}_sub", kk))
+      Dedup.appendSegmentIndex(afterSub.select($"doc_id", $"text"),
         s"${stateTable}_seg", cfg.segWidth,
         bands = cfg.nearDupBands, rows = cfg.nearDupRows)
       Dedup.appendDedupIndex(afterSeg.select($"doc_id", $"text"),

@@ -250,6 +250,44 @@ class CorpusPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("p07 substring stage rewrites later copies of long runs, batch and delta") {
+    val tbls = Seq("docdigests", "sub_grams", "seg_segdigests", "seg_bands",
+      "seg_shingles", "doc_bands", "doc_shingles", "sem_vecs")
+    tbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS p07sub_$t"))
+    val run = words(900, 20) // the 20-token shared run
+    val a = run ++ words(920, 20)
+    val b = words(940, 3) ++ run ++ words(950, 17)
+    val corpus = Seq(3000L -> a, 3001L -> b,
+      3002L -> words(1000, 25), 3003L -> words(1030, 25))
+      .map { case (id, ws) => (id, "web", ws.mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val cfg = p07Cfg.copy(substringK = Some(20))
+    val r = CorpusPipeline.curateFull(corpus, benchmarkDf, cfg,
+      stateTable = Some("p07sub"))
+    val kills = killsOf(r.waterfall)
+    assert(kills.contains("d19_substring_dedup"), "stage must appear")
+    assert(kills("d19_substring_dedup") == 0, "d19 rewrites, never kills")
+    val texts = r.docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(texts(3000L) == a.mkString(" "), "keeper untouched")
+    assert(texts(3001L) == (words(940, 3) ++ words(950, 17)).mkString(" "),
+      s"later copy of the run must be removed: ${texts(3001L)}")
+    assert(texts.keySet == Set(3000L, 3001L, 3002L, 3003L))
+
+    // delta: a new doc carrying the same run is rewritten against the
+    // STORED gram index at O(delta)
+    val delta = Seq((3100L, "web",
+      (words(960, 5) ++ run ++ words(970, 15)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val inc = CorpusPipeline.curateDelta(delta, benchmarkDf, "p07sub", cfg)
+    val incText = inc.docs.filter($"doc_id" === 3100L)
+      .select($"text").as[String].head()
+    assert(incText == (words(960, 5) ++ words(970, 15)).mkString(" "),
+      s"stored grams must gate the delta's copy: $incText")
+    tbls.foreach(t => spark.sql(s"DROP TABLE IF EXISTS p07sub_$t"))
+    spark.catalog.clearCache()
+  }
+
   test("p07 drop mode silently passes the hot template family star mode kills") {
     val docs = plantedDocs.toDF("doc_id", "source", "text")
     val r = CorpusPipeline.curateFull(docs, benchmarkDf,

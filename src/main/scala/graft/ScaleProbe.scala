@@ -80,6 +80,30 @@ object ScaleProbe {
         big.select($"doc_id", $"text")).count()
     }
     isolate()
+    // d19b at scale: the ×N replica corpus is the ADVERSARIAL shape for
+    // positional gram dedup — every gram of every doc repeats N× (plus
+    // any true in-corpus repeats), so the keeper aggregation sees maximal
+    // duplicate mass. The claim under test: the (h1,h2) min/count is
+    // PARTIAL-aggregatable (hot verbatim grams combine map-side, no hot
+    // reducer), and replicas collapse to whole-doc spans. Ground truth on
+    // replicas: every non-first copy's text is one full-width span, so
+    // removed tokens ≈ (N-1)/N of all tokens in ≥k-token docs.
+    locally {
+      // timed run first (noop materializes the rebuild too — a stats-only
+      // agg would let Catalyst prune the cleaned-text column and
+      // under-measure); the stats pass after rides the persisted tokens
+      val t0 = System.nanoTime()
+      operators.Dedup.substringDedupFastOf(big.select($"doc_id", $"text"))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val res = operators.Dedup
+        .substringDedupFastOf(big.select($"doc_id", $"text"))
+        .agg(sum($"n_removed").as("rm"), sum($"n_tokens").as("tot"),
+          sum(when($"n_tokens" >= 20, $"n_tokens")).as("elig"))
+        .collect()(0)
+      println(f"""{"probe":"substring_fast_x$mult","sec":$sec%.2f,"removed_tokens":${res.getLong(0)},"eligible_tokens":${res.getLong(2)},"total_tokens":${res.getLong(1)}}""")
+    }
+    isolate()
     time(s"dedup_groups_x$mult") {
       operators.Dedup.dedupGroups(big.select($"doc_id", $"text")).count()
     }

@@ -241,6 +241,69 @@ object StreamingOps {
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming SUBSTRING-SPAN dedup — the rewrite member of the
+    * streaming dedup family (doc gate [[dedupStream]], paragraph gate
+    * [[segmentDedupStream]], vector gate [[semanticDedupStream]]):
+    * each micro-batch's docs are REWRITTEN via
+    * `Dedup.substringRewriteDelta` — every ≥ k-token run already owned
+    * by the stored gram index (or by an earlier occurrence within the
+    * batch) is stripped — then land in the store; their own grams grow
+    * the index (marker-guarded) so batch N+1's copies of batch N's text
+    * are stripped too. Docs are never dropped here; a downstream
+    * quality gate owns docs gutted below its floor.
+    *
+    * Idempotence: rewrite-before-grow means a REPLAYED batch's text
+    * would be stripped against its own grams — so unlike the gates,
+    * the store append must be once-per-batch-id:
+    * [[graft.sources.IncrementalIngest.appendBatch]]'s content-hash
+    * dedup cannot help (the replay's rewritten text differs), hence
+    * the same _SUCCESS-keyed write-once discipline as
+    * [[semanticDedupStream]]'s store landing.
+    */
+  def substringDedupStream(docs: DataFrame, indexTable: String,
+      storeDir: String, k: Int = 20,
+      queryName: String = "graft_substring_gate",
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bid = f"batch$batchId%06d"
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rewritten = graft.operators.Dedup
+          .substringRewriteDelta(spark, indexTable,
+            b.select($"doc_id", $"text"), k)
+        val cleaned = b.drop("text")
+          .join(rewritten.select($"doc_id", $"cleaned".as("text")),
+            Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!cleaned.isEmpty) {
+          val committed =
+            pathExists(spark, s"$storeDir/$bid.parquet/_SUCCESS")
+          if (!committed) {
+            cleaned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$storeDir/$bid.parquet")
+          }
+          val marker = s"${storeDir}_idx_marked/$bid"
+          if (!pathExists(spark, marker)) {
+            // grow from the ORIGINAL batch text: the keeper copy of a
+            // novel run survives the rewrite and must be indexed; using
+            // b (not cleaned) also keeps a replay's grams identical
+            graft.operators.Dedup.appendSubstringIndex(
+              b.select($"doc_id", $"text"), indexTable, k)
+            touchMarker(spark, marker)
+          }
+        }
+        cleaned.unpersist()
+        b.unpersist()
+        ()
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Streaming SEMANTIC dedup gate — [[dedupStream]]'s contract for
     * embedding batches: each micro-batch is probed with
     * `Dedup.semanticDelta` against the stored bucket-partitioned vector

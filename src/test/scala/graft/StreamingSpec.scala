@@ -136,6 +136,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming substring rewrite strips stored runs and grows the gram index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_substream_").toString
+    spark.sql("DROP TABLE IF EXISTS substream_idx_grams")
+    def ws(tag: String, n: Int): Seq[String] = (0 until n).map(i => s"$tag$i")
+    val runR = ws("rr", 20)
+    val runC = ws("cc", 20)
+    val seed = Seq(1L -> (runR ++ ws("s1", 10)).mkString(" "))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSubstringIndex(seed, "substream_idx", k = 20)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.substringDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "substream_idx", s"$dir/store",
+      k = 20)
+    // batch 1: doc 100 carries the SEED run (stripped on arrival);
+    // doc 101 introduces a novel run C (kept intact, grows the index)
+    mem.addData(
+      (100L, (ws("a", 4) ++ runR ++ ws("b", 6)).mkString(" ")),
+      (101L, (runC ++ ws("d", 8)).mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: doc 200 carries batch-1's run C — only the GROWN index
+    // can strip it; doc 201 is fresh
+    mem.addData(
+      (200L, (ws("e", 5) ++ runC ++ ws("f", 5)).mkString(" ")),
+      (201L, ws("g", 15).mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    val texts = spark.read.parquet(s"$dir/store/*.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts(100L) == (ws("a", 4) ++ ws("b", 6)).mkString(" "),
+      s"seed run must be stripped: ${texts(100L)}")
+    assert(texts(101L) == (runC ++ ws("d", 8)).mkString(" "),
+      "novel run's keeper copy stays intact")
+    assert(texts(200L) == (ws("e", 5) ++ ws("f", 5)).mkString(" "),
+      s"batch-1 growth must strip run C: ${texts(200L)}")
+    assert(texts(201L) == ws("g", 15).mkString(" "))
+    spark.sql("DROP TABLE IF EXISTS substream_idx_grams")
+    spark.catalog.clearCache()
+  }
+
   test("streaming semantic gate dedups vector arrivals against the growing index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sstream_").toString

@@ -143,4 +143,35 @@ class PropertySpec extends SparkSpec {
       qs.foreach(v => assert(v >= 0.0 && v <= 100.0))
     }
   }
+
+  test("rollingKgramHashes = direct polynomial over per-token hashes, " +
+      "position-faithful, window-local") {
+    val sample = Gen.zip(Gen.listOf(word), Gen.choose(1, 8),
+      Gen.choose(Long.MinValue, Long.MaxValue))
+    forAll(sample, n = 300) { case (toksRaw, k, seed) =>
+      // split(" ", -1) semantics: the empty text is ONE empty token
+      val toks = if (toksRaw.isEmpty) Seq("") else toksRaw
+      val t = UTF8String.fromString(toks.mkString(" "))
+      val got = hashing.rollingKgramHashes(t, k, seed).toLongArray()
+      val n = toks.length
+      if (n < k) assert(got.isEmpty)
+      else {
+        assert(got.length == n - k + 1)
+        // direct (non-rolling) evaluation of the same polynomial: the
+        // rolling update must be algebraically exact over Z/2^64
+        val b = hashing.mix64(seed) | 1L
+        val h = toks.map(w => hashing.hashUtf8(UTF8String.fromString(w), seed))
+        val direct = (0 to n - k).map { i =>
+          (i until i + k).foldLeft(0L)((acc, j) => acc * b + h(j))
+        }
+        assert(got.toSeq == direct,
+          s"rolling diverged from direct at k=$k, n=$n")
+        // window-locality: equal windows hash equal, regardless of
+        // position or surrounding context
+        for (i <- 0 to n - k; j <- (i + 1) to (n - k))
+          if (toks.slice(i, i + k) == toks.slice(j, j + k))
+            assert(got(i) == got(j))
+      }
+    }
+  }
 }

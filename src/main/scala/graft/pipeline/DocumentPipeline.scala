@@ -382,6 +382,84 @@ object DocumentPipeline {
       |FROM d
       |ORDER BY shard, pos""".stripMargin
 
+  /** p08: quality-banded CURRICULUM schedule — the anneal-phase data
+    * ordering (low-quality mass early, progressively higher-quality
+    * tiers as the epoch advances — the "quality curriculum" /
+    * mid-training anneal shape): docs split into `bands` tiers by
+    * exact score percentiles of t02's stopword-ratio quality signal,
+    * then deterministically shuffled WITHIN each band with p06's md5
+    * family keyed by (epoch, band, doc_id) — the whole schedule is a
+    * pure function of (epoch, corpus), crash-resumable exactly like
+    * p06 (rebuild, seek, continue).
+    *
+    * Scale shape: the score is map-only; band cutoffs are ONE
+    * ≤(bands-1)-value exact-percentile aggregate crossJoined back (the
+    * q26/t19 scalar-threshold pattern — percentile_approx at 100 TB,
+    * same plan); band assignment is map-side comparisons against the
+    * broadcast cutoffs; the only shuffle is the per-(band, shard)
+    * ordering window, which IS the sharded ordered write's work.
+    * Scores are 6-dp-rounded in both engines BEFORE the percentile so
+    * interpolated cutoffs never straddle an fp representation gap
+    * (t19's tie-break discipline).
+    */
+  def curriculumSchedule(s: SparkSession, dir: String, bands: Int = 4,
+      epoch: Int = 1, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", stopwordRatio($"text").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cutExprs = (1 until bands).map(i =>
+      expr(s"percentile(score, ${i.toDouble / bands})").as(s"c$i"))
+    val cuts = docs.agg(cutExprs.head, cutExprs.tail: _*)
+    val banded = docs.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        (1 until bands).map(i =>
+          when($"score" > col(s"c$i"), 1).otherwise(0)).reduce(_ + _) + 1)
+    val shard = pmod(conv(substring(
+        md5(concat_ws("#", lit(epoch), $"band", $"doc_id")), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong)).cast("int")
+    val ordKey = conv(substring(
+        md5(concat_ws(":", lit(epoch), $"band", $"doc_id")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"shard").orderBy($"ord_key", $"doc_id")
+    banded
+      .select($"doc_id", $"score", $"band",
+        shard.as("shard"), ordKey.as("ord_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"score", $"band", $"shard", $"pos")
+      .orderBy($"band", $"shard", $"pos", $"doc_id")
+  }
+
+  val curriculumScheduleSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id,
+      |    round(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) * 1.0 /
+      |          len(regexp_split_to_array(text, '\s+')), 6) AS score
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT quantile_cont(score, 0.25) AS c1,
+      |    quantile_cont(score, 0.5) AS c2,
+      |    quantile_cont(score, 0.75) AS c3
+      |  FROM sc),
+      |b AS (
+      |  SELECT doc_id, score,
+      |    1 + (score > c1)::INT + (score > c2)::INT + (score > c3)::INT
+      |      AS band
+      |  FROM sc CROSS JOIN cuts),
+      |k AS (
+      |  SELECT doc_id, score, band,
+      |    (('0x' || substring(md5('1#' || band || '#' || doc_id), 1, 15))::BIGINT
+      |      % 8)::INT AS shard,
+      |    ('0x' || substring(md5('1:' || band || ':' || doc_id), 1, 15))::BIGINT
+      |      AS ord_key
+      |  FROM b)
+      |SELECT doc_id, score, band, shard,
+      |  row_number() OVER (PARTITION BY band, shard
+      |    ORDER BY ord_key, doc_id) AS pos
+      |FROM k
+      |ORDER BY band, shard, pos, doc_id""".stripMargin
+
   /** Write epoch-`epoch`'s order as shard-partitioned parquet, sorted by
     * the order key within each shard — the layout a data loader streams
     * sequentially. One shuffle (shard repartition), shard-local sorts.
@@ -1761,6 +1839,8 @@ object DocumentPipeline {
     "p03_stratified_split" -> stratifiedSplit _,
     "p06_epoch_shuffle" ->
       ((s: SparkSession, d: String) => epochShuffle(s, d)),
+    "p08_curriculum" ->
+      ((s: SparkSession, d: String) => curriculumSchedule(s, d)),
     "p04_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "p05_importance_resample" ->
       ((s: SparkSession, d: String) => importanceResample(s, d)),
@@ -1803,6 +1883,7 @@ object DocumentPipeline {
     "t18_pmi_cooccur" -> pmiCooccurSql,
     "p03_stratified_split" -> stratifiedSplitSql,
     "p06_epoch_shuffle" -> epochShuffleSql,
+    "p08_curriculum" -> curriculumScheduleSql,
     "p04_temperature_mix" -> temperatureMixSql,
     "p05_importance_resample" -> importanceResampleSql,
     "t19_ccnet_buckets" -> ccnetBucketsSql,

@@ -37,6 +37,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("substring dedup on empty and sub-k input degrades gracefully") {
+    assert(operators.Dedup.substringDedupOf(emptyDocs).count() == 0)
+    assert(operators.Dedup.substringDedupFastOf(emptyDocs).count() == 0)
+    // every doc shorter than k: nothing flagged, text round-trips
+    val short = Seq((1L, "alpha beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.substringDedupFastOf(short, k = 20)
+      .select($"doc_id", $"n_spans").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+    assert(operators.Dedup.substringRewriteOf(short, k = 20)
+      .select($"cleaned").as[String].collect().toSet == Set("alpha beta"))
+  }
+
   test("sequence packing of an empty corpus is empty") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
     assert(pipeline.DocumentPipeline.sequencePackOf(empty).count() == 0)

@@ -70,6 +70,39 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("p08: curriculum bands are quality-monotone, cover every doc, and " +
+      "the within-band order is a pure function of (epoch, corpus)") {
+    val docs = Tables.documents(spark, sf)
+    def sched(epoch: Int) = DocumentPipeline
+      .curriculumSchedule(spark, sf, bands = 4, epoch = epoch)
+      .select($"doc_id", $"score", $"band", $"shard", $"pos")
+      .as[(Long, Double, Int, Int, Long)].collect().toSeq
+    val s1 = sched(1)
+    assert(s1.map(_._1).distinct.size == docs.count(),
+      "every doc scheduled exactly once")
+    assert(sched(1) == s1, "schedule must be a pure function")
+    // banding is by score thresholds: band i's max score can never
+    // exceed band i+1's min score
+    val byBand = s1.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBand.keySet == Set(1, 2, 3, 4), s"bands: ${byBand.keySet}")
+    for (b <- 1 to 3)
+      assert(byBand(b).max <= byBand(b + 1).min,
+        s"band $b max ${byBand(b).max} > band ${b + 1} min ${byBand(b + 1).min}")
+    // epoch changes the within-band order but never the banding
+    val s2 = sched(2)
+    assert(s1.map(t => t._1 -> t._3).toMap == s2.map(t => t._1 -> t._3).toMap,
+      "bands are epoch-independent")
+    val moved = s1.map(t => (t._1, t._4, t._5)).toSet
+      .diff(s2.map(t => (t._1, t._4, t._5)).toSet).size
+    assert(moved > s1.size / 2,
+      s"epochs must reshuffle within bands: only $moved moved")
+    // positions dense 1..n within every (band, shard)
+    s1.groupBy(t => (t._3, t._4)).foreach { case (g, rows) =>
+      assert(rows.map(_._5).sorted == (1L to rows.size).toSeq,
+        s"positions not dense in $g")
+    }
+  }
+
   test("p06: epoch order is a pure function — rerun identical, epochs " +
       "independent, every doc ordered exactly once") {
     val docs = Tables.documents(spark, sf)

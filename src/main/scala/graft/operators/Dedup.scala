@@ -1409,8 +1409,10 @@ object Dedup {
     val s = documents.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // null text → empty doc, not a null-propagating row (a scraped
+    // corpus always carries some)
     val toks = documents
-      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = toks
       .filter(size($"toks") >= k)
@@ -1448,7 +1450,7 @@ object Dedup {
     val s = documents.sparkSession
     import s.implicits._
     val toks = documents
-      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     substringCleanFromFlagged(toks, fastFlagged(fastGrams(documents, k)), k)
   }
@@ -1498,7 +1500,8 @@ object Dedup {
   def substringRewriteOf(documents: DataFrame, k: Int = 20): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val toks = documents.select($"doc_id", split($"text", " ").as("toks"))
+    val toks = documents
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     substringCleanCore(toks, fastFlagged(fastGrams(documents, k)), k)
       .select($"doc_id", $"cleaned")
@@ -1528,7 +1531,8 @@ object Dedup {
   def substringRewriteDelta(spark: SparkSession, table: String,
       delta: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val toks = delta.select($"doc_id", split($"text", " ").as("toks"))
+    val toks = delta
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = fastGrams(delta, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -48,6 +48,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 0L))
     assert(operators.Dedup.substringRewriteOf(short, k = 20)
       .select($"cleaned").as[String].collect().toSet == Set("alpha beta"))
+    // null text rows are routine in a scraped corpus: treated as empty
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val n = operators.Dedup.substringDedupFastOf(withNull, k = 20)
+      .select($"doc_id", $"n_spans").as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 0L, 2L -> 0L))
   }
 
   test("sequence packing of an empty corpus is empty") {

@@ -786,23 +786,27 @@ object Dedup {
       .filter($"bn" <= maxBucket)
       .select($"bucket")
     val home = probed.join(broadcast(eligible), Seq("bucket"))
-      .select($"bucket", $"vec_id".as("vec_a"), $"v".as("va"))
+      .select($"bucket", $"vec_id".as("vec_a"))
     val probe = probed
-      .select($"vec_id".as("vec_b"), $"v".as("vb"), explode($"probes").as("bucket"))
+      .select($"vec_id".as("vec_b"), explode($"probes").as("bucket"))
       .join(broadcast(eligible), Seq("bucket"))
-    home.join(probe, Seq("bucket"))
+    // Candidates travel as BARE ID PAIRS: on a clustered corpus the
+    // candidate set is orders of magnitude larger than the vector table
+    // (sf1 measured ~4M pairs from 20k vectors), so canonicalize +
+    // dropDuplicates on 16-byte rows and join the vectors back for the
+    // verify — the id-first-then-join-back discipline minhashPairs'
+    // shingle verify already follows. The previous form shipped BOTH
+    // 64-double vectors through the dedup shuffle: 4.55 GB at sf1 vs
+    // candidate-pair-sized now.
+    val cand = home.join(probe, Seq("bucket"))
       .filter($"vec_a" =!= $"vec_b")
-      // canonicalize (id order) BEFORE dedup so each candidate pair is
-      // cosine-verified once, however many probe routes found it
-      .select(
-        when($"vec_a" < $"vec_b",
-          struct($"vec_a".as("a"), $"vec_b".as("b"), $"va".as("x"), $"vb".as("y")))
-        .otherwise(
-          struct($"vec_b".as("a"), $"vec_a".as("b"), $"vb".as("x"), $"va".as("y")))
-        .as("pr"))
-      .select($"pr.a".as("vec_a"), $"pr.b".as("vec_b"),
-        $"pr.x".as("va"), $"pr.y".as("vb"))
+      .select(least($"vec_a", $"vec_b").as("vec_a"),
+        greatest($"vec_a", $"vec_b").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val vecs = probed.select($"vec_id", $"v")
+    cand
+      .join(vecs.select($"vec_id".as("vec_a"), $"v".as("va")), Seq("vec_a"))
+      .join(vecs.select($"vec_id".as("vec_b"), $"v".as("vb")), Seq("vec_b"))
       .withColumn("cos", round(cosine($"va", $"vb"), 6))
       .filter($"cos" >= minCos)
       .select($"vec_a", $"vec_b", $"cos")

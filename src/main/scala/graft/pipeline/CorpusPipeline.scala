@@ -204,7 +204,12 @@ object CorpusPipeline {
     */
   def curateFull(documents: DataFrame, benchmark: DataFrame,
       cfg: FullConfig = FullConfig(),
-      stateTable: Option[String] = None): CurationResult = {
+      stateTable: Option[String] = None,
+      // invoked with (stage name, stage output frame) BEFORE the stage
+      // materializes — lets Plans dump every stage's physical plan
+      // without re-running the pipeline (p07's queries entry is eager by
+      // design; this is the plan-review hook for its internals)
+      planHook: Option[(String, DataFrame) => Unit] = None): CurationResult = {
     val s = documents.sparkSession
     import s.implicits._
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
@@ -219,6 +224,7 @@ object CorpusPipeline {
     // intermediate table per stage); the count() doubles as the stage's
     // kill-rate measurement.
     def staged(name: String, nIn: Long, df: DataFrame): (DataFrame, Long) = {
+      planHook.foreach(h => h(name, df))
       val t0 = System.nanoTime()
       val p = df.localCheckpoint()
       val n = p.count()

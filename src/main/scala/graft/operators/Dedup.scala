@@ -1550,6 +1550,37 @@ object Dedup {
     out
   }
 
+  /** Observability for the substring-dedup family (the
+    * minhashDroppedBuckets contract): the `topN` most-repeated k-gram
+    * windows with their occurrence counts and the keeper's text — what
+    * mass the operator is actually removing. A license header repeated
+    * 100k× surfaces here as one row with n_occurrences = 100k; a
+    * surprising top entry is the first thing to eyeball after a big
+    * kill-rate jump. Count aggregation is partial (map-side combine on
+    * the gram key); only the topN keeper rows ever join back to text.
+    */
+  def substringHotSpans(documents: DataFrame, k: Int = 20,
+      topN: Int = 20): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val grams = fastGrams(documents, k)
+    val top = grams.groupBy($"h1", $"h2")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(shiftleft($"doc_id", 32) + $"pos").as("keeper"))
+      .filter($"n_occurrences" >= 2)
+      .orderBy($"n_occurrences".desc, $"keeper")
+      .limit(topN)
+      .select($"n_occurrences",
+        shiftright($"keeper", 32).as("keeper_doc"),
+        $"keeper".bitwiseAND((1L << 32) - 1).as("keeper_pos"))
+    top.join(documents.select($"doc_id".as("keeper_doc"), $"text"),
+        Seq("keeper_doc"))
+      .select($"n_occurrences", $"keeper_doc", $"keeper_pos",
+        array_join(slice(split(coalesce($"text", lit("")), " "),
+          ($"keeper_pos" + 1).cast("int"), lit(k)), " ").as("span_text"))
+      .orderBy($"n_occurrences".desc, $"keeper_doc", $"keeper_pos")
+  }
+
   /** Grow a [[writeSubstringIndex]] store with a batch's grams
     * (duplicates are harmless — the probe is a semi-join).
     */

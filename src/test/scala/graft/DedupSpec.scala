@@ -775,6 +775,35 @@ class DedupSpec extends SparkSpec {
       md5hex((blockB ++ w("g", 5)).mkString(" ")))))
   }
 
+  test("substringHotSpans surfaces the hottest repeated run with its keeper text") {
+    def w(tag: String, n: Int): Seq[String] = (0 until n).map(i => s"$tag$i")
+    val hot = w("hh", 20) // repeated in 5 docs
+    val warm = w("ww", 20) // repeated in 2 docs
+    val docs = (Seq(
+      1L -> (hot ++ w("a", 10)),
+      2L -> (w("b", 5) ++ hot ++ w("c", 5)),
+      3L -> (w("d", 8) ++ hot),
+      4L -> (hot ++ w("e", 12)),
+      5L -> (w("f", 3) ++ hot ++ w("g", 3)),
+      6L -> (warm ++ w("h", 10)),
+      7L -> (w("i", 4) ++ warm)) ++
+      (8 to 12).map(i => i.toLong -> w(s"u$i", 25)))
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val top = operators.Dedup.substringHotSpans(docs, k = 20, topN = 5)
+      .collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert(first.getAs[Long]("n_occurrences") == 5L,
+      s"hot run must top the list: $first")
+    assert(first.getAs[Long]("keeper_doc") == 1L &&
+      first.getAs[Long]("keeper_pos") == 0L)
+    assert(first.getAs[String]("span_text") == hot.mkString(" "))
+    // the warm run appears below with its own count
+    assert(top.exists(r => r.getAs[Long]("n_occurrences") == 2L &&
+      r.getAs[String]("span_text") == warm.mkString(" ")))
+  }
+
   test("d19b rolling-hash fast path is row-identical to the md5 form") {
     val docs = Tables.documents(spark, sf)
     val slow = operators.Dedup.substringDedupOf(docs).collect().toSeq

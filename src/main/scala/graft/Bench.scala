@@ -109,8 +109,10 @@ object Bench {
     // = external load, not a regression) without waiting on a judge
     // re-measurement.
     val spread = results.map { case (k, v, _, _, ts) =>
+      // A failed query's rep times include aborted near-zero runs; a
+      // numeric triple there would read as a plausible timing. Emit null.
       "\"" + k + "\":" +
-        f"[${ts.head}%.3f,$v%.3f,${ts.last}%.3f]"
+        (if (v < 0) "null" else f"[${ts.head}%.3f,$v%.3f,${ts.last}%.3f]")
     }.mkString("{", ",", "}")
     val failedNames =
       results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }

@@ -1544,9 +1544,18 @@ object Dedup {
       .join(spark.table(s"${table}_grams"), Seq("h1", "h2"), "left_semi")
       .select($"doc_id", $"pos")
     val flagged = stored.unionByName(fastFlagged(grams)).distinct()
+    // Eager localCheckpoint: materializes the result HERE, while the grams
+    // persist is serving its two consumers (stored-index probe +
+    // fastFlagged) — an unpersist before a lazy return would silently
+    // recompute the scan and both rolling-hash passes. It also makes the
+    // function self-cleaning (both internal persists freed on return), so
+    // streaming callers (substringDedupStream) don't leak one cached frame
+    // per micro-batch. Delta-sized, so the checkpoint write is O(delta).
     val out = substringCleanCore(toks, flagged, k)
       .select($"doc_id", $"cleaned")
+      .localCheckpoint()
     grams.unpersist()
+    toks.unpersist()
     out
   }
 

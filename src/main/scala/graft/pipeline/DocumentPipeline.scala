@@ -1188,21 +1188,29 @@ object DocumentPipeline {
 
   /** t11: per-document vocabulary statistics — token count, vocabulary
     * size, hapax legomena, type-token ratio. Lexical-diversity quality
-    * signals (a Gopher-style repetition complement). Two partial-agg
-    * shuffles: (doc, word) then doc.
+    * signals (a Gopher-style repetition complement). Per-doc stats are
+    * document-LOCAL, so they're computed map-side in one codegen'd pass
+    * ([[org.apache.spark.sql.graft.TokenVocabStats]]) — ZERO shuffles
+    * (the r12 form exploded the token stream through a (doc, word)
+    * groupBy and scaled 17.8× for 10× data; this is flat). The
+    * isNotNull filter replicates the exploded form's semantics, where a
+    * null-text doc produced no token rows and so no output row.
     */
   def vocabStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
-    wc.groupBy($"doc_id")
-      .agg(sum($"n").as("n_tokens"),
-        count(lit(1)).as("vocab_size"),
-        sum(when($"n" === 1, 1L).otherwise(0L)).as("n_hapax"),
-        round(count(lit(1)) * lit(1.0) / sum($"n") + lit(1e-9), 6).as("ttr"),
-        round(sum(when($"n" === 1, 1L).otherwise(0L)) * lit(1.0) / count(lit(1))
-          + lit(1e-9), 6).as("hapax_ratio"))
+    Tables.documents(s, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .token_vocab_stats($"text").as("v"))
+      .select($"doc_id",
+        $"v.n_tokens".as("n_tokens"),
+        $"v.vocab_size".as("vocab_size"),
+        $"v.n_hapax".as("n_hapax"),
+        round($"v.vocab_size" * lit(1.0) / $"v.n_tokens" + lit(1e-9), 6)
+          .as("ttr"),
+        round($"v.n_hapax" * lit(1.0) / $"v.vocab_size" + lit(1e-9), 6)
+          .as("hapax_ratio"))
       .orderBy($"doc_id")
   }
 
@@ -1223,13 +1231,20 @@ object DocumentPipeline {
     */
   def entropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
-    wc.groupBy($"doc_id")
-      .agg(sum($"n").as("n_tokens"),
-        round(log2(sum($"n")) - sum($"n" * log2($"n")) / sum($"n") + lit(1e-9), 6)
-          .as("entropy_bits"))
+    // Document-local like t11: H = log2(N) - Σ n·log2(n)/N from the
+    // map-side TokenVocabStats pass — no token-stream shuffle. The
+    // kernel's Σ n·log2(n) uses the same log(x)/log(2) arithmetic as
+    // Spark's log2; summation-order ulp drift is absorbed by the
+    // +1e-9 round guard (as it already was between Spark and DuckDB).
+    Tables.documents(s, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftFunctions
+          .token_vocab_stats($"text").as("v"))
+      .select($"doc_id",
+        $"v.n_tokens".as("n_tokens"),
+        round(log2($"v.n_tokens") - $"v.sum_n_log2n" / $"v.n_tokens"
+          + lit(1e-9), 6).as("entropy_bits"))
       .orderBy($"doc_id")
   }
 
@@ -1273,15 +1288,24 @@ object DocumentPipeline {
     */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-    val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
-    val nTotal = words.agg(count(lit(1)).as("n_total"))
-    words.join(lm, Seq("w"))
+    // Every shuffle here carries per-doc WORD COUNTS (map-side
+    // WordCounts pass), not the raw token stream — the r12 form exploded
+    // one row per token into both the LM build and the doc⋈LM join and
+    // scaled 7.5× for 10× data. Aggregates weight by n, so values are
+    // identical: avg over tokens ≡ Σ n·term / Σ n.
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(org.apache.spark.sql.graft.GraftFunctions
+          .word_counts($"text")).as("wc"))
+      .select($"doc_id", $"wc.w".as("w"), $"wc.n".as("n"))
+    val lm = wc.groupBy($"w").agg(sum($"n").as("n_w"))
+    val nTotal = lm.agg(sum($"n_w").as("n_total"))
+    wc.join(lm, Seq("w"))
       .crossJoin(nTotal)
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log2($"n_w" / $"n_total")) + lit(1e-9), 6).as("xent_bits"))
+      .agg(sum($"n").as("n_tokens"),
+        round(sum($"n" * -log2($"n_w" / $"n_total")) / sum($"n")
+          + lit(1e-9), 6).as("xent_bits"))
       .withColumn("perplexity", round(pow(2.0, $"xent_bits") + lit(1e-9), 4))
       .orderBy($"doc_id")
   }
@@ -1320,14 +1344,21 @@ object DocumentPipeline {
   def ccnetBucketsOf(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val words = documents
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
-    val lm = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
-    val nTotal = words.agg(count(lit(1)).as("n_total"))
-    val scored = words.join(lm, Seq("w"))
+    // Same per-doc word-count discipline as t14: shuffles carry
+    // (doc, word, n) rows, never the raw token stream; the per-doc
+    // cross-entropy weights by n (≡ avg over tokens).
+    val wc = documents
+      .select($"doc_id", $"lang",
+        explode(org.apache.spark.sql.graft.GraftFunctions
+          .word_counts($"text")).as("wc"))
+      .select($"doc_id", $"lang", $"wc.w".as("w"), $"wc.n".as("n"))
+    val lm = wc.groupBy($"w").agg(sum($"n").as("n_w"))
+    val nTotal = lm.agg(sum($"n_w").as("n_total"))
+    val scored = wc.join(lm, Seq("w"))
       .crossJoin(nTotal)
       .groupBy($"doc_id", $"lang")
-      .agg(round(avg(-log2($"n_w" / $"n_total")) + lit(1e-9), 6).as("xent_bits"))
+      .agg(round(sum($"n" * -log2($"n_w" / $"n_total")) / sum($"n")
+        + lit(1e-9), 6).as("xent_bits"))
     val cuts = scored.groupBy($"lang").agg(
       expr("percentile(xent_bits, 0.33333333)").as("c1"),
       expr("percentile(xent_bits, 0.66666667)").as("c2"))
@@ -1442,18 +1473,20 @@ object DocumentPipeline {
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = Tables.documents(s, dir)
-      .select(split($"text", " ").as("toks"))
-      .filter(size($"toks") >= 2)
-      // toks is a materialized column: the lambda below reads an attribute,
-      // not a re-evaluated child expression (the O(tokens²) HOF trap).
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
-        .as("bg"))
-      .select($"bg.w1", $"bg.w2")
-    val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
-    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("n_context"))
-    c12.join(c1, Seq("w1"))
+    // Map-side per-doc bigram counts (one codegen'd pass), then ONE
+    // partial-agg shuffle to corpus counts. The r12 form exploded the
+    // bigram stream TWICE (c12 and c1 from separate scans) and joined
+    // them — two token-stream shuffles + a join; 6.5× for 10× data.
+    // n_context(w1) ≡ Σ_w2 n_bigram(w1, w2), so it's a window over the
+    // already-aggregated bigram-vocab table (partitioned by the
+    // high-cardinality w1 — no funnel), not a second pass over tokens.
+    val c12 = Tables.documents(s, dir)
+      .select(explode(org.apache.spark.sql.graft.GraftFunctions
+        .bigram_counts($"text")).as("bg"))
+      .select($"bg.w1", $"bg.w2", $"bg.n")
+      .groupBy($"w1", $"w2").agg(sum($"n").as("n_bigram"))
+    c12.withColumn("n_context", sum($"n_bigram")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
       .select($"w1", $"w2", $"n_bigram", $"n_context",
         round($"n_bigram" / $"n_context" + lit(1e-9), 6).as("p"))
       .orderBy($"w1", $"w2")

@@ -189,6 +189,12 @@ object StreamingOps {
           touchMarker(spark, marker)
         }
         b.unpersist()
+        // dedupDelta persists its internal shingle frame per call and the
+        // batch convention ("caller clearCache()s", see Bench) doesn't
+        // apply inside a long-lived stream: without this, every
+        // micro-batch leaks one MEMORY_AND_DISK frame. Memoized cluster
+        // tables survive (localCheckpoint, not catalog cache).
+        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -236,6 +242,9 @@ object StreamingOps {
           touchMarker(spark, marker)
         }
         b.unpersist()
+        // segmentDelta persists its internal segment frame per call —
+        // same per-micro-batch leak as dedupStream; clear it here.
+        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -299,6 +308,10 @@ object StreamingOps {
         }
         cleaned.unpersist()
         b.unpersist()
+        // substringRewriteDelta is self-cleaning (eager localCheckpoint +
+        // internal unpersists), but clear defensively so no operator-
+        // internal frame can accumulate across micro-batches.
+        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -368,6 +381,9 @@ object StreamingOps {
         }
         kept.unpersist()
         b.unpersist()
+        // semanticDelta builds probe frames per call — same defensive
+        // per-micro-batch clear as the other gates.
+        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GenericInternalRow, QuaternaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -335,6 +335,97 @@ object hashing {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val LOG2 = math.log(2.0)
+
+  /** Per-document vocabulary statistics in ONE map-side pass:
+    * (n_tokens, vocab_size, n_hapax, Σ n·log2(n) over distinct tokens).
+    * Token semantics match `split(text, ' ')` with limit -1 (empty tokens
+    * kept, incl. the single empty token of an empty string) so results
+    * are row-identical to the exploded groupBy((doc, word)) form — minus
+    * its full-token-stream shuffle, which is the t11/t12 superlinear term
+    * at scale: per-doc stats are document-local and never needed a
+    * shuffle at all.
+    */
+  def tokenVocabStats(text: UTF8String): InternalRow = {
+    val words = text.split(space, -1)
+    val nTokens = words.length.toLong
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val c = counts.get(words(i))
+      if (c == null) counts.put(words(i), Array(1L)) else c(0) += 1
+      i += 1
+    }
+    var vocab = 0L; var hapax = 0L; var sumNlog2N = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next()(0)
+      vocab += 1
+      if (n == 1L) hapax += 1
+      else sumNlog2N += n * (math.log(n.toDouble) / LOG2)
+    }
+    new GenericInternalRow(Array[Any](nTokens, vocab, hapax, sumNlog2N))
+  }
+
+  /** Per-document word counts — array<struct<w, n>> in first-occurrence
+    * order, one map-side pass. Exploding THIS instead of the raw token
+    * stream shrinks every downstream shuffle (LM build, doc⋈LM join)
+    * from one row per token to one row per distinct (doc, word) — the
+    * t14/t19 scale fix; aggregates weight by n to stay value-identical.
+    */
+  def wordCounts(text: UTF8String): ArrayData = {
+    val words = text.split(space, -1)
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val c = m.get(words(i))
+      if (c == null) m.put(words(i), Array(1L)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-document adjacent-bigram counts — array<struct<w1, w2, n>>,
+    * first-occurrence order, one map-side pass (t17's input: local
+    * counting collapses within-doc repeats before the corpus groupBy, and
+    * one expression replaces the double scan + double token-stream
+    * shuffle of building c12 and c1 from separate explodes). Tokens
+    * contain no spaces by construction, so "w1 w2" is a collision-free
+    * composite key.
+    */
+  def bigramCounts(text: UTF8String): ArrayData = {
+    val words = text.split(space, -1)
+    if (words.length < 2)
+      return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](words.length * 2)
+    var i = 0
+    while (i < words.length - 1) {
+      val key = UTF8String.concatWs(space, words(i), words(i + 1))
+      val c = m.get(key)
+      if (c == null) m.put(key, Array(1L)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val pair = e.getKey.split(space, 2)
+      out(j) = new GenericInternalRow(
+        Array[Any](pair(0), pair(1), e.getValue()(0)))
+      j += 1
+    }
     new GenericArrayData(out)
   }
 }
@@ -707,6 +798,64 @@ case class WinnowFingerprints(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document vocabulary statistics (see hashing.tokenVocabStats) —
+  * struct<n_tokens, vocab_size, n_hapax, sum_n_log2n>, computed map-side.
+  * Replaces t11/t12's exploded groupBy((doc, word)) pipeline, whose
+  * full-token-stream shuffle scaled superlinearly (17.8× for 10× data at
+  * r12) for what is a document-local computation.
+  */
+case class TokenVocabStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("vocab_size", LongType, nullable = false),
+    StructField("n_hapax", LongType, nullable = false),
+    StructField("sum_n_log2n", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    hashing.tokenVocabStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.tokenVocabStats($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document word counts (see hashing.wordCounts) —
+  * array<struct<w, n>> in first-occurrence order.
+  */
+case class WordCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.wordCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.wordCounts($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document adjacent-bigram counts (see hashing.bigramCounts) —
+  * array<struct<w1, w2, n>> in first-occurrence order; empty for docs
+  * with fewer than two tokens.
+  */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.bigramCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.bigramCounts($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers (classic-API bridge: Column ↔ catalyst Expression). */
 object GraftFunctions {
   private def e(c: Column) = ExpressionUtils.expression(c)
@@ -736,6 +885,9 @@ object GraftFunctions {
     col(NearestCentroid(e(v), centroids.map(_._1), centroids.map(_._2)))
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
+  def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))
+  def word_counts(text: Column): Column = col(WordCounts(e(text)))
+  def bigram_counts(text: Column): Column = col(BigramCounts(e(text)))
 
   /** Spark's internal Bloom pair (the machinery behind its own runtime
     * join filters), surfaced for explicit use: a distributed

@@ -31,14 +31,23 @@ import graft.Tables
   */
 object Graph {
 
-  /** Distinct (custkey, suppkey) trading pairs — the raw bipartite graph. */
-  def tradePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Raw (custkey, suppkey) trading pairs, one row per lineitem — NOT
+    * deduplicated. The projection operators dedup inside their one
+    * per-customer shuffle (collect_set), so handing them raw pairs saves
+    * a full corpus-sized distinct() exchange; [[tradePairs]] keeps the
+    * distinct contract for consumers that need the pair SET (pagerank's
+    * edge list). The orders side prunes to 2 columns and broadcasts.
+    */
+  def tradePairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
-      .distinct()
   }
+
+  /** Distinct (custkey, suppkey) trading pairs — the raw bipartite graph. */
+  def tradePairs(s: SparkSession, dir: String): DataFrame =
+    tradePairsRaw(s, dir).distinct()
 
   /** Symmetric edge list: distinct trading pairs in both directions.
     * Node ids are longs with the bipartite side in the low bit
@@ -150,20 +159,28 @@ object Graph {
     * in a document pipeline the same shape computes source-source or
     * domain-domain audience overlap).
     *
-    * Scale shape: pairs are generated per CUSTOMER (self-join of the
-    * distinct trading pairs on custkey with suppkey ordering), so the
-    * blow-up factor is each customer's supplier-list size, NOT the
-    * supplier count. Like t18's vocab bound, the fan-out is bounded IN
-    * CODE: customers whose supplier list exceeds `maxFan` are excluded
-    * from pair generation (a hub customer that trades with everyone
-    * carries no similarity signal and would contribute fan² pairs).
-    * The aggregate output is capped at |suppliers|² regardless of fact
-    * size, and per-supplier customer counts arrive via a broadcast from
-    * a partial-aggregatable groupBy — never a window.
+    * Scale shape: ONE corpus-sized shuffle total (raw pairs repartition
+    * by custkey; collect_set dedups and builds the per-customer supplier
+    * array in the same pass — r12 spent two additional |pairs| exchanges
+    * on a separate distinct() and a partial-set collect). Pairs expand
+    * per CUSTOMER map-side from the ≤maxFan array via one codegen'd
+    * OrderedPairs pass, so the blow-up factor is each customer's
+    * supplier-list size, NOT the supplier count, and is bounded IN CODE:
+    * customers whose supplier list exceeds `maxFan` are excluded from
+    * pair generation (a hub customer that trades with everyone carries
+    * no similarity signal and would contribute fan² pairs). The
+    * aggregate output is capped at |suppliers|² regardless of fact size,
+    * and per-supplier customer counts arrive via a broadcast from a
+    * partial-aggregatable groupBy — never a window. The alternative
+    * "join per-supplier customer adjacencies onto candidate pairs and
+    * merge-count" (g03's per-EDGE identity) was rejected here: it ships
+    * each supplier's full customer array once per candidate pair — the
+    * d11b vectors-through-the-shuffle disease — whereas wedge partial
+    * aggregation ships only (sk_a, sk_b, n) rows.
     */
   def copurchase(s: SparkSession, dir: String,
                  maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame =
-    copurchaseOf(tradePairs(s, dir), maxFan, minCommon, top)
+    copurchaseOf(tradePairsRaw(s, dir), maxFan, minCommon, top)
 
   /** Shared-customer counts per ordered supplier pair (sk_a < sk_b) —
     * the one-mode projection's edge weights; g02 ranks them by Jaccard
@@ -194,31 +211,70 @@ object Graph {
       .orderBy($"fan".desc, $"ck")
   }
 
-  def projectionCommon(pairs: DataFrame, maxFan: Int, minCommon: Long): DataFrame = {
-    val s = pairs.sparkSession
+  /** Per-customer distinct sorted supplier arrays — the projection's ONE
+    * corpus-sized shuffle (repartition by ck; collect_set dedups any
+    * repeated raw pairs in the same pass, so callers hand in RAW pairs
+    * and no separate distinct() exchange ever runs). Emitted
+    * PRE-fan-filter so [[copurchaseOf]] reads true per-supplier set
+    * sizes from the same persisted frame map-side.
+    */
+  def customerArrays(pairsRaw: DataFrame): DataFrame = {
+    val s = pairsRaw.sparkSession
     import s.implicits._
-    pairs.groupBy($"ck")
-      .agg(sort_array(collect_set($"sk")).as("sks"))
-      .filter(size($"sks") <= maxFan)
-      .select(explode($"sks").as("sk_a"), $"sks")
-      .select($"sk_a", explode($"sks").as("sk_b"))
-      .filter($"sk_b" > $"sk_a")
+    pairsRaw.select($"ck", $"sk")
+      .repartition($"ck")
+      .groupBy($"ck").agg(sort_array(collect_set($"sk")).as("sks"))
+  }
+
+  /** Wedge counting over a [[customerArrays]] frame: the ≤maxFan arrays
+    * expand to ordered pairs MAP-SIDE via one codegen'd expression
+    * ([[org.apache.spark.sql.graft.OrderedPairs]] — n(n-1)/2 structs, no
+    * double-explode generating n² rows and filtering half).
+    *
+    * The wedge stream is DELIBERATELY repartitioned on the pair key
+    * before aggregating, instead of letting the groupBy run a map-side
+    * partial: customers are unclustered, so a partition's wedges rarely
+    * repeat a pair — measured at sf0.1, the partial pass cut wedge
+    * shuffle only ~20% while paying a ~300k-entry hash table per task
+    * (1.33 s vs 0.97 s wall). Raw 16-byte wedge rows shuffle exactly
+    * once, scale linearly in wedge count (itself fan-bounded per
+    * customer), hash uniformly (no skew), and aggregate in one
+    * post-shuffle pass with no spill-prone map-side state.
+    */
+  def projectionCommonOf(arrays: DataFrame, maxFan: Int,
+                         minCommon: Long): DataFrame = {
+    val s = arrays.sparkSession
+    import s.implicits._
+    arrays.filter(size($"sks") <= maxFan)
+      .select(explode(org.apache.spark.sql.graft.GraftFunctions
+        .ordered_pairs($"sks")).as("pr"))
+      .select($"pr.a".as("sk_a"), $"pr.b".as("sk_b"))
+      .repartition($"sk_a", $"sk_b")
       .groupBy($"sk_a", $"sk_b")
       .agg(count(lit(1)).as("common"))
       .filter($"common" >= minCommon)
   }
 
-  /** Core of [[copurchase]] over any distinct (ck, sk) pair frame. */
+  /** [[projectionCommonOf]] from a pair frame (raw or distinct). */
+  def projectionCommon(pairs: DataFrame, maxFan: Int, minCommon: Long): DataFrame =
+    projectionCommonOf(customerArrays(pairs), maxFan, minCommon)
+
+  /** Core of [[copurchase]] over any (ck, sk) pair frame — raw
+    * (duplicate-bearing) input is fine: the per-customer collect_set
+    * dedups in the projection's single corpus shuffle.
+    */
   def copurchaseOf(pairsRaw: DataFrame,
                    maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): DataFrame = {
     val s = pairsRaw.sparkSession
     import s.implicits._
-    val pairs = pairsRaw.persist(StorageLevel.MEMORY_AND_DISK)
-    // Per-supplier customer-set sizes: |suppliers|-row aggregate,
-    // broadcast into the final join (true set sizes — the fan bound
-    // below only limits pair GENERATION, not the denominators).
-    val supSize = pairs.groupBy($"sk").agg(count(lit(1)).as("n_cust"))
-    val common = projectionCommon(pairs, maxFan, minCommon)
+    val arrays = customerArrays(pairsRaw).persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-supplier customer-set sizes: re-exploded MAP-SIDE from the
+    // persisted pre-fan-filter arrays (true set sizes — the fan bound
+    // only limits pair GENERATION, not the denominators), partial-agg'd
+    // to a |suppliers|-row broadcast.
+    val supSize = arrays.select(explode($"sks").as("sk"))
+      .groupBy($"sk").agg(count(lit(1)).as("n_cust"))
+    val common = projectionCommonOf(arrays, maxFan, minCommon)
     common
       .join(broadcast(supSize.select($"sk".as("sk_a"), $"n_cust".as("na"))), "sk_a")
       .join(broadcast(supSize.select($"sk".as("sk_b"), $"n_cust".as("nb"))), "sk_b")
@@ -288,7 +344,7 @@ object Graph {
   def triangles(s: SparkSession, dir: String,
                 maxFan: Int = 64, minCommon: Long = 2, top: Int = 50,
                 strengthQ: Double = 0.9): DataFrame =
-    trianglesOf(tradePairs(s, dir), maxFan, minCommon, top, strengthQ)
+    trianglesOf(tradePairsRaw(s, dir), maxFan, minCommon, top, strengthQ)
 
   /** Strong edges of the one-mode projection: pairs whose common count
     * clears the exact `strengthQ` percentile of the common distribution,

@@ -338,6 +338,30 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  /** All ordered pairs (a(i), a(j)), i < j, of a long array whose elements
+    * are distinct and ascending — n(n-1)/2 structs in one pass. Replaces
+    * the double-explode + `b > a` filter wedge expansion (which generates
+    * n² rows and discards half) in the one-mode graph projection.
+    */
+  def orderedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new GenericInternalRow(Array[Any](a, arr.getLong(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val LOG2 = math.log(2.0)
 
   /** Per-document vocabulary statistics in ONE map-side pass:
@@ -856,6 +880,23 @@ case class BigramCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Ordered element pairs of an ascending long array (see
+  * hashing.orderedPairs) — array<struct<a, b>> with a < b.
+  */
+case class OrderedPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.orderedPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.orderedPairs($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers (classic-API bridge: Column ↔ catalyst Expression). */
 object GraftFunctions {
   private def e(c: Column) = ExpressionUtils.expression(c)
@@ -886,6 +927,7 @@ object GraftFunctions {
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
   def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))
+  def ordered_pairs(arr: Column): Column = col(OrderedPairs(e(arr)))
   def word_counts(text: Column): Column = col(WordCounts(e(text)))
   def bigram_counts(text: Column): Column = col(BigramCounts(e(text)))
 

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Decoded media features. In this container the actual codec libraries are
-  * absent, so `decode` is a deterministic stub — the Spark-side plumbing
-  * (schema, batch iteration, partitioning) is the real, tested part.
+/** Decoded media features. IMAGE payloads decode for real (javax.imageio
+  * — PNG/JPEG/BMP/GIF pixel dims, mean luma, pixel-grid dHash); audio /
+  * video codec libraries are absent in this container, so those kinds
+  * fall back to a deterministic byte-derived stub. The Spark-side
+  * plumbing (schema, batch iteration, partitioning) is identical for
+  * both branches.
   */
 case class MediaFeatures(width: Int, height: Int, nFrames: Int, meanLuma: Double)
 
@@ -26,9 +29,110 @@ case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte],
   */
 object Multimodal {
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec (libs not in this container). Derives stable pseudo-features
-    * from the payload bytes; swap the body for a real codec in production.
+  /** Magic-byte sniff: true if the payload starts like a PNG / JPEG /
+    * BMP / GIF container — the cheap gate that keeps ImageIO parse
+    * attempts (exception-priced) off text/audio payloads.
+    */
+  private[multimodal] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 0x50 && p(2) == 0x4E && p(3) == 0x47) ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 0x42 && p(1) == 0x4D) ||
+      (p(0) == 0x47 && p(1) == 0x49 && p(2) == 0x46))
+
+  /** Mean-luma grid of a decoded image: cell (gx, gy) averages
+    * Rec.601 luma over the pixel block that maps into it (area
+    * averaging — deterministic, unlike Graphics2D rescale hints).
+    * Row-bulk getRGB keeps the per-pixel cost to arithmetic.
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * gw / w).toInt
+        val rgb = row(x)
+        val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        sums(gy * gw + gx) += luma
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](gw * gh)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (counts(i) == 0) 0.0 else sums(i) / counts(i)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL image decode (javax.imageio — pure-JVM, headless-safe): true
+    * pixel dimensions, mean luma, and a 64-bit difference hash (dHash:
+    * sign of the horizontal luma gradient over a 9×8 area-averaged
+    * grid). dHash depends only on PIXELS, so two encodings of the same
+    * image (PNG vs BMP, or a re-compressed mirror) land 0–few bits
+    * apart — the recall property m06's byte-gram stub could not give
+    * for re-ENCODED (rather than byte-edited) mirrors. Returns None for
+    * payloads that aren't decodable images (audio/video/text), which
+    * fall back to the deterministic stub family.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(MediaFeatures, Long)] = {
+    if (!looksLikeImage(payload)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val gw = 9; val gh = 8
+    val grid = lumaGrid(img, gw, gh)
+    var mean = 0.0
+    var i = 0
+    while (i < grid.length) { mean += grid(i); i += 1 }
+    mean /= grid.length
+    var bits = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y * gw + x + 1) > grid(y * gw + x))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some((MediaFeatures(img.getWidth, img.getHeight, 1, mean / 255.0), bits))
+  }
+
+  /** Unified per-payload decode: real image decode when the payload IS
+    * an image, deterministic stub features + byte-gram fingerprint
+    * otherwise (audio/video codecs absent in this container — their
+    * branch of this dispatch is the remaining stub).
+    */
+  def decodePayload(payload: Array[Byte]): (MediaFeatures, Long) =
+    decodeImage(payload).getOrElse((decodeStub(payload), phashStub(payload)))
+
+  /** Batch form of [[decodePayload]] — ONE call per batch of payloads,
+    * the mapInPandas/Arrow record-batch shape where a real pipeline
+    * amortizes codec/FFI setup; features and fingerprint come out of the
+    * same payload read.
+    */
+  def decodeBatch(payloads: Array[Array[Byte]]): Array[(MediaFeatures, Long)] =
+    payloads.map(decodePayload)
+
+  /** STUB decoder — deterministic fake for NON-IMAGE payloads (audio /
+    * video codec libs not in this container). Derives stable
+    * pseudo-features from the payload bytes; swap the body for a real
+    * codec in production. Image payloads never reach this — see
+    * [[decodeImage]].
     */
   def decodeStub(payload: Array[Byte]): MediaFeatures = {
     var h = 1125899906842597L
@@ -92,8 +196,8 @@ object Multimodal {
     val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val feats = decodeBatchStub(batch.map(_.payload).toArray)
-        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+        val feats = decodeBatch(batch.map(_.payload).toArray)
+        batch.iterator.zip(feats.iterator).map { case (r, (f, _)) =>
           (r.doc_id, r.kind, r.n_bytes, r.content_hash,
             f.width, f.height, f.nFrames, f.meanLuma)
         }
@@ -345,8 +449,9 @@ object Multimodal {
     val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val hs = phashBatchStub(batch.map(_.payload).toArray)
-        batch.iterator.zip(hs.iterator).map(r0 => (r0._1.doc_id, r0._1.kind, r0._2))
+        val hs = decodeBatch(batch.map(_.payload).toArray)
+        batch.iterator.zip(hs.iterator)
+          .map { case (r, (_, ph)) => (r.doc_id, r.kind, ph) }
       }
     }.toDF("doc_id", "kind", "phash")
   }

@@ -201,6 +201,65 @@ class MultimodalSpec extends SparkSpec {
       "singletons are their own canonical")
   }
 
+  /** A deterministic synthetic photo-ish image: smooth 2-D gradient with
+    * a bright block — enough luma structure that the dHash has real
+    * gradient signs in every row.
+    */
+  private def syntheticImage(seed: Int, w: Int = 64, h: Int = 48) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255 / w + seed * 37) % 256
+      val g = (y * 255 / h + seed * 11) % 256
+      val b = if (x / 8 % 2 == seed % 2) 220 else 40
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: true dims + mean luma from pixels") {
+    val png = encodeImage(syntheticImage(1), "png")
+    val Some((f, _)) = Multimodal.decodeImage(png)
+    assert(f.width == 64 && f.height == 48 && f.nFrames == 1)
+    assert(f.meanLuma > 0.1 && f.meanLuma < 0.9,
+      s"gradient image mean luma ${f.meanLuma} implausible")
+    // non-image bytes fall back to the stub family
+    assert(Multimodal.decodeImage(payloadOf(3, 512)).isEmpty)
+    // the batched pipeline surfaces the REAL dims, not stub pseudo-dims
+    val media = mediaRowsOf(Seq((1L, "image", png)))
+    val row = Multimodal.decodeFeaturesOf(media).collect().head
+    assert(row.getAs[Int]("width") == 64 && row.getAs[Int]("height") == 48)
+  }
+
+  test("m06 recovers a RE-ENCODED image mirror (PNG vs BMP, same pixels)") {
+    val img = syntheticImage(1)
+    val png = encodeImage(img, "png")
+    val bmp = encodeImage(img, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp),
+      "the two encodings must differ at the byte level")
+    val media = mediaRowsOf(Seq(
+      (1L, "image", png),                           // original
+      (2L, "image", bmp),                           // re-encoded mirror
+      (3L, "image", encodeImage(syntheticImage(2), "png")), // unrelated image
+      (4L, "image", payloadOf(9, 4096))))           // non-image payload
+    val pairs = Multimodal.phashNearDupOf(media).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"re-encoded mirror not recovered; pairs ${pairs.keySet}")
+    assert(pairs((1L, 2L)) <= 2,
+      s"same pixels should land ~0 bits apart, got ${pairs((1L, 2L))}")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "different images must not pair")
+  }
+
   test("m06 bucket cap prunes floods into the dropped-bucket report") {
     val flood = payloadOf(7, 2048)
     val media = mediaRowsOf(

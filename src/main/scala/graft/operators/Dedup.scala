@@ -661,6 +661,20 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     val s = bucketed.sparkSession
     import s.implicits._
+    semanticPairsWithBucket(bucketed, minCos, maxBucket)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** [[semanticPairsFrom]] keeping the bucket key and skipping the
+    * output sort — the internal form d12's per-bucket clustering
+    * consumes (the bucket is the component-confinement key there; the
+    * sort would be dead weight under a groupBy).
+    */
+  private def semanticPairsWithBucket(bucketed: DataFrame, minCos: Double,
+      maxBucket: Int): DataFrame = {
+    val s = bucketed.sparkSession
+    import s.implicits._
     val eligible = bucketed.groupBy($"bucket")
       .agg(count(lit(1)).as("bn"))
       .filter($"bn" >= 2 && $"bn" <= maxBucket)
@@ -671,8 +685,7 @@ object Dedup {
     a.join(b, Seq("bucket")).filter($"vec_a" < $"vec_b")
       .withColumn("cos", round(cosine($"va", $"vb"), 6))
       .filter($"cos" >= minCos)
-      .select($"vec_a", $"vec_b", $"cos")
-      .orderBy($"vec_a", $"vec_b")
+      .select($"bucket", $"vec_a", $"vec_b", $"cos")
   }
 
   def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
@@ -941,12 +954,29 @@ object Dedup {
     val candidates =
       if (nprobe > 1) semanticProbed(s, dir, planes, dim, nprobe)
       else semanticBucketed(s, dir, planes, dim)
-    val rawPairs =
-      if (nprobe > 1) semanticPairsMultiprobeFrom(candidates, minCos, maxBucket)
-      else semanticPairsFrom(candidates, minCos, maxBucket)
-    val pairs = rawPairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-    val cc = connectedComponents(pairs)
-      .select($"doc_id".as("vec_id"), $"cluster_id")
+    // Single-probe pairs NEVER cross buckets (both members of every edge
+    // share the bucket join key), so each component is confined to one
+    // bucket and clustering runs as a per-bucket union-find over the
+    // collected edge list — ≤ maxBucket vertices / ≤ maxBucket²/2 edges
+    // per group by the eligibility cap, one codegen'd pass — instead of
+    // the global iterative CC, whose log-rounds of corpus-wide joins +
+    // checkpoints dominated d12 at sf1 (~13 s of 19 s for 1.18M pairs
+    // from 20k clustered vectors). Multi-probe edges DO cross buckets
+    // (that is their purpose), so that path keeps the global CC.
+    val cc =
+      if (nprobe == 1)
+        semanticPairsWithBucket(candidates, minCos, maxBucket)
+          .groupBy($"bucket")
+          .agg(collect_list(struct($"vec_a".as("a"), $"vec_b".as("b")))
+            .as("edges"))
+          .select(explode(org.apache.spark.sql.graft.GraftFunctions
+            .component_labels($"edges")).as("lab"))
+          .select($"lab.vec_id".as("vec_id"), $"lab.cluster_id".as("cluster_id"))
+      else
+        connectedComponents(
+          semanticPairsMultiprobeFrom(candidates, minCos, maxBucket)
+            .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+          .select($"doc_id".as("vec_id"), $"cluster_id")
     val assignments = if (oversizedCanonical) {
       val overBuckets = candidates.groupBy($"bucket")
         .agg(count(lit(1)).as("bn"), min($"vec_id").as("cluster_id"))
@@ -963,14 +993,13 @@ object Dedup {
           .select($"vec_id", $"cluster_id")
           .join(cc.select($"vec_id"), Seq("vec_id"), "left_anti"))
     } else cc
-    // connectedComponents materializes its labels (checkpointed lineage
-    // on both the union-find and the iterative path), so on the plain
-    // path the candidate pipeline's cache is dead weight from here — drop
-    // it eagerly rather than leaving lifecycle to the caller (unlike d11,
-    // whose lazy result still reads the cache). The oversized-canonical
-    // branch still reads `candidates` lazily, so there the lifecycle
-    // stays caller-owned, same contract as d11.
-    if (!oversizedCanonical) candidates.unpersist()
+    // Cache lifecycle: on the MULTI-PROBE plain path connectedComponents
+    // materializes its labels (checkpointed lineage), so the candidate
+    // cache is dead weight from here and is dropped eagerly. The
+    // single-probe per-bucket CC is LAZY (reads `candidates` when the
+    // result runs), and the oversized-canonical branch reads it lazily
+    // too — both leave lifecycle to the caller, same contract as d11.
+    if (!oversizedCanonical && nprobe > 1) candidates.unpersist()
     Tables.embeddings(s, dir).select($"vec_id")
       .join(assignments, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))

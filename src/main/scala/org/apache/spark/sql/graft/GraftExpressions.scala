@@ -362,6 +362,65 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  /** Min-label connected components of a BOUNDED edge list (union-find
+    * with path compression) — array<struct<vec_id, cluster_id>> with one
+    * row per distinct vertex, cluster_id = min vertex id of its
+    * component, vertices in first-occurrence order. Used for per-GROUP
+    * local clustering where a partition key provably confines every
+    * component (e.g. d12's sign-bucket pairs: an edge never crosses
+    * buckets, so a ≤maxBucket-vertex union-find per bucket replaces the
+    * global iterative CC's log-rounds of corpus-wide joins).
+    */
+  def componentLabels(edges: ArrayData): ArrayData = {
+    val n = edges.numElements()
+    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    val ids = new java.util.ArrayList[Long](n)
+    val parent = new java.util.ArrayList[Integer](n)
+    def vertex(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else {
+        val v = ids.size()
+        idx.put(id, v); ids.add(id); parent.add(v)
+        v
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent.get(x) != x) {
+        parent.set(x, parent.get(parent.get(x)))
+        x = parent.get(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < n) {
+      val e = edges.getStruct(i, 2)
+      val ra = find(vertex(e.getLong(0)))
+      val rb = find(vertex(e.getLong(1)))
+      if (ra != rb) parent.set(ra, rb)
+      i += 1
+    }
+    val m = ids.size()
+    val minOfRoot = new Array[Long](m)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    i = 0
+    while (i < m) {
+      val r = find(i)
+      val id = ids.get(i)
+      if (id < minOfRoot(r)) minOfRoot(r) = id
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = new GenericInternalRow(
+        Array[Any](ids.get(i), minOfRoot(find(i))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val LOG2 = math.log(2.0)
 
   /** Per-document vocabulary statistics in ONE map-side pass:
@@ -880,6 +939,26 @@ case class BigramCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Min-label connected components of a bounded edge list (see
+  * hashing.componentLabels) — array<struct<vec_id, cluster_id>>.
+  */
+case class ComponentLabels(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false)))))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("cluster_id", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.componentLabels(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.componentLabels($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Ordered element pairs of an ascending long array (see
   * hashing.orderedPairs) — array<struct<a, b>> with a < b.
   */
@@ -928,6 +1007,7 @@ object GraftFunctions {
     col(CollapseAdjacentRepeats(e(tokens)))
   def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))
   def ordered_pairs(arr: Column): Column = col(OrderedPairs(e(arr)))
+  def component_labels(edges: Column): Column = col(ComponentLabels(e(edges)))
   def word_counts(text: Column): Column = col(WordCounts(e(text)))
   def bigram_counts(text: Column): Column = col(BigramCounts(e(text)))
 

@@ -81,7 +81,19 @@ object Dedup {
     */
   def minhashPairs(documents: DataFrame,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
-      minJaccard: Double = 0.5, oversizedLink: Boolean = false): DataFrame = {
+      minJaccard: Double = 0.5, oversizedLink: Boolean = false): DataFrame =
+    minhashPairsHandle(documents, bands, rows, maxBucket, minJaccard,
+      oversizedLink)._1
+
+  /** [[minhashPairs]] plus its persisted shingle frame, so a pipeline
+    * embedding the pair stage (p07) can unpersist the cache as soon as
+    * the stage's output is materialized instead of letting it stack
+    * until the next clearCache() — the semanticPairsHandle contract.
+    */
+  def minhashPairsHandle(documents: DataFrame,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5,
+      oversizedLink: Boolean = false): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
     // The shingle frame feeds banding AND both sides of the candidate
@@ -140,12 +152,12 @@ object Dedup {
     // intersection instead of array_intersect's per-pair hash set
     val ni = org.apache.spark.sql.graft.GraftFunctions
       .sorted_intersection_size($"sh_a", $"sh_b")
-    withSh
+    (withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+      .orderBy($"doc_a", $"doc_b"), docs)
   }
 
   /** The hashed-shingle frame minhash banding runs over. */
@@ -1530,14 +1542,21 @@ object Dedup {
     * substring stage), where the caller wants the text back, not the
     * audit digest.
     */
-  def substringRewriteOf(documents: DataFrame, k: Int = 20): DataFrame = {
+  def substringRewriteOf(documents: DataFrame, k: Int = 20): DataFrame =
+    substringRewriteHandle(documents, k)._1
+
+  /** [[substringRewriteOf]] plus its persisted token frame (the
+    * minhashPairsHandle contract for pipeline embedding).
+    */
+  def substringRewriteHandle(documents: DataFrame,
+      k: Int = 20): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
     val toks = documents
       .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    substringCleanCore(toks, fastFlagged(fastGrams(documents, k)), k)
-      .select($"doc_id", $"cleaned")
+    (substringCleanCore(toks, fastFlagged(fastGrams(documents, k)), k)
+      .select($"doc_id", $"cleaned"), toks)
   }
 
   /** Materialize the gram store for [[substringRewriteDelta]] probes:
@@ -1868,7 +1887,18 @@ object Dedup {
   /** Core of [[segmentNeardupFull]] over any (doc_id, text) frame. */
   def segmentNeardupFullOf(documents: DataFrame, width: Int = 10,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5): DataFrame =
+    segmentNeardupFullHandle(documents, width, bands, rows, maxBucket,
+      minJaccard)._1
+
+  /** [[segmentNeardupFullOf]] plus its persisted internals (digest meta
+    * frame + the keeper-segment shingle cache) — the minhashPairsHandle
+    * contract, so p07 can free the stage's caches once its verdict is
+    * materialized.
+    */
+  def segmentNeardupFullHandle(documents: DataFrame, width: Int = 10,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val s = documents.sparkSession
     import s.implicits._
     val docs = documents.select($"doc_id", $"text")
@@ -1879,9 +1909,10 @@ object Dedup {
     val meta = segmentFrame(docs, width)
       .select($"doc_id", $"ord", md5($"seg").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    segmentNeardupRollup(meta,
-      segmentDupOrdsOf(docs, meta, width, bands, rows, maxBucket,
-        minJaccard).withColumn("is_dup", lit(1L)))
+    val (ords, caches) = segmentDupOrdsHandle(docs, meta, width, bands,
+      rows, maxBucket, minJaccard)
+    (segmentNeardupRollup(meta, ords.withColumn("is_dup", lit(1L))),
+      meta +: caches)
   }
 
   /** The flagged (ord) set behind [[segmentNeardupFullOf]] — exact-stage
@@ -1892,7 +1923,14 @@ object Dedup {
     */
   private[graft] def segmentDupOrdsOf(docs: DataFrame, meta: DataFrame,
       width: Int, bands: Int, rows: Int, maxBucket: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame =
+    segmentDupOrdsHandle(docs, meta, width, bands, rows, maxBucket,
+      minJaccard)._1
+
+  /** [[segmentDupOrdsOf]] plus the pair stage's persisted caches. */
+  private[graft] def segmentDupOrdsHandle(docs: DataFrame, meta: DataFrame,
+      width: Int, bands: Int, rows: Int, maxBucket: Int,
+      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
     val s = docs.sparkSession
     import s.implicits._
     val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
@@ -1900,13 +1938,13 @@ object Dedup {
     val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
       .select($"ord")
     val reps = segmentFrame(docs, width).join(keeperOrds, Seq("ord"))
-    val nearDups = minhashPairs(
+    val (nearPairs, shCache) = minhashPairsHandle(
       reps.select($"ord".as("doc_id"), $"seg".as("text")),
       bands, rows, maxBucket, minJaccard)
-      // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
-      // the later occurrence is the fuzzy dup, d13's keeper orientation
-      .select($"doc_b".as("ord"))
-    exactDups.unionByName(nearDups).distinct()
+    // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
+    // the later occurrence is the fuzzy dup, d13's keeper orientation
+    val nearDups = nearPairs.select($"doc_b".as("ord"))
+    (exactDups.unionByName(nearDups).distinct(), Seq(shCache))
   }
 
   /** Observability for [[segmentNeardupFull]]'s bucket cap: the keeper

@@ -261,19 +261,28 @@ object CorpusPipeline {
       case Some(kk) =>
         stateTable.foreach(t => Dedup.writeSubstringIndex(
           exact.select($"doc_id", $"text"), s"${t}_sub", kk))
-        val rewritten = Dedup
-          .substringRewriteOf(exact.select($"doc_id", $"text"), kk)
-        staged("d19_substring_dedup", nExact,
+        val (rewritten, toksCache) = Dedup
+          .substringRewriteHandle(exact.select($"doc_id", $"text"), kk)
+        val out = staged("d19_substring_dedup", nExact,
           exact.join(rewritten, Seq("doc_id"), "left")
             .select($"doc_id", $"source",
               coalesce($"cleaned", $"text").as("text")))
+        toksCache.unpersist()
+        out
     }
 
     // d18b: drop docs that are mostly duplicated passages (kept_ratio
     // below the floor) — the paragraph-dedup verdict applied doc-level.
-    val segKill = Dedup
-      .segmentNeardupFullOf(afterSub.select($"doc_id", $"text"), cfg.segWidth,
-        cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard)
+    // Handle form: the stage's internal caches (segment digests +
+    // keeper shingles) are freed as soon as the verdict materializes —
+    // without this every persist lives to end-of-query and, across
+    // bench reps at sf1, stacks into the eviction churn behind p07's
+    // wall-clock spread.
+    val (segRollup, segCaches) = Dedup
+      .segmentNeardupFullHandle(afterSub.select($"doc_id", $"text"),
+        cfg.segWidth, cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket,
+        cfg.nearDupJaccard)
+    val segKill = segRollup
       .filter($"kept_ratio" < cfg.segKeptRatioMin)
       .select($"doc_id")
     stateTable.foreach(t => Dedup.writeSegmentIndex(
@@ -282,6 +291,7 @@ object CorpusPipeline {
       maxBucket = cfg.maxBucket))
     val (afterSeg, nSeg) = staged("d18_segment_neardup", nSub,
       afterSub.join(segKill, Seq("doc_id"), "left_anti"))
+    segCaches.foreach(_.unpersist())
 
     // d02: whole-doc MinHash near-dup. Drops any doc appearing as the
     // LATER element (doc_b) of a confirmed pair — on transitive chains
@@ -289,17 +299,18 @@ object CorpusPipeline {
     // conservative direction for a training corpus. Star mode pairs
     // oversized-bucket members against the bucket representative so hot
     // near-identical templates are flagged instead of silently passed.
-    val ndLosers = Dedup
-      .minhashPairs(afterSeg.select($"doc_id", $"text"), cfg.nearDupBands,
-        cfg.nearDupRows, cfg.maxBucket, cfg.nearDupJaccard,
-        oversizedLink = cfg.nearDupStarMode)
-      .select($"doc_b".as("doc_id")).distinct()
+    val (ndPairs, ndShCache) = Dedup
+      .minhashPairsHandle(afterSeg.select($"doc_id", $"text"),
+        cfg.nearDupBands, cfg.nearDupRows, cfg.maxBucket,
+        cfg.nearDupJaccard, oversizedLink = cfg.nearDupStarMode)
+    val ndLosers = ndPairs.select($"doc_b".as("doc_id")).distinct()
     stateTable.foreach(t => Dedup.writeDedupIndex(
       afterSeg.select($"doc_id", $"text"), s"${t}_doc",
       bands = cfg.nearDupBands, rows = cfg.nearDupRows,
       maxBucket = cfg.maxBucket))
     val (afterNd, nNd) = staged("d02_minhash_neardup", nSeg,
       afterSeg.join(ndLosers, Seq("doc_id"), "left_anti"))
+    ndShCache.unpersist()
 
     // d12-style semantic gate over hashed doc vectors; same
     // drop-the-later-element policy as the d02 stage.

@@ -120,6 +120,54 @@ object StreamProbe {
       q.stop()
     }
 
+    // Streaming NEAR-dup gate at sustained rate: per-trigger cost as the
+    // stored band index GROWS by each batch's survivors — the
+    // dedup-on-arrival claim (per-trigger cost tracks the BATCH, not
+    // everything seen so far). Waves are equal-sized batches of fresh
+    // docs with a fixed fraction duplicating earlier waves; the flatness
+    // ratio (median trigger time of the last third vs the first third)
+    // is the committed number — ~1 means O(batch), growth means the
+    // index leaked into per-trigger cost.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_gate_").toString
+      val store = s"$root/store"
+      new java.io.File(store).mkdirs()
+      val docWaveN = math.max(perWave / 100, 200) // docs are ~100× heavier than events
+      val gateWaves = math.max(waves, 6)
+      val all = GenCorpus.generate(spark, docWaveN.toLong * gateWaves, 20)
+        .select($"doc_id", $"source", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // seed the index so the first trigger probes a real (non-empty) store
+      Seq("_bands", "_shingles").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS probe_gate_idx$sfx"))
+      operators.Dedup.writeDedupIndex(
+        spark.createDataFrame(all.take(docWaveN).toSeq)
+          .toDF("doc_id", "source", "text").select($"doc_id", $"text"),
+        "probe_gate_idx")
+      val rest = all.drop(docWaveN)
+      val docWaves = rest.grouped(docWaveN).toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streaming.StreamingOps.dedupStream(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        "probe_gate_idx", store)
+      val trigSecs = docWaves.map { w =>
+        val t0 = System.nanoTime()
+        mem.addData(w.toSeq: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val stored = spark.read.parquet(store + "/*.parquet").count()
+      val third = math.max(trigSecs.length / 3, 1)
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      val flat = med(trigSecs.takeRight(third)) / med(trigSecs.take(third))
+      val totalDocs = rest.length.toLong
+      val totalSec = trigSecs.sum
+      println(f"""{"probe":"stream_dedup_gate","docs":$totalDocs,"triggers":${trigSecs.length},"docs_per_sec":${totalDocs / totalSec}%.0f,"trigger_secs":[${trigSecs.map(t => f"$t%.2f").mkString(",")}],"flatness_last_over_first":$flat%.2f,"stored_docs":$stored}""")
+      Seq("_bands", "_shingles").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS probe_gate_idx$sfx"))
+    }
+
     spark.stop()
   }
 }

@@ -78,14 +78,20 @@ object Bench {
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Clear operator-internal persists BETWEEN reps, not just between
+        // queries: each rep builds a fresh DataFrame whose persists are
+        // new cache entries, so without this a 3-rep run of a
+        // cache-heavy query (d19b's gram frames, d02's shingles) holds
+        // reps× the blocks and the later reps time EVICTION CHURN, not
+        // the query — at sf10 d19b measured 108 s in-suite vs 3.6 s
+        // isolated before this fix. Every rep now pays its own cache
+        // population (honest cold-ish numbers) and memory pressure stops
+        // compounding. Memoized cluster tables survive (localCheckpoint,
+        // not catalog cache) — which is their intent.
+        spark.catalog.clearCache()
+        sec
       }.sorted
-      // Operators that persist internal frames (d02's shingles, d10's
-      // token arrays, p02's tokenize projection) would otherwise pile up
-      // MEMORY_AND_DISK blocks across 86 queries × reps in one session.
-      // Memoized cluster tables survive this (localCheckpoint, not
-      // catalog cache) — which is their intent.
-      spark.catalog.clearCache()
       // Deterministic listener drain (a fixed sleep can under-wait on a
       // backlogged bus and credit this query's stages to the next one).
       org.apache.spark.sql.graft.SparkInternals

@@ -212,7 +212,7 @@ object CorpusPipeline {
       planHook: Option[(String, DataFrame) => Unit] = None): CurationResult = {
     val s = documents.sparkSession
     import s.implicits._
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
     // Eager localCheckpoint between stages, not persist(): each stage's
     // lineage collapses to a materialized-RDD leaf, so (a) downstream
     // plans — whose dedup loser sides reference the parent 2–4× — stay
@@ -228,15 +228,17 @@ object CorpusPipeline {
       val t0 = System.nanoTime()
       val p = df.localCheckpoint()
       val n = p.count()
+      val sec = (System.nanoTime() - t0) / 1e9
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
-        println(f"[stage] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      stages += ((name, nIn, n))
+        println(f"[stage] $name%-22s $sec%8.2f s")
+      stages += ((name, nIn, n, sec))
       (p, n)
     }
 
+    val rawT0 = System.nanoTime()
     val raw = documents.select($"doc_id", $"source", $"text").localCheckpoint()
     val nRaw = raw.count()
-    stages += (("p00_raw", nRaw, nRaw))
+    stages += (("p00_raw", nRaw, nRaw, (System.nanoTime() - rawT0) / 1e9))
     stateTable.foreach { t =>
       raw.select(sha2($"text", 256).as("h"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -380,13 +382,19 @@ object CorpusPipeline {
     val (schedule, _) = staged("p06_epoch_shuffle", nPacked,
       DocumentPipeline.epochShuffleOf(seqKeyed, cfg.epoch, cfg.epochShards))
 
-    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut), i) =>
+    // stage_sec: per-stage materialization wall — the variance/runtime
+    // profile travels WITH the waterfall (VERDICT r12 #4) instead of
+    // only behind the GRAFT_STAGE_TIMING env print. Additive column;
+    // the correctness row is rows-only so timing nondeterminism is fine.
+    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut, sec), i) =>
       (i, name, nIn, nOut, nIn - nOut,
         if (nIn == 0) 0.0
-        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6)
+        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6,
+        math.rint(sec * 1000) / 1000)
     }
     val waterfall = s.createDataFrame(wf)
-      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate")
+      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate",
+        "stage_sec")
       .orderBy("stage_ord")
     CurationResult(afterPii, packed, schedule, waterfall)
   }
@@ -418,17 +426,19 @@ object CorpusPipeline {
       growState: Boolean = false): CurationResult = {
     val s = delta.sparkSession
     import s.implicits._
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
     def staged(name: String, nIn: Long, df: DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
       val p = df.localCheckpoint()
       val n = p.count()
-      stages += ((name, nIn, n))
+      stages += ((name, nIn, n, (System.nanoTime() - t0) / 1e9))
       (p, n)
     }
 
+    val rawT0 = System.nanoTime()
     val raw = delta.select($"doc_id", $"source", $"text").localCheckpoint()
     val nRaw = raw.count()
-    stages += (("p00_raw", nRaw, nRaw))
+    stages += (("p00_raw", nRaw, nRaw, (System.nanoTime() - rawT0) / 1e9))
 
     // d01: killed if the hash is stored OR an earlier delta doc owns it
     val hashed = raw.select($"doc_id", sha2($"text", 256).as("h"))
@@ -553,13 +563,15 @@ object CorpusPipeline {
         s"${stateTable}_sem", planes = cfg.semPlanes)
     }
 
-    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut), i) =>
+    val wf = stages.toSeq.zipWithIndex.map { case ((name, nIn, nOut, sec), i) =>
       (i, name, nIn, nOut, nIn - nOut,
         if (nIn == 0) 0.0
-        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6)
+        else math.rint((nIn - nOut).toDouble / nIn * 1e6) / 1e6,
+        math.rint(sec * 1000) / 1000)
     }
     val waterfall = s.createDataFrame(wf)
-      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate")
+      .toDF("stage_ord", "stage", "n_in", "n_out", "n_killed", "kill_rate",
+        "stage_sec")
       .orderBy("stage_ord")
     CurationResult(afterPii, packed, schedule, waterfall)
   }

@@ -81,4 +81,28 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cheap corpus snapshot for memo invalidation (the Dedup.clusterTable
+    * contract, generalized): sorted (name, length, mtime) listing of the
+    * named tables' files under `dir`. A dir rewritten in place changes
+    * the listing, so a long-lived session never serves a memoized frame
+    * of data that no longer exists. One filesystem listing per lookup —
+    * no data read.
+    */
+  private[graft] def dirFingerprint(s: SparkSession, dir: String,
+      tables: Seq[String]): String =
+    tables.map { t =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) s"$t:absent"
+      else {
+        val it = fs.listFiles(path, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+        s"$t:" + entries.sorted.mkString(";")
+      }
+    }.mkString("|")
 }

@@ -13,17 +13,18 @@ object Bench {
     // ~1 GB post-expansion partitions at sf10 — the big shuffles (g02's
     // wedge stream, d11b's candidate pairs) then spend their wall in
     // sorter spill, which is why several relational queries scaled 11-16×
-    // for 10× data. Heuristic: one partition per ~32 MB of on-disk
-    // parquet (≈ 128 MB after decode/expansion), floored at cpus; AQE
-    // coalesces the small end back down per-stage, so oversizing is
-    // cheap and undersizing is not.
+    // for 10× data. Heuristic: one partition per ~8 MB of on-disk
+    // parquet (intermediates expand far past the input — measured at
+    // sf10, d11b's candidate stage ran ~1.5× faster at 128 partitions
+    // than at 32), floored at cpus; AQE coalesces the small end back
+    // down per-stage, so oversizing is cheap and undersizing is not.
     val dirBytes = try {
       val p = new org.apache.hadoop.fs.Path(sfDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.getContentSummary(p).getLength
     } catch { case _: Throwable => 0L }
     val shufflePartitions =
-      math.max(cpus, math.min(2048L, dirBytes / (32L << 20)).toInt)
+      math.max(cpus, math.min(2048L, dirBytes / (8L << 20)).toInt)
     spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     System.err.println(
       s"[bench] input ${dirBytes / (1 << 20)} MB -> " +

@@ -93,18 +93,30 @@ object DeltaProbe {
 
       // semantic vector index (d11's store) over the dir's embeddings;
       // the delta probes replica vectors (must hit) + noise vectors.
+      // The replicas come from THE SCALE UNDER TEST (ADVICE r13: the
+      // former baseDir-replica delta had no stored partner at x10 —
+      // bigDir's vectors are unrelated — so the x10 leg silently
+      // measured a miss-only workload against x1's hit-heavy one), and
+      // the hit count is asserted so a miss-only run fails loudly.
       locally {
         dropFamily(s"dprobe_sem_$tag")
         val vecs = Tables.embeddings(spark, dir)
           .select($"vec_id", $"embedding")
-        val vDelta = Tables.embeddings(spark, baseDir)
+        val vDelta = vecs
           .orderBy($"vec_id").limit(deltaN / 2)
           .select(($"vec_id" + 900000000L).as("vec_id"), $"embedding")
           .localCheckpoint()
         val b = time(operators.Dedup.writeSemanticIndex(vecs, s"dprobe_sem_$tag"))
         var hits = 0L
         val p = time { hits = operators.Dedup
-          .semanticDelta(spark, s"dprobe_sem_$tag", vDelta).count() }
+          .semanticDelta(spark, s"dprobe_sem_$tag", vDelta)
+          .select($"new_id").distinct().count() }
+        // every replica's stored twin is cos=1.0 ≥ minCos and lives in the
+        // replica's own home bucket (identical vector → identical home
+        // signature), so unless the write-time oversized-bucket drop
+        // excluded it the probe MUST surface it; allow that slack only.
+        require(hits >= deltaN / 2 * 9 / 10,
+          s"semantic $tag: only $hits of ${deltaN / 2} replica probes hit — miss-only run")
         println(f"""{"probe":"delta_semantic_$tag","stored":${vecs.count()},"build_sec":$b%.2f,"probe_sec":$p%.2f,"hits":$hits}""")
         dropFamily(s"dprobe_sem_$tag"); spark.catalog.clearCache()
       }

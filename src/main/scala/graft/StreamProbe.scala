@@ -158,16 +158,134 @@ object StreamProbe {
       }
       q.stop()
       val stored = spark.read.parquet(store + "/*.parquet").count()
-      val third = math.max(trigSecs.length / 3, 1)
-      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
-      val flat = med(trigSecs.takeRight(third)) / med(trigSecs.take(third))
-      val totalDocs = rest.length.toLong
-      val totalSec = trigSecs.sum
-      println(f"""{"probe":"stream_dedup_gate","docs":$totalDocs,"triggers":${trigSecs.length},"docs_per_sec":${totalDocs / totalSec}%.0f,"trigger_secs":[${trigSecs.map(t => f"$t%.2f").mkString(",")}],"flatness_last_over_first":$flat%.2f,"stored_docs":$stored}""")
+      reportGate("stream_dedup_gate", rest.length.toLong, trigSecs, stored)
       Seq("_bands", "_shingles").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS probe_gate_idx$sfx"))
     }
 
+    // The remaining three dedup-on-arrival gates (VERDICT r13 #7), same
+    // protocol as the doc gate above: seed the stored index with wave 0,
+    // stream equal-sized waves through the gate, and commit the flatness
+    // ratio (median per-trigger seconds, last third over first third) —
+    // ~1 means per-trigger cost tracks the BATCH while the index grows,
+    // growth means the store leaked into per-trigger cost.
+
+    // SEGMENT gate: keeper index grows by each batch's novel segments.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_seg_").toString
+      val store = s"$root/store"
+      new java.io.File(store).mkdirs()
+      val docWaveN = math.max(perWave / 200, 100) // segment probe ≈ 2× doc work
+      val gateWaves = math.max(waves, 6)
+      val all = GenCorpus.generate(spark, docWaveN.toLong * gateWaves, 20)
+        .select($"doc_id", $"source", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val segSuffixes = Seq("_bands", "_shingles", "_segdigests")
+      segSuffixes.foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS probe_seg_idx$sfx"))
+      operators.Dedup.writeSegmentIndex(
+        spark.createDataFrame(all.take(docWaveN).toSeq)
+          .toDF("doc_id", "source", "text").select($"doc_id", $"text"),
+        "probe_seg_idx")
+      val rest = all.drop(docWaveN)
+      val docWaves = rest.grouped(docWaveN).toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streaming.StreamingOps.segmentDedupStream(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        "probe_seg_idx", store)
+      val trigSecs = docWaves.map { w =>
+        val t0 = System.nanoTime()
+        mem.addData(w.toSeq: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val stored = spark.read.parquet(store + "/*.parquet").count()
+      reportGate("stream_segment_gate", rest.length.toLong, trigSecs, stored)
+      segSuffixes.foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS probe_seg_idx$sfx"))
+    }
+
+    // SUBSTRING gate: gram index grows by each batch's original text.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_sub_").toString
+      val store = s"$root/store"
+      new java.io.File(store).mkdirs()
+      val docWaveN = math.max(perWave / 200, 100)
+      val gateWaves = math.max(waves, 6)
+      val all = GenCorpus.generate(spark, docWaveN.toLong * gateWaves, 20)
+        .select($"doc_id", $"source", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      spark.sql("DROP TABLE IF EXISTS probe_sub_idx_grams")
+      operators.Dedup.writeSubstringIndex(
+        spark.createDataFrame(all.take(docWaveN).toSeq)
+          .toDF("doc_id", "source", "text").select($"doc_id", $"text"),
+        "probe_sub_idx")
+      val rest = all.drop(docWaveN)
+      val docWaves = rest.grouped(docWaveN).toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streaming.StreamingOps.substringDedupStream(
+        mem.toDF().toDF("doc_id", "source", "text"),
+        "probe_sub_idx", store)
+      val trigSecs = docWaves.map { w =>
+        val t0 = System.nanoTime()
+        mem.addData(w.toSeq: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val stored = spark.read.parquet(store + "/*.parquet").count()
+      reportGate("stream_substring_gate", rest.length.toLong, trigSecs, stored)
+      spark.sql("DROP TABLE IF EXISTS probe_sub_idx_grams")
+    }
+
+    // SEMANTIC gate: bucket-partitioned vector index grows map-only.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sprobe_sem_").toString
+      val store = s"$root/store"
+      new java.io.File(store).mkdirs()
+      val vecWaveN = math.max(perWave / 50, 400)
+      val gateWaves = math.max(waves, 6)
+      val all = GenCorpus
+        .generateEmbeddings(spark, vecWaveN.toLong * gateWaves)
+        .select($"vec_id", $"embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      spark.sql("DROP TABLE IF EXISTS probe_sem_idx_vecs")
+      operators.Dedup.writeSemanticIndex(
+        spark.createDataFrame(all.take(vecWaveN).toSeq)
+          .toDF("vec_id", "embedding"),
+        "probe_sem_idx")
+      val rest = all.drop(vecWaveN)
+      val vecWaves = rest.grouped(vecWaveN).toSeq
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = streaming.StreamingOps.semanticDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"),
+        "probe_sem_idx", store, minCos = 0.9)
+      val trigSecs = vecWaves.map { w =>
+        val t0 = System.nanoTime()
+        mem.addData(w.toSeq: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val stored = spark.read.parquet(store + "/*.parquet").count()
+      reportGate("stream_semantic_gate", rest.length.toLong, trigSecs, stored)
+      spark.sql("DROP TABLE IF EXISTS probe_sem_idx_vecs")
+    }
+
     spark.stop()
+  }
+
+  /** Shared gate report: sustained rate, per-trigger seconds, and the
+    * flatness ratio (median of the last third over the first third).
+    */
+  private def reportGate(name: String, total: Long, trigSecs: Seq[Double],
+      stored: Long): Unit = {
+    val third = math.max(trigSecs.length / 3, 1)
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    val flat = med(trigSecs.takeRight(third)) / med(trigSecs.take(third))
+    val totalSec = trigSecs.sum
+    println(f"""{"probe":"$name","docs":$total,"triggers":${trigSecs.length},"docs_per_sec":${total / totalSec}%.0f,"trigger_secs":[${trigSecs.map(t => f"$t%.2f").mkString(",")}],"flatness_last_over_first":$flat%.2f,"stored_docs":$stored}""")
   }
 }

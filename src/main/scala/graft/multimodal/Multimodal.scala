@@ -40,16 +40,21 @@ object Multimodal {
       (p(0) == 0x42 && p(1) == 0x4D) ||
       (p(0) == 0x47 && p(1) == 0x49 && p(2) == 0x46))
 
-  /** Mean-luma grid of a decoded image: cell (gx, gy) averages
-    * Rec.601 luma over the pixel block that maps into it (area
-    * averaging — deterministic, unlike Graphics2D rescale hints).
-    * Row-bulk getRGB keeps the per-pixel cost to arithmetic.
+  /** Mean-luma grid of a decoded image plus the EXACT global pixel mean:
+    * cell (gx, gy) averages Rec.601 luma over the pixel block that maps
+    * into it (area averaging — deterministic, unlike Graphics2D rescale
+    * hints). The global mean accumulates over every pixel directly
+    * (ADVICE r13: when width/height aren't multiples of the grid, cells
+    * cover unequal pixel counts, so averaging the CELL means would bias
+    * the reported mean luma). Row-bulk getRGB keeps the per-pixel cost
+    * to arithmetic.
     */
   private def lumaGrid(img: java.awt.image.BufferedImage,
-      gw: Int, gh: Int): Array[Double] = {
+      gw: Int, gh: Int): (Array[Double], Double) = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](gw * gh)
     val counts = new Array[Long](gw * gh)
+    var totalSum = 0.0
     val row = new Array[Int](w)
     var y = 0
     while (y < h) {
@@ -63,6 +68,7 @@ object Multimodal {
           0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
         sums(gy * gw + gx) += luma
         counts(gy * gw + gx) += 1
+        totalSum += luma
         x += 1
       }
       y += 1
@@ -73,7 +79,7 @@ object Multimodal {
       out(i) = if (counts(i) == 0) 0.0 else sums(i) / counts(i)
       i += 1
     }
-    out
+    (out, totalSum / (w.toLong * h))
   }
 
   /** REAL image decode (javax.imageio — pure-JVM, headless-safe): true
@@ -93,11 +99,7 @@ object Multimodal {
       catch { case _: Throwable => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
     val gw = 9; val gh = 8
-    val grid = lumaGrid(img, gw, gh)
-    var mean = 0.0
-    var i = 0
-    while (i < grid.length) { mean += grid(i); i += 1 }
-    mean /= grid.length
+    val (grid, mean) = lumaGrid(img, gw, gh)
     var bits = 0L
     var y = 0
     while (y < gh) {
@@ -112,13 +114,108 @@ object Multimodal {
     Some((MediaFeatures(img.getWidth, img.getHeight, 1, mean / 255.0), bits))
   }
 
+  /** RIFF/WAVE magic sniff — the cheap gate before a real WAV parse. */
+  private[multimodal] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio decode for WAV/PCM payloads (javax.sound.sampled — pure
+    * JVM, no codec libs needed): sample rate, channel count, duration,
+    * overall RMS level, and a 64-bit energy-envelope dHash — the signal
+    * is mono-mixed, split into 65 equal-RELATIVE-time windows, and bit i
+    * is the sign of the RMS gradient between windows i and i+1. Window
+    * boundaries are relative positions, so the fingerprint depends on
+    * the CONTENT's energy contour, not the sample rate — a resampled
+    * re-encode of the same audio (disjoint bytes, different rate) lands
+    * 0–few bits apart, the recall property the byte-gram stub cannot
+    * give (MultimodalSpec pins it with a planted resampled mirror).
+    *
+    * MediaFeatures mapping for audio: width = sample rate (Hz), height =
+    * channels, nFrames = duration in ms, meanLuma = overall RMS in
+    * [0, 1]. Returns None for non-WAV or compressed payloads (those fall
+    * to the byte-derived stub — the documented remaining gap is
+    * compressed audio + video codecs, absent in this container).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(MediaFeatures, Long)] = {
+    if (!looksLikeWav(payload)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if (!(signed || unsigned) || (bits != 8 && bits != 16)) return None
+      val raw = ais.readAllBytes()
+      val channels = fmt.getChannels
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = raw.length / frameBytes
+      if (nFrames == 0) return None
+      // mono-mix to [-1, 1]
+      val mono = new Array[Double](nFrames)
+      val big = fmt.isBigEndian
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val o = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              if (signed) raw(o).toDouble / 128.0
+              else ((raw(o) & 0xFF) - 128).toDouble / 128.0
+            } else {
+              val lo = if (big) raw(o + 1) else raw(o)
+              val hi = if (big) raw(o) else raw(o + 1)
+              ((hi.toInt << 8) | (lo & 0xFF)).toShort.toDouble / 32768.0
+            }
+          acc += v
+          c += 1
+        }
+        mono(f) = acc / channels
+        f += 1
+      }
+      // 65 equal-relative-time RMS windows -> 64 gradient-sign bits
+      val nWin = 65
+      val rms = new Array[Double](nWin)
+      var w = 0
+      while (w < nWin) {
+        val start = (w.toLong * nFrames / nWin).toInt
+        val end = math.max(((w + 1).toLong * nFrames / nWin).toInt, start + 1)
+        var ss = 0.0
+        var i = start
+        while (i < end && i < nFrames) { ss += mono(i) * mono(i); i += 1 }
+        rms(w) = math.sqrt(ss / math.max(end - start, 1))
+        w += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (rms(b + 1) > rms(b)) fp |= (1L << b)
+        b += 1
+      }
+      var totalSs = 0.0
+      var i = 0
+      while (i < nFrames) { totalSs += mono(i) * mono(i); i += 1 }
+      val durationMs = (nFrames.toLong * 1000 / fmt.getSampleRate.toLong).toInt
+      Some((MediaFeatures(fmt.getSampleRate.toInt, channels, durationMs,
+        math.sqrt(totalSs / nFrames)), fp))
+    } catch { case _: Throwable => None }
+  }
+
   /** Unified per-payload decode: real image decode when the payload IS
-    * an image, deterministic stub features + byte-gram fingerprint
-    * otherwise (audio/video codecs absent in this container — their
-    * branch of this dispatch is the remaining stub).
+    * an image, real WAV/PCM audio decode when it is one, deterministic
+    * stub features + byte-gram fingerprint otherwise (compressed
+    * audio/video codecs absent in this container — their branch of this
+    * dispatch is the remaining stub).
     */
   def decodePayload(payload: Array[Byte]): (MediaFeatures, Long) =
-    decodeImage(payload).getOrElse((decodeStub(payload), phashStub(payload)))
+    decodeImage(payload)
+      .orElse(decodeAudio(payload))
+      .getOrElse((decodeStub(payload), phashStub(payload)))
 
   /** Batch form of [[decodePayload]] — ONE call per batch of payloads,
     * the mapInPandas/Arrow record-batch shape where a real pipeline

@@ -94,8 +94,6 @@ object Dedup {
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
       minJaccard: Double = 0.5,
       oversizedLink: Boolean = false): (DataFrame, DataFrame) = {
-    val s = documents.sparkSession
-    import s.implicits._
     // The shingle frame feeds banding AND both sides of the candidate
     // verification join (3 uses). Persist it (spilling to disk) so the
     // upstream scan + shingle computation runs once, not three times —
@@ -105,6 +103,23 @@ object Dedup {
     // identical Jaccard counts.
     val docs = shingleFrame(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (minhashPairsFromShingles(docs, bands, rows, maxBucket, minJaccard,
+      oversizedLink), docs)
+  }
+
+  /** The band/verify pipeline over an already-built (and persisted —
+    * it's read three times) hashed-shingle frame (doc_id, sh). Shared by
+    * the text path above and d18b's fused segment path, whose shingle
+    * hashes come out of [[org.apache.spark.sql.graft.SegmentShingleHashes]]
+    * value-identical to [[shingleFrame]]'s, so both feed the same
+    * machinery.
+    */
+  private[graft] def minhashPairsFromShingles(shingled: DataFrame,
+      bands: Int, rows: Int, maxBucket: Int, minJaccard: Double,
+      oversizedLink: Boolean = false): DataFrame = {
+    val s = shingled.sparkSession
+    import s.implicits._
+    val docs = shingled.filter(size($"sh") > 0)
     val banded = minhashBandedFrom(docs, bands, rows)
 
     // Bucket populations as a partial-aggregatable groupBy joined back
@@ -152,12 +167,12 @@ object Dedup {
     // intersection instead of array_intersect's per-pair hash set
     val ni = org.apache.spark.sql.graft.GraftFunctions
       .sorted_intersection_size($"sh_a", $"sh_b")
-    (withSh
+    withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b"), docs)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** The hashed-shingle frame minhash banding runs over. */
@@ -799,7 +814,18 @@ object Dedup {
   /** Verified pairs over a [[semanticProbed]] frame (see
     * [[semanticDedupMultiprobe]] for the operator contract).
     */
-  private def semanticPairsMultiprobeFrom(probed: DataFrame, minCos: Double,
+  /** Canonicalized candidate id pairs over a [[semanticProbed]] frame:
+    * home × probe bucket match either direction, bare 16-byte id rows.
+    * Candidates travel as BARE ID PAIRS: on a clustered corpus the
+    * candidate set is orders of magnitude larger than the vector table
+    * (sf1 measured ~4M pairs from 20k vectors), so canonicalize +
+    * dropDuplicates on 16-byte rows and join the vectors back for the
+    * verify — the id-first-then-join-back discipline minhashPairs'
+    * shingle verify already follows. The previous form shipped BOTH
+    * 64-double vectors through the dedup shuffle: 4.55 GB at sf1 vs
+    * candidate-pair-sized now.
+    */
+  private def multiprobeCandFrom(probed: DataFrame,
       maxBucket: Int): DataFrame = {
     val s = probed.sparkSession
     import s.implicits._
@@ -815,21 +841,75 @@ object Dedup {
     val probe = probed
       .select($"vec_id".as("vec_b"), explode($"probes").as("bucket"))
       .join(broadcast(eligible), Seq("bucket"))
-    // Candidates travel as BARE ID PAIRS: on a clustered corpus the
-    // candidate set is orders of magnitude larger than the vector table
-    // (sf1 measured ~4M pairs from 20k vectors), so canonicalize +
-    // dropDuplicates on 16-byte rows and join the vectors back for the
-    // verify — the id-first-then-join-back discipline minhashPairs'
-    // shingle verify already follows. The previous form shipped BOTH
-    // 64-double vectors through the dedup shuffle: 4.55 GB at sf1 vs
-    // candidate-pair-sized now.
-    val cand = home.join(probe, Seq("bucket"))
+    home.join(probe, Seq("bucket"))
       .filter($"vec_a" =!= $"vec_b")
       .select(least($"vec_a", $"vec_b").as("vec_a"),
         greatest($"vec_a", $"vec_b").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Probe-only accessor for Bench/probes: the candidate frame alone. */
+  private[graft] def semanticMultiprobeCandidates(s: SparkSession,
+      dir: String, planes: Int = 8, dim: Int = 64, maxBucket: Int = 512,
+      nprobe: Int = 3): DataFrame =
+    multiprobeCandFrom(semanticProbed(s, dir, planes, dim, nprobe), maxBucket)
+
+  private def semanticPairsMultiprobeFrom(probed: DataFrame, minCos: Double,
+      maxBucket: Int, quantPrefilter: Boolean = true): DataFrame = {
+    val s = probed.sparkSession
+    import s.implicits._
     val vecs = probed.select($"vec_id", $"v")
-    cand
+    // Quantized map-side prefilter (VERDICT r13 #2, root cause RE-measured
+    // this round): the sf10 wall was NOT the verify join's vector payload
+    // — decomposed, candidate GENERATION alone (the 26.7M-pair
+    // dropDuplicates shuffle) cost ~35 s of the ~50 s, and a join-based
+    // int8 prefilter only added two more pair-sized joins (measured
+    // SLOWER). The fix that works: carry the int8-quantized store — 64 B
+    // + three scalars per vector, computed inline from the persisted
+    // probed frame — THROUGH the bucket self-join. Both join inputs stay
+    // vector-table-sized (|V| home rows, |V|·nprobe probe rows), the pair
+    // expansion happens INSIDE the bucket-partitioned join, and the
+    // provable-bound reject applies map-side on the join output — so no
+    // pair-sized frame ever shuffles: only survivors reach the
+    // canonicalize/dedup shuffle and the exact verify joins.
+    //
+    // The reject is exact, not heuristic: round(cos, 6) >= minCos needs
+    // cos >= minCos − 5e-7 (HALF_UP), |cos − qcos| ≤ eps with eps from
+    // the per-vector quantization scalars (hashing.quantizeVec's bound),
+    // so dropping qcos + eps < minCos − 1e-6 can never drop a true pair.
+    // Survivors — true pairs plus the thin band within eps of the
+    // threshold — join the raw vectors for the EXACT cosine that feeds
+    // the output, so the result is bit-identical to the unfiltered form
+    // (DedupSpec pins the on/off parity; the oracle hash pins it
+    // cross-engine).
+    val survivors = if (!quantPrefilter) multiprobeCandFrom(probed, maxBucket)
+    else {
+      val qf = org.apache.spark.sql.graft.GraftFunctions
+      val eligible = probed.groupBy($"bucket")
+        .agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= maxBucket)
+        .select($"bucket")
+      val home = probed.join(broadcast(eligible), Seq("bucket"))
+        .select($"bucket", $"vec_id".as("vec_a"),
+          qf.quantize_vec($"v").as("qa"))
+      val probe = probed
+        .select($"vec_id".as("vec_b"), qf.quantize_vec($"v").as("qb"),
+          explode($"probes").as("bucket"))
+        .join(broadcast(eligible), Seq("bucket"))
+      home.join(probe, Seq("bucket"))
+        .filter($"vec_a" =!= $"vec_b")
+        .withColumn("den", $"qa.norm" * $"qb.norm")
+        .withColumn("qcos",
+          qf.int8_dot($"qa.q", $"qb.q") * $"qa.scale" * $"qb.scale" / $"den")
+        .withColumn("eps",
+          (($"qb.scale" / 2) * $"qa.l1" + ($"qa.scale" / 2) * $"qb.l1"
+            + ($"qa.scale" * $"qb.scale" / 4) * length($"qa.q")) / $"den")
+        .filter($"qcos" + $"eps" >= lit(minCos - 1e-6))
+        .select(least($"vec_a", $"vec_b").as("vec_a"),
+          greatest($"vec_a", $"vec_b").as("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+    }
+    survivors
       .join(vecs.select($"vec_id".as("vec_a"), $"v".as("va")), Seq("vec_a"))
       .join(vecs.select($"vec_id".as("vec_b"), $"v".as("vb")), Seq("vec_b"))
       .withColumn("cos", round(cosine($"va", $"vb"), 6))
@@ -840,9 +920,10 @@ object Dedup {
 
   def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 8,
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
-      nprobe: Int = 3): DataFrame =
+      nprobe: Int = 3, quantPrefilter: Boolean = true): DataFrame =
     semanticPairsMultiprobeFrom(
-      semanticProbed(s, dir, planes, dim, nprobe), minCos, maxBucket)
+      semanticProbed(s, dir, planes, dim, nprobe), minCos, maxBucket,
+      quantPrefilter)
 
   /** Same md5-parity hyperplane family as d11's oracle, extended with the
     * probe construction: per-vector margins, flipped buckets for the two
@@ -1005,15 +1086,17 @@ object Dedup {
           .select($"vec_id", $"cluster_id")
           .join(cc.select($"vec_id"), Seq("vec_id"), "left_anti"))
     } else cc
-    // Cache lifecycle: on the MULTI-PROBE plain path connectedComponents
-    // materializes its labels (checkpointed lineage), so the candidate
-    // cache is dead weight from here and is dropped eagerly. The
-    // single-probe per-bucket CC is LAZY (reads `candidates` when the
-    // result runs), and the oversized-canonical branch reads it lazily
-    // too — both leave lifecycle to the caller, same contract as d11.
-    if (!oversizedCanonical && nprobe > 1) candidates.unpersist()
+    // Eager lifecycle (ADVICE r13): the label table is result-sized (at
+    // most one row per clustered vector), so materialize it via
+    // localCheckpoint and free the corpus-sized candidate cache HERE —
+    // no persist survives the call. The previous single-probe path left
+    // `candidates` cached "caller-owned" with no handle exposed, so a
+    // long-lived session could only reclaim it via session-wide
+    // clearCache (evicting co-resident workloads' caches with it).
+    val labels = assignments.localCheckpoint()
+    candidates.unpersist()
     Tables.embeddings(s, dir).select($"vec_id")
-      .join(assignments, Seq("vec_id"), "left")
+      .join(labels, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))
       .withColumn("is_kept", $"vec_id" === $"cluster_id")
       .orderBy($"vec_id")
@@ -1901,18 +1984,66 @@ object Dedup {
       minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val s = documents.sparkSession
     import s.implicits._
-    val docs = documents.select($"doc_id", $"text")
-    // text-free digest frame carries the exact stage AND the rollup —
-    // the corpus-sized cache holds 16-byte digests, never segment text
-    // (the segment strings are read exactly once, by the keeper-side
-    // shingle computation, which minhashPairs caches as hashed shingles)
-    val meta = segmentFrame(docs, width)
-      .select($"doc_id", $"ord", md5($"seg").as("h"))
+    // ONE tokenization pass (SegmentShingleHashes) yields, per segment,
+    // BOTH the exact-stage digest and the banding/verify shingle hashes
+    // — the former shape segmented the corpus twice (a digest pass and a
+    // keeper-text pass) and paid per-segment md5 string work; this frame
+    // is the only corpus-sized cache and holds nothing but hashes.
+    // Digest h is xxhash64 of the segment text (grouping-equivalent to
+    // the md5 it replaces, at the wordShingleHashes collision-odds
+    // contract); the shingle hashes are value-identical to the old
+    // keeper-side word_shingle_hashes, so banding, bucket caps, and the
+    // Jaccard verify reproduce the previous pair set bit-for-bit.
+    val meta = segmentHashFrame(documents.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (ords, caches) = segmentDupOrdsHandle(docs, meta, width, bands,
-      rows, maxBucket, minJaccard)
+    val (ords, keeperCache) = segmentDupOrdsFromHashes(meta, bands, rows,
+      maxBucket, minJaccard)
     (segmentNeardupRollup(meta, ords.withColumn("is_dup", lit(1L))),
-      meta +: caches)
+      Seq(meta, keeperCache))
+  }
+
+  /** d13's segmentation fused to hashes: (doc_id, ord, h, sh) — one row
+    * per fixed-width segment, digest + sorted distinct shingle hashes,
+    * computed map-side in one pass (see
+    * [[org.apache.spark.sql.graft.SegmentShingleHashes]]). ord keeps
+    * [[segmentFrame]]'s doc_id<<32|pos total corpus order.
+    */
+  private[graft] def segmentHashFrame(documents: DataFrame,
+      width: Int): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id", posexplode(org.apache.spark.sql.graft.GraftFunctions
+        .segment_shingle_hashes($"text", width, 3)))
+      .select($"doc_id", (shiftleft($"doc_id", 32) + $"pos").as("ord"),
+        $"col.h".as("h"), $"col.sh".as("sh"))
+  }
+
+  /** The flagged (ord) set over a persisted [[segmentHashFrame]]:
+    * exact-stage later occurrences (same digest as an earlier segment)
+    * plus near-dup later keepers from the minhash band/verify pipeline
+    * run directly over the keeper segments' pre-hashed shingles.
+    */
+  private[graft] def segmentDupOrdsFromHashes(meta: DataFrame, bands: Int,
+      rows: Int, maxBucket: Int, minJaccard: Double): (DataFrame, DataFrame) = {
+    val s = meta.sparkSession
+    import s.implicits._
+    val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
+      .select($"ord")
+    val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
+      .select($"ord")
+    // keeper shingle frame persisted in its own right: the pair stage
+    // reads it three times (banding + both verify sides), and each
+    // re-read would otherwise replay the keeper groupBy+join over meta
+    val keepers = meta.join(keeperOrds, Seq("ord"))
+      .select($"ord".as("doc_id"), $"sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearPairs = minhashPairsFromShingles(keepers, bands, rows,
+      maxBucket, minJaccard)
+    // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
+    // the later occurrence is the fuzzy dup, d13's keeper orientation
+    (exactDups.unionByName(nearPairs.select($"doc_b".as("ord"))).distinct(),
+      keepers)
   }
 
   /** The flagged (ord) set behind [[segmentNeardupFullOf]] — exact-stage
@@ -2286,7 +2417,18 @@ object Dedup {
     * corpus size.
     */
   def dedupDelta(spark: SparkSession, table: String, delta: DataFrame,
-      bands: Int = 16, rows: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+      bands: Int = 16, rows: Int = 4, minJaccard: Double = 0.5): DataFrame =
+    dedupDeltaHandle(spark, table, delta, bands, rows, minJaccard)._1
+
+  /** [[dedupDelta]] plus its persisted delta-shingle frame — the
+    * minhashPairsHandle contract, so a long-lived caller (the streaming
+    * gates) can unpersist the operator's own cache once the batch's
+    * actions have run instead of clearing the whole session cache (which
+    * would evict co-resident workloads' persisted frames mid-flight).
+    */
+  def dedupDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
+      bands: Int = 16, rows: Int = 4,
+      minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val dsh = shingleFrame(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2303,7 +2445,7 @@ object Dedup {
       .join(dsh.select($"doc_id".as("new_id"), $"sh".as("sh_b")), "new_id")
     val ni = org.apache.spark.sql.graft.GraftFunctions
       .sorted_intersection_size($"sh_a", $"sh_b")
-    withSh
+    (withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
@@ -2312,7 +2454,7 @@ object Dedup {
       // verify joins into duplicate output rows — collapse the
       // result-sized frame so probes stay exactly-once downstream
       .dropDuplicates("corpus_id", "new_id")
-      .orderBy($"corpus_id", $"new_id")
+      .orderBy($"corpus_id", $"new_id"), Seq(dsh))
   }
 
   /** Append a batch's band + shingle rows to a [[writeDedupIndex]] table
@@ -2389,13 +2531,23 @@ object Dedup {
     */
   def segmentDelta(spark: SparkSession, table: String, delta: DataFrame,
       width: Int = 10, bands: Int = 16, rows: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5): DataFrame =
+    segmentDeltaHandle(spark, table, delta, width, bands, rows, minJaccard)._1
+
+  /** [[segmentDelta]] plus its persisted internals (delta segment frame +
+    * the probe's shingle frame) — the dedupDeltaHandle contract for the
+    * streaming segment gate.
+    */
+  def segmentDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
+      width: Int = 10, bands: Int = 16, rows: Int = 4,
+      minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val segs = segmentFrame(delta.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    segmentNeardupRollup(segs.select($"doc_id", $"ord"),
-      segmentDeltaOrds(spark, table, segs, bands, rows, minJaccard)
-        .withColumn("is_dup", lit(1L)))
+    val (ords, caches) =
+      segmentDeltaOrdsHandle(spark, table, segs, bands, rows, minJaccard)
+    (segmentNeardupRollup(segs.select($"doc_id", $"ord"),
+      ords.withColumn("is_dup", lit(1L))), segs +: caches)
   }
 
   /** The stored-index-matched (ord) set behind [[segmentDelta]], over an
@@ -2404,16 +2556,22 @@ object Dedup {
     */
   private[graft] def segmentDeltaOrds(spark: SparkSession, table: String,
       segs: DataFrame, bands: Int, rows: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame =
+    segmentDeltaOrdsHandle(spark, table, segs, bands, rows, minJaccard)._1
+
+  /** [[segmentDeltaOrds]] plus the fuzzy probe's persisted caches. */
+  private[graft] def segmentDeltaOrdsHandle(spark: SparkSession,
+      table: String, segs: DataFrame, bands: Int, rows: Int,
+      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val exact = segs.select($"ord", md5($"seg").as("h"))
       .join(spark.table(s"${table}_segdigests"), Seq("h"), "left_semi")
       .select($"ord")
-    val fuzzy = dedupDelta(spark, table,
+    val (fuzzyPairs, caches) = dedupDeltaHandle(spark, table,
       segs.select($"ord".as("doc_id"), $"seg".as("text")),
       bands, rows, minJaccard)
-      .select($"new_id".as("ord"))
-    exact.unionByName(fuzzy).distinct()
+    val fuzzy = fuzzyPairs.select($"new_id".as("ord"))
+    (exact.unionByName(fuzzy).distinct(), caches)
   }
 
   /** d18b's rollup for a delta batch against a [[writeSegmentIndex]]

@@ -177,9 +177,9 @@ object StreamingOps {
         val bid = f"batch$batchId%06d"
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dupIds = graft.operators.Dedup
-          .dedupDelta(spark, indexTable, b, minJaccard = minJaccard)
-          .select($"new_id".as("doc_id")).distinct()
+        val (dd, ddCaches) = graft.operators.Dedup
+          .dedupDeltaHandle(spark, indexTable, b, minJaccard = minJaccard)
+        val dupIds = dd.select($"new_id".as("doc_id")).distinct()
         val kept = b.join(dupIds, Seq("doc_id"), "left_anti")
         graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
         val marker = s"${storeDir}_idx_marked/$bid"
@@ -188,13 +188,14 @@ object StreamingOps {
             kept.select($"doc_id", $"text"), indexTable)
           touchMarker(spark, marker)
         }
+        // Self-cleaning (ADVICE r13): unpersist exactly the frames THIS
+        // operator persisted (the batch + dedupDelta's shingle cache via
+        // its handle) once the batch's actions have run — never a
+        // session-wide clearCache, which would evict a co-resident
+        // workload's persisted frames mid-flight (two gates sharing one
+        // SparkSession is a plausible deployment).
         b.unpersist()
-        // dedupDelta persists its internal shingle frame per call and the
-        // batch convention ("caller clearCache()s", see Bench) doesn't
-        // apply inside a long-lived stream: without this, every
-        // micro-batch leaks one MEMORY_AND_DISK frame. Memoized cluster
-        // tables survive (localCheckpoint, not catalog cache).
-        spark.catalog.clearCache()
+        ddCaches.foreach(_.unpersist())
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -229,8 +230,10 @@ object StreamingOps {
         val bid = f"batch$batchId%06d"
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val gated = graft.operators.Dedup
-          .segmentDelta(spark, indexTable, b, width, minJaccard = minJaccard)
+        val (rollup, segCaches) = graft.operators.Dedup
+          .segmentDeltaHandle(spark, indexTable, b, width,
+            minJaccard = minJaccard)
+        val gated = rollup
           .filter($"kept_ratio" < segKeptRatioMin)
           .select($"doc_id")
         val kept = b.join(gated, Seq("doc_id"), "left_anti")
@@ -241,10 +244,10 @@ object StreamingOps {
             kept.select($"doc_id", $"text"), indexTable, width)
           touchMarker(spark, marker)
         }
+        // Self-cleaning via the handle (segment frame + probe shingle
+        // cache), not session-wide clearCache — see dedupStream.
         b.unpersist()
-        // segmentDelta persists its internal segment frame per call —
-        // same per-micro-batch leak as dedupStream; clear it here.
-        spark.catalog.clearCache()
+        segCaches.foreach(_.unpersist())
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -306,12 +309,11 @@ object StreamingOps {
             touchMarker(spark, marker)
           }
         }
+        // substringRewriteDelta is self-cleaning (eager localCheckpoint +
+        // internal unpersists), so freeing this operator's own two
+        // persists is the complete cleanup — no session-wide clearCache.
         cleaned.unpersist()
         b.unpersist()
-        // substringRewriteDelta is self-cleaning (eager localCheckpoint +
-        // internal unpersists), but clear defensively so no operator-
-        // internal frame can accumulate across micro-batches.
-        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
@@ -379,11 +381,11 @@ object StreamingOps {
             touchMarker(spark, marker)
           }
         }
+        // semanticDelta persists nothing (its probe frame streams through
+        // one join), so freeing this operator's own two persists is the
+        // complete cleanup — no session-wide clearCache.
         kept.unpersist()
         b.unpersist()
-        // semanticDelta builds probe frames per call — same defensive
-        // per-micro-batch clear as the other gates.
-        spark.catalog.clearCache()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

@@ -421,6 +421,108 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  /** One-pass symmetric int8 quantization of a double vector —
+    * struct<q: binary, scale: double, norm: double, l1: double> with
+    * scale = max|x|/127, q_i = rint(x_i/scale) (so |x_i − q_i·scale| ≤
+    * scale/2), norm = √Σx² and l1 = Σ|x| of the ORIGINAL vector. The
+    * three scalars are exactly what a downstream quantized-dot needs to
+    * bound its error analytically (see [[int8Dot]] callers): for
+    * â_i = q_i·scale,
+    *   |dot(a,b) − dot(â,b̂)| ≤ (s_b/2)·l1(a) + (s_a/2)·l1(b)
+    *                            + (s_a·s_b/4)·d,
+    * a provable bound from per-vector scalars only — no per-pair work.
+    * An all-zero vector quantizes to scale 0 / norm 0 (callers' cosine
+    * is NaN either way).
+    */
+  def quantizeVec(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0; var ss = 0.0; var l1 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      ss += x * x
+      l1 += a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) { q(i) = math.rint(v.getDouble(i) / scale).toByte; i += 1 }
+    }
+    new GenericInternalRow(Array[Any](q, scale, math.sqrt(ss), l1))
+  }
+
+  /** Exact integer dot product of two int8 vectors stored as binary —
+    * Σ a_i·b_i over the common prefix. Bounded by d·127² so a long never
+    * overflows below d ≈ 5.7e14 dims; bit-deterministic (no fp summation
+    * order concerns), which is what makes the quantized-prefilter bound
+    * in the semantic verify rigorous rather than heuristic.
+    */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  /** Per-segment digests + shingle hashes in ONE pass over the document:
+    * array<struct<h: long, sh: array<long>>> with one element per
+    * fixed-width token segment (ceil(n_tokens/width) segments, same
+    * boundaries as slicing `split(text, ' ')` into width-token spans —
+    * the last segment may be short; an empty text yields one empty
+    * segment, matching `split`'s single empty token). h is the
+    * xxhash64(seed 42) of the segment's space-joined text — the exact-
+    * equality grouping key (collision odds ~n²/2⁶⁵ corpus-wide, the
+    * wordShingleHashes contract) — and sh carries the segment's sorted
+    * distinct word-n-gram hashes, value-identical to
+    * [[wordShingleHashes]] applied to the segment text. Replaces d18b's
+    * former two full segmentation passes (digest pass + keeper-text
+    * pass) and its per-segment md5 string work with one tokenization,
+    * and the corpus-sized persisted frame holds only hashes.
+    */
+  def segmentShingleHashes(text: UTF8String, width: Int, n: Int): ArrayData = {
+    val words = text.split(space, -1)
+    val total = words.length
+    val nSeg = (total + width - 1) / width
+    val out = new Array[Any](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val start = s * width
+      val len = math.min(width, total - start)
+      val parts = new Array[UTF8String](len)
+      var k = 0
+      while (k < len) { parts(k) = words(start + k); k += 1 }
+      val h = hashUtf8(UTF8String.concatWs(space, parts: _*), 42L)
+      val m = len - n + 1
+      val sh: Array[Long] =
+        if (m <= 0) Array.emptyLongArray
+        else {
+          val seen = new java.util.HashSet[java.lang.Long](m * 2)
+          val tmp = new Array[Long](m)
+          var cnt = 0
+          val sp = new Array[UTF8String](n)
+          var i = 0
+          while (i < m) {
+            var k2 = 0
+            while (k2 < n) { sp(k2) = words(start + i + k2); k2 += 1 }
+            val hh = hashUtf8(UTF8String.concatWs(space, sp: _*), 42L)
+            if (seen.add(hh)) { tmp(cnt) = hh; cnt += 1 }
+            i += 1
+          }
+          val trimmed = java.util.Arrays.copyOf(tmp, cnt)
+          java.util.Arrays.sort(trimmed)
+          trimmed
+        }
+      out(s) = new GenericInternalRow(Array[Any](h, new GenericArrayData(sh)))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val LOG2 = math.log(2.0)
 
   /** Per-document vocabulary statistics in ONE map-side pass:
@@ -976,6 +1078,61 @@ case class OrderedPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass int8 quantization of a double vector (see hashing.quantizeVec)
+  * — struct<q: binary, scale, norm, l1>, the per-vector scalars a
+  * quantized-dot error bound needs.
+  */
+case class QuantizeVec(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", BinaryType, nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("norm", DoubleType, nullable = false),
+    StructField("l1", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    hashing.quantizeVec(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.quantizeVec($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact integer dot product of two int8-as-binary vectors (see
+  * hashing.int8Dot).
+  */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    hashing.int8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.int8Dot($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Per-segment digest + shingle hashes in one tokenization pass (see
+  * hashing.segmentShingleHashes) — array<struct<h, sh>>, element index =
+  * segment position.
+  */
+case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.segmentShingleHashes(input.asInstanceOf[UTF8String], width, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.segmentShingleHashes($a, $width, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers (classic-API bridge: Column ↔ catalyst Expression). */
 object GraftFunctions {
   private def e(c: Column) = ExpressionUtils.expression(c)
@@ -1006,6 +1163,10 @@ object GraftFunctions {
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
   def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))
+  def quantize_vec(v: Column): Column = col(QuantizeVec(e(v)))
+  def int8_dot(a: Column, b: Column): Column = col(Int8Dot(e(a), e(b)))
+  def segment_shingle_hashes(text: Column, width: Int, n: Int): Column =
+    col(SegmentShingleHashes(e(text), width, n))
   def ordered_pairs(arr: Column): Column = col(OrderedPairs(e(arr)))
   def component_labels(edges: Column): Column = col(ComponentLabels(e(edges)))
   def word_counts(text: Column): Column = col(WordCounts(e(text)))

@@ -258,6 +258,23 @@ class DedupSpec extends SparkSpec {
     assert(rMp >= rBase)
   }
 
+  test("d11b quantized prefilter is row-identical to the unfiltered verify") {
+    // The int8 prefilter may only DROP pairs whose provable cosine upper
+    // bound clears below the rounded threshold — the output (including
+    // the exact cos values) must be bit-identical with the prefilter off.
+    val on = Dedup.semanticDedupMultiprobe(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val off = Dedup.semanticDedupMultiprobe(spark, sf, quantPrefilter = false)
+      .select($"vec_a", $"vec_b", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    assert(on == off,
+      s"prefilter changed the result: +${(on -- off).size} -${(off -- on).size}")
+    assert(on.nonEmpty, "parity over an empty pair set proves nothing")
+  }
+
   test("d12 with nprobe>1: plain clusters only coarsen, never split") {
     val plain = Dedup.semanticClusters(spark, sf)
       .select($"vec_id", $"cluster_id").as[(Long, Long)].collect().toMap

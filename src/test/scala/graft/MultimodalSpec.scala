@@ -260,6 +260,74 @@ class MultimodalSpec extends SparkSpec {
       "different images must not pair")
   }
 
+  /** Deterministic PCM WAV bytes: `waveform(t)` sampled at `rate` Hz for
+    * `seconds`, 16-bit signed little-endian mono, written through the
+    * real javax.sound.sampled encoder (so the decode path parses a true
+    * RIFF/WAVE container, not a hand-rolled one).
+    */
+  private def syntheticWav(waveform: Double => Double, rate: Float,
+      seconds: Double = 0.5): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val t = i.toDouble / rate
+      val v = (waveform(t) * 30000).toInt.max(-32768).min(32767)
+      raw(2 * i) = (v & 0xFF).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // amplitude-modulated tone: a distinctive energy contour for the
+  // envelope fingerprint (a constant-amplitude tone has a flat envelope
+  // whose gradient signs are noise)
+  private val toneA: Double => Double =
+    t => math.sin(2 * math.Pi * 440 * t) * (0.2 + 0.8 * math.abs(math.sin(2 * math.Pi * 3 * t)))
+  private val toneB: Double => Double =
+    t => math.sin(2 * math.Pi * 220 * t) * (0.2 + 0.8 * math.abs(math.cos(2 * math.Pi * 7 * t)))
+
+  test("real audio decode: WAV rate/channels/duration/level from samples") {
+    val wav = syntheticWav(toneA, 8000f)
+    val Some((f, _)) = Multimodal.decodeAudio(wav)
+    assert(f.width == 8000, s"sample rate ${f.width}")
+    assert(f.height == 1, "mono")
+    assert(math.abs(f.nFrames - 500) <= 1, s"duration ${f.nFrames} ms")
+    assert(f.meanLuma > 0.05 && f.meanLuma < 1.0, s"RMS ${f.meanLuma}")
+    // non-WAV bytes fall through to the stub family
+    assert(Multimodal.decodeAudio(payloadOf(3, 512)).isEmpty)
+    assert(Multimodal.decodeAudio(encodeImage(syntheticImage(1), "png")).isEmpty)
+  }
+
+  test("m06 recovers a RESAMPLED audio mirror (8k vs 16k PCM, same signal)") {
+    val a8 = syntheticWav(toneA, 8000f)
+    val a16 = syntheticWav(toneA, 16000f) // same content, re-sampled
+    assert(!java.util.Arrays.equals(a8, a16),
+      "the two encodings must differ at the byte level")
+    val media = mediaRowsOf(Seq(
+      (1L, "audio", a8),                       // original
+      (2L, "audio", a16),                      // resampled re-encode
+      (3L, "audio", syntheticWav(toneB, 8000f)), // unrelated audio
+      (4L, "audio", payloadOf(9, 4096))))      // non-audio payload
+    val pairs = Multimodal.phashNearDupOf(media).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"resampled mirror not recovered; pairs ${pairs.keySet}")
+    // a few bits flip where the envelope gradient is near zero (the sign
+    // comparison is noise-sensitive exactly there); well inside m06's
+    // maxHamming=8 and far from an unrelated signal's ~32
+    assert(pairs((1L, 2L)) <= 4,
+      s"same energy contour should land a few bits apart, got ${pairs((1L, 2L))}")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "different audio must not pair")
+  }
+
   test("m06 bucket cap prunes floods into the dropped-bucket report") {
     val flood = payloadOf(7, 2048)
     val media = mediaRowsOf(

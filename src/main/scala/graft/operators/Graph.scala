@@ -345,6 +345,67 @@ object Graph {
     copurchaseFinish(supSize, common, top)
   }
 
+  /** g02b: sketch-triage co-purchase — the documented 100 TB alternative
+    * when even one wedge pass over the projection is unpayable (VERDICT
+    * r13 #3): instead of expanding fan² wedges per customer, treat each
+    * supplier's (fan-bounded) customer set as a document — customer ids
+    * hashed to 64-bit tokens — and run the EXISTING d02 MinHash-LSH
+    * machinery over it ([[graft.operators.Dedup.minhashPairsFromShingles]],
+    * skew guard and merge-walk verify included): candidates come from
+    * band buckets, the reported jaccard is the EXACT merge-walk value
+    * over the hashed sets, and wedge mass never exists at any point.
+    *
+    * Shuffle shape: the same single corpus shuffle as g02 (raw pairs by
+    * custkey) plus ONE |pairs| shuffle by suppkey to build per-supplier
+    * sorted customer-hash arrays; everything after is |suppliers|-sized
+    * banding plus bucket-bounded candidate work.
+    *
+    * Regime contract (GraphSpec pins both sides): on a SPARSE similarity
+    * graph — distinct supplier pairs separated in jaccard, the realistic
+    * 100 TB shape — recall vs the exact projection is the banding
+    * s-curve (≈1 above ~0.35 at 32×2) and the surfaced pairs' jaccards
+    * are exact. On a degenerate-DENSE graph (the sf0.1 trade projection
+    * is near-complete with all jaccards ≈ 0.25) the bucket cap prunes
+    * the near-tie mass by design — that regime is exactly where g02's
+    * exact wedge projection is the optimal plan, and the cap is what
+    * keeps the sketch path from silently reconstructing all-pairs work.
+    * Banding defaults (32 bands × 2 rows, s-curve midpoint ≈ 0.18) are
+    * tuned to surface the j ≳ 0.2 tail; `minJaccard` floors the exact
+    * verify.
+    */
+  def copurchaseSketch(s: SparkSession, dir: String,
+                       maxFan: Int = 64, minJaccard: Double = 0.2,
+                       top: Int = 50, bands: Int = 32, rows: Int = 2,
+                       maxBucket: Int = 64): DataFrame =
+    copurchaseSketchOf(tradePairsRaw(s, dir), maxFan, minJaccard, top,
+      bands, rows, maxBucket)
+
+  /** Core of [[copurchaseSketch]] over any (ck, sk) pair frame. */
+  def copurchaseSketchOf(pairsRaw: DataFrame,
+                         maxFan: Int = 64, minJaccard: Double = 0.2,
+                         top: Int = 50, bands: Int = 32, rows: Int = 2,
+                         maxBucket: Int = 64): DataFrame = {
+    val s = pairsRaw.sparkSession
+    import s.implicits._
+    // per-supplier sorted customer-HASH arrays over fan-bounded
+    // customers (the same exclusion as g02's wedge stage: a hub
+    // customer carries no similarity signal); hashed at explode time so
+    // the supplier-side shuffle and the stored arrays carry 8-byte
+    // tokens, exactly the shingle-hash discipline of the text path
+    val supCust = customerArrays(pairsRaw)
+      .filter(size($"sks") <= maxFan)
+      .select($"ck", explode($"sks").as("sk"))
+      .groupBy($"sk")
+      .agg(sort_array(collect_set(xxhash64($"ck"))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup
+      .minhashPairsFromShingles(supCust.select($"sk".as("doc_id"), $"sh"),
+        bands, rows, maxBucket, minJaccard)
+      .select($"doc_a".as("sk_a"), $"doc_b".as("sk_b"), $"jaccard")
+      .orderBy($"jaccard".desc, $"sk_a", $"sk_b")
+      .limit(top)
+  }
+
   def copurchaseSql(maxFan: Int = 64, minCommon: Long = 2, top: Int = 50): String =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
@@ -531,6 +592,8 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
     "g02_copurchase" -> ((s: SparkSession, d: String) => copurchase(s, d)),
+    "g02b_copurchase_sketch" ->
+      ((s: SparkSession, d: String) => copurchaseSketch(s, d)),
     "g03_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   val oracles: Map[String, String] = Map(

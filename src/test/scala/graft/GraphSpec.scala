@@ -64,6 +64,51 @@ class GraphSpec extends SparkSpec {
     co.unpersist()
   }
 
+  test("g02b sketch co-purchase recovers a planted sparse graph exactly") {
+    // 40 disjoint-customer suppliers (no similarity signal) + two planted
+    // overlapping pairs, separated in jaccard: (100, 101) at 80/120 ≈
+    // 0.667 and (102, 103) at 50/150 ≈ 0.333 — both above the 32×2
+    // banding midpoint (~0.18), so the sketch path must surface exactly
+    // the planted pairs with the EXACT jaccard the wedge projection
+    // computes (the sparse-regime contract in the g02b scaladoc).
+    val blocks: Map[Long, Seq[Long]] =
+      (0L until 40L).map(s => s -> (0L until 100L).map(c => s * 1000 + c)).toMap ++ Map(
+        100L -> ((0L until 80L).map(_ + 900000L) ++ (0L until 20L).map(_ + 910000L)),
+        101L -> ((0L until 80L).map(_ + 900000L) ++ (0L until 20L).map(_ + 920000L)),
+        102L -> ((0L until 50L).map(_ + 930000L) ++ (0L until 50L).map(_ + 940000L)),
+        103L -> ((0L until 50L).map(_ + 930000L) ++ (0L until 50L).map(_ + 950000L)))
+    val pairs = blocks.toSeq
+      .flatMap { case (sk, cks) => cks.map(ck => (ck, sk)) }
+      .toDF("ck", "sk")
+    val exact = operators.Graph.copurchaseOf(pairs, top = 5)
+      .select($"sk_a", $"sk_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sketch = operators.Graph.copurchaseSketchOf(pairs, top = 5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(sketch.keySet == Set((100L, 101L), (102L, 103L)),
+      s"planted pairs not recovered exactly: ${sketch.keySet}")
+    // the exact projection also surfaces only the planted overlap (all
+    // other supplier pairs share zero customers -> below minCommon)
+    assert(exact.keySet == sketch.keySet)
+    sketch.foreach { case (k, j) =>
+      assert(math.abs(j - exact(k)) < 1e-5,
+        s"$k: sketch jaccard $j vs exact ${exact(k)}")
+    }
+  }
+
+  test("g02b on the real corpus: exact jaccards, floored, canonical") {
+    val rows = operators.Graph.copurchaseSketch(spark, sf).collect()
+    // dense near-tie mass may be cap-pruned (documented regime contract)
+    // but every surfaced pair must carry an exact, floored jaccard
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      val j = r.getDouble(2)
+      assert(j >= 0.2 && j <= 1.0 + 1e-9, s"jaccard $j outside [minJaccard, 1]")
+    }
+  }
+
   test("q36 cdc merge applies latest-wins upserts and drops deletes") {
     val merged = pipeline.Relational.cdcMerge(spark, sf)
       .persist()

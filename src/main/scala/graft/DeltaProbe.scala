@@ -30,11 +30,26 @@ object DeltaProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def drop(t: String): Unit = spark.sql(s"DROP TABLE IF EXISTS $t")
+    // DROP TABLE alone is not enough: a crashed prior JVM leaves the
+    // warehouse DIRECTORY behind with no entry in this run's fresh
+    // metastore, and the next CTAS dies with LOCATION_ALREADY_EXISTS —
+    // so always clear the location too.
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def drop(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(warehouse, t.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     def dropFamily(prefix: String): Unit =
-      Seq("_bands", "_shingles", "_segdigests", "_grams", "_vectors",
+      Seq("_bands", "_shingles", "_segdigests", "_grams", "_vecs",
         "_docdigests", "_sub_grams", "_seg_segdigests", "_seg_bands",
-        "_seg_shingles", "_doc_bands", "_doc_shingles", "_sem_vectors")
+        "_seg_shingles", "_doc_bands", "_doc_shingles", "_sem_vecs")
         .foreach(sfx => drop(prefix + sfx))
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -25,6 +25,22 @@ object StreamProbe {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+    // A crashed prior JVM can leave probe-table warehouse DIRECTORIES
+    // behind with no entry in this run's fresh metastore; DROP TABLE
+    // alone then leaves the next CTAS to die with
+    // LOCATION_ALREADY_EXISTS, so clear stale locations up front.
+    locally {
+      val warehouse = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Option(warehouse.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("probe_") &&
+            !spark.catalog.tableExists(f.getName)) rm(f)
+      })
+    }
+
     // recentProgress keeps the last 100 entries — one trigger per wave
     // stays well inside that window at the default 10 waves.
     def report(name: String, q: StreamingQuery, totalRows: Long,

@@ -22,16 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object GenCorpus {
 
+  /** The common-tier vocabulary: 50 REAL English words (including the
+    * five t22 stopwords) rather than synthetic `c<k>` markers, so the
+    * generated corpus survives the Gopher stopword-evidence rule and the
+    * curation DAG's quality gate kills at a realistic rate instead of
+    * 100% — with an all-synthetic vocabulary every doc dies at
+    * t22_t20_quality and the p07 sf1/sf10 bench runs its entire tail
+    * (PII / mixture / packing / scheduling) on EMPTY frames. The words
+    * are pairwise distinct and disjoint from the rare (`r<k>`) and
+    * mutation (`m<k>`) tiers, so the h%50 mapping stays injective and
+    * every planted-pair Jaccard invariant is byte-for-byte the same
+    * structure as before the swap.
+    */
+  private val CommonVocab: Seq[String] = Seq(
+    "the", "a", "of", "and", "is",
+    "data", "model", "train", "token", "text", "word", "with", "from",
+    "that", "this", "have", "will", "time", "more", "other", "about",
+    "into", "over", "under", "scale", "learn", "deep", "layer", "batch",
+    "sample", "filter", "query", "value", "index", "score", "count",
+    "group", "table", "quick", "brown", "fox", "jumps", "lazy", "dog",
+    "river", "stone", "cloud", "light", "night", "green")
+
   /** Token sequence for a doc id, derivable for any id column — the dup
     * rows re-derive their base doc's tokens from its id. 30–90 tokens;
-    * 75% draws from a 50-word common tier, 25% from a 5000-word rare
-    * tier (the skew that makes n-gram/df statistics non-degenerate).
+    * 75% draws from the 50-word common tier above, 25% from a 5000-word
+    * rare tier (the skew that makes n-gram/df statistics non-degenerate).
     */
   private def tokensFor(id: Column): Column = {
+    val common = array(CommonVocab.map(lit): _*)
     val n = pmod(xxhash64(id, lit(1)), lit(61)) + lit(30)
     transform(sequence(lit(0), (n - 1).cast("int")), { j =>
       val h = pmod(xxhash64(id, j, lit(2)), lit(1000000L))
-      when(h % 100 < 75, concat(lit("c"), (h % 50).cast("string")))
+      when(h % 100 < 75, element_at(common, (h % 50).cast("int") + 1))
         .otherwise(concat(lit("r"), ((h / 100) % 5000).cast("string")))
     })
   }

@@ -145,23 +145,18 @@ object CorpusPipeline {
     * second hash, summed per bucket. Cosine over these is unigram-
     * distribution similarity — the doc-granular stand-in for a model
     * embedding that keeps the semantic stage runnable (and bit-stable)
-    * on a text-only corpus. Two partial-aggregatable shuffles on doc_id;
-    * no window, no collect.
+    * on a text-only corpus. ZERO shuffles: the whole vector is document-
+    * local, so it's one codegen'd pass per row
+    * ([[org.apache.spark.sql.graft.HashedBowVector]], bit-identical to
+    * the explode → double-groupBy form it replaces, whose token-stream
+    * exchanges were the t11-class disease inside the semantic stage).
     */
   private[graft] def hashedDocVectors(docs: DataFrame, dim: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select($"doc_id", explode(split($"text", " ")).as("w"))
-      .select($"doc_id",
-        pmod(xxhash64($"w"), lit(dim.toLong)).cast("int").as("j"),
-        when(pmod(xxhash64(concat($"w", lit("#sign"))), lit(2L)) === 0,
-          lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
-      .groupBy($"doc_id", $"j").agg(sum($"sgn").as("x"))
-      .groupBy($"doc_id")
-      .agg(map_from_entries(collect_list(struct($"j", $"x"))).as("m"))
-      .select($"doc_id".as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at($"m", j), lit(0.0))).as("v"))
+    docs.select($"doc_id".as("vec_id"),
+      org.apache.spark.sql.graft.GraftFunctions
+        .hashed_bow_vector($"text", dim).as("v"))
   }
 
   /** The full curation DAG. `benchmark` is the held-out eval set the

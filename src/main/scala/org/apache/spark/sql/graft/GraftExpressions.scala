@@ -581,6 +581,36 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  private val signSuffix = UTF8String.fromString("#sign")
+
+  /** Hashed bag-of-words vector of a document in ONE map-side pass —
+    * v[pmod(xxhash64(w), dim)] += (pmod(xxhash64(w ++ "#sign"), 2) == 0
+    * ? +1 : -1) over the space-split tokens, bit-identical to the
+    * explode → groupBy((doc, j)) → groupBy(doc) DataFrame form it
+    * replaces (same xxhash64 seed-42 string hashing), whose full
+    * token-stream shuffle was the t11-class disease inside the curation
+    * DAG's semantic stage: two corpus-token-sized exchanges for a
+    * document-LOCAL computation.
+    */
+  def hashedBowVector(text: UTF8String, dim: Int): ArrayData = {
+    val words = text.split(space, -1)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val j = {
+        val m = hashUtf8(w, 42L) % dim
+        (if (m < 0) m + dim else m).toInt
+      }
+      val sgn =
+        if ((hashUtf8(UTF8String.concat(w, signSuffix), 42L) & 1L) == 0L) 1.0
+        else -1.0
+      v(j) += sgn
+      i += 1
+    }
+    new GenericArrayData(v)
+  }
+
   /** Per-document adjacent-bigram counts — array<struct<w1, w2, n>>,
     * first-occurrence order, one map-side pass (t17's input: local
     * counting collapses within-doc repeats before the corpus groupBy, and
@@ -1041,6 +1071,22 @@ case class BigramCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hashed bag-of-words vector of a document (see hashing.hashedBowVector)
+  * — array<double> of length `dim`, computed map-side.
+  */
+case class HashedBowVector(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.hashedBowVector(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.hashedBowVector($a, $dim);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Min-label connected components of a bounded edge list (see
   * hashing.componentLabels) — array<struct<vec_id, cluster_id>>.
   */
@@ -1170,6 +1216,8 @@ object GraftFunctions {
   def ordered_pairs(arr: Column): Column = col(OrderedPairs(e(arr)))
   def component_labels(edges: Column): Column = col(ComponentLabels(e(edges)))
   def word_counts(text: Column): Column = col(WordCounts(e(text)))
+  def hashed_bow_vector(text: Column, dim: Int): Column =
+    col(HashedBowVector(e(text), dim))
   def bigram_counts(text: Column): Column = col(BigramCounts(e(text)))
 
   /** Spark's internal Bloom pair (the machinery behind its own runtime

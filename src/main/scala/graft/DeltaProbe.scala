@@ -55,21 +55,35 @@ object DeltaProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Fixed delta: deltaN/2 exact replicas of BASE docs (ids shifted far
-    // above any corpus id so they are the "later" element everywhere) +
-    // deltaN/2 novel docs. Identical across scales by construction.
-    val replicas = Tables.documents(spark, baseDir)
-      .orderBy($"doc_id").limit(deltaN / 2)
-      .select(($"doc_id" + 900000000L).as("doc_id"), $"source", $"text")
-    val novel = GenCorpus.generate(spark, (deltaN - deltaN / 2).toLong, 0)
-      .select(($"doc_id" + 950000000L).as("doc_id"), $"source", $"text")
-    val delta = replicas.unionByName(novel).localCheckpoint()
-    val nDelta = delta.count()
-    println(s"""{"probe":"delta_batch","n_delta":$nDelta}""")
+    // Fixed-SIZE delta, built PER SCALE: deltaN/2 exact replicas of the
+    // scale-under-test's own docs (ids shifted far above any corpus id
+    // so they are the "later" element everywhere) + deltaN/2 novel docs.
+    // Both halves follow the r13-ADVICE contract the semantic leg
+    // already honors — every replica must surface its STORED partner at
+    // each scale, and every novel doc must miss:
+    //  - replicas from baseDir against the x10 store measured a
+    //    miss-only workload (the x10 GenScale corpus shares no text
+    //    with testdata), so hits==0 and the x1-vs-x10 flatness
+    //    comparison mixed hit-heavy against miss-only;
+    //  - the novel half generates at an id OFFSET disjoint from any
+    //    GenScale store's id range: generate() derives TEXT from
+    //    doc_id, so novel docs at ids 0..249 would be byte-identical
+    //    to the x10 store's first 250 docs and "novel" would silently
+    //    mean "exact dup" there.
+    println(s"""{"probe":"delta_batch","n_delta":$deltaN}""")
 
     Seq("x1" -> baseDir, "x10" -> bigDir).foreach { case (tag, dir) =>
       val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
       val nStored = docs.count()
+      val replicas = Tables.documents(spark, dir)
+        .orderBy($"doc_id").limit(deltaN / 2)
+        .select(($"doc_id" + 900000000L).as("doc_id"), $"source", $"text")
+      val novel = GenCorpus
+        .generate(spark, (deltaN - deltaN / 2).toLong, 0,
+          idOffset = 950000000L)
+        .select($"doc_id", $"source", $"text")
+      val delta = replicas.unionByName(novel).localCheckpoint()
+      require(delta.count() == deltaN, s"delta size drifted at $tag")
       val dtext = delta.select($"doc_id", $"text")
 
       // doc-granularity minhash band index (d14's store)
@@ -79,6 +93,11 @@ object DeltaProbe {
         var hits = 0L
         val p = time { hits = operators.Dedup
           .dedupDelta(spark, s"dprobe_doc_$tag", dtext).count() }
+        // every replica is an exact dup of a stored doc (identical bands,
+        // jaccard 1.0) — same loud-failure contract as the semantic leg,
+        // with the same oversized-bucket-drop slack.
+        require(hits >= deltaN / 2 * 9 / 10,
+          s"dedup $tag: only $hits of ${deltaN / 2} replica probes hit — miss-only run")
         println(f"""{"probe":"delta_dedup_$tag","stored":$nStored,"build_sec":$b%.2f,"probe_sec":$p%.2f,"hits":$hits}""")
         dropFamily(s"dprobe_doc_$tag"); spark.catalog.clearCache()
       }
@@ -91,6 +110,9 @@ object DeltaProbe {
         val p = time { gated = operators.Dedup
           .segmentDeltaFull(spark, s"dprobe_seg_$tag", dtext)
           .filter($"kept_ratio" < 0.5).count() }
+        // every replica's segments are ALL stored verbatim → kept_ratio 0
+        require(gated >= deltaN / 2 * 9 / 10,
+          s"segment $tag: only $gated of ${deltaN / 2} replicas gated — miss-only run")
         println(f"""{"probe":"delta_segment_$tag","stored":$nStored,"build_sec":$b%.2f,"probe_sec":$p%.2f,"gated":$gated}""")
         dropFamily(s"dprobe_seg_$tag"); spark.catalog.clearCache()
       }

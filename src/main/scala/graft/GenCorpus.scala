@@ -72,7 +72,7 @@ object GenCorpus {
   }
 
   def generate(spark: org.apache.spark.sql.SparkSession, nBase: Long,
-      dupPct: Int): DataFrame = {
+      dupPct: Int, idOffset: Long = 0L): DataFrame = {
     import spark.implicits._
     // The stride construction below is collision-free only for dupPct in
     // [0, 50]; >= 100 divides by zero and (50, 100) silently points
@@ -80,14 +80,21 @@ object GenCorpus {
     // invariant every probe number relies on.
     require(dupPct >= 0 && dupPct <= 50,
       s"dupPct must be in [0, 50], got $dupPct")
-    val base = spark.range(nBase).select($"id".as("doc_id"))
+    // idOffset shifts the TEXT derivation, not just the ids: texts are
+    // tokensFor(doc_id), so two generate() calls with overlapping id
+    // ranges emit byte-identical documents. A probe that wants docs
+    // NOVEL relative to another generated corpus (DeltaProbe's delta
+    // against a GenScale store — both start at id 0) must offset into
+    // disjoint id space or its "novel" half silently exact-collides.
+    val base = spark.range(nBase).select(($"id" + idOffset).as("doc_id"))
       .select(col("doc_id") :: finish(tokensFor($"doc_id")): _*)
     val nDup = nBase * dupPct / (100 - dupPct)
     // spread the dup'd bases across the id space (stride keeps them
     // collision-free for any dupPct ≤ 50)
     val stride = math.max(nBase / math.max(nDup, 1L), 1L)
     val dups = spark.range(nDup)
-      .select(($"id" + nBase).as("doc_id"), ($"id" * stride).as("src_id"))
+      .select(($"id" + idOffset + nBase).as("doc_id"),
+        ($"id" * stride + idOffset).as("src_id"))
       .withColumn("toks", tokensFor($"src_id"))
       .withColumn("mut", concat($"toks", array(
         concat(lit("m"), pmod(xxhash64($"doc_id", lit(7)), lit(1000)).cast("string")),

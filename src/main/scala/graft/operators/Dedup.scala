@@ -122,25 +122,27 @@ object Dedup {
     val docs = shingled.filter(size($"sh") > 0)
     val banded = minhashBandedFrom(docs, bands, rows)
 
-    // Bucket populations as a partial-aggregatable groupBy joined back
-    // onto the banding stream — NOT a window partitioned by the bucket
-    // key: a window funnels an entire hot bucket (under boilerplate
-    // skew, a constant FRACTION of all banding rows) through one
-    // sort-everything task that AQE cannot split, while the join-back is
-    // an ordinary skewed join AQE re-plans at runtime. The aggregate also
-    // carries each bucket's min doc_id, the representative the
-    // oversized-link mode stars against.
-    val bucketStats = banded.groupBy($"band", $"band_hash")
-      .agg(count(lit(1)).as("bucket_n"), min($"doc_id").as("rep"))
-    val bucketed = banded
-      .join(bucketStats.filter($"bucket_n" >= 2 && $"bucket_n" <= maxBucket),
-        Seq("band", "band_hash"))
-
-    val a = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_a"))
-    val b = bucketed.select($"band", $"band_hash", $"doc_id".as("doc_b"))
-    val allPairs = a.join(b, Seq("band", "band_hash"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
+    // ONE partial-aggregatable shuffle of the banding stream settles
+    // every bucket: exact population, exact min-id representative, and
+    // the member list CAPPED at maxBucket+1 entries (CappedCollectLong
+    // — complete precisely when the bucket is under the cap, which is
+    // the only case pair expansion reads it). Under boilerplate skew a
+    // hot bucket's buffer still never exceeds maxBucket+1 longs and
+    // partial aggregation collapses the hot key map-side before the
+    // exchange — the skew-safety the former stats-groupBy + join-back +
+    // self-join shape bought by re-reading the banding stream three
+    // times. Measured at sf1 (BandProbe, r14): 2.4-3× faster with
+    // bit-identical pairs; Spark's own collect_list would instead
+    // buffer the full hot bucket (the OOM shape the cap exists to
+    // prevent).
+    val buckets = banded.groupBy($"band", $"band_hash")
+      .agg(org.apache.spark.sql.graft.GraftFunctions
+        .capped_collect_long($"doc_id", maxBucket + 1).as("cb"))
+    val allPairs = buckets
+      .filter($"cb.n" >= 2 && $"cb.n" <= maxBucket)
+      .select(explode(org.apache.spark.sql.graft.GraftFunctions
+        .ordered_pairs(sort_array($"cb.members"))).as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
 
     // Oversized buckets: default is drop-with-observability
     // (minhashDroppedBuckets reports them; exact dedup upstream owns
@@ -149,11 +151,15 @@ object Dedup {
     // rows, never the O(bucket_n²) all-pairs grind — so a hot NEAR-dup
     // template (distinct texts, no exact-stage collapse) is still
     // flagged; transitive closure via dedupClusters recovers
-    // member-member edges through the shared representative.
+    // member-member edges through the shared representative. Membership
+    // past the cap is not in the capped list, so this leg re-derives
+    // banding rows for JUST the oversized bucket keys — a handful of
+    // hot keys in any healthy corpus (AQE broadcasts the key set).
     val candidates = (if (!oversizedLink) allPairs else {
-      val starred = banded
-        .join(bucketStats.filter($"bucket_n" > maxBucket),
-          Seq("band", "band_hash"))
+      val over = buckets.filter($"cb.n" > maxBucket)
+        .select($"band", $"band_hash", $"cb.rep".as("rep"))
+      val starred = minhashBandedFrom(docs, bands, rows)
+        .join(over, Seq("band", "band_hash"))
         .filter($"doc_id" =!= $"rep")
         .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
       allPairs.unionByName(starred)

@@ -1107,6 +1107,104 @@ case class ComponentLabels(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Mutable buffer for [[CappedCollectLong]]: exact count + exact min +
+  * the first `cap` values seen (complete whenever count <= cap).
+  */
+final class CappedLongBuffer(val cap: Int) {
+  var n: Long = 0L
+  var min: Long = Long.MaxValue
+  var len: Int = 0
+  var buf: Array[Long] = new Array[Long](math.min(cap, 16))
+  def add(v: Long): Unit = {
+    n += 1
+    if (v < min) min = v
+    if (len < cap) {
+      if (len == buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, buf.length * 2))
+      buf(len) = v
+      len += 1
+    }
+  }
+}
+
+/** Bucket-membership aggregate with BOUNDED state: exact population `n`,
+  * exact min-id representative `rep`, and the member list capped at
+  * `cap` entries — complete precisely when n <= cap, which is the only
+  * case downstream pair expansion reads it. The banding pipelines
+  * group millions of (band, band_hash) buckets whose members they need
+  * only when the bucket is under the skew cap; Spark's own collect_list
+  * would buffer a 100k-member hot-boilerplate bucket in full (the OOM
+  * shape the cap exists to prevent), while this buffer never exceeds
+  * `cap` longs for ANY key and partial aggregation collapses hot keys
+  * map-side before the exchange.
+  */
+case class CappedCollectLong(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[CappedLongBuffer] with ExpectsInputTypes {
+  require(cap >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("rep", LongType, nullable = false),
+    StructField("members", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def createAggregationBuffer(): CappedLongBuffer =
+    new CappedLongBuffer(cap)
+  override def update(b: CappedLongBuffer, input: InternalRow): CappedLongBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: CappedLongBuffer, o: CappedLongBuffer): CappedLongBuffer = {
+    b.n += o.n
+    if (o.min < b.min) b.min = o.min
+    var i = 0
+    while (i < o.len && b.len < b.cap) {
+      if (b.len == b.buf.length)
+        b.buf = java.util.Arrays.copyOf(b.buf, math.min(b.cap, b.buf.length * 2))
+      b.buf(b.len) = o.buf(i)
+      b.len += 1
+      i += 1
+    }
+    b
+  }
+  override def eval(b: CappedLongBuffer): Any =
+    new GenericInternalRow(Array[Any](b.n, b.min,
+      new GenericArrayData(java.util.Arrays.copyOf(b.buf, b.len))))
+  override def serialize(b: CappedLongBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + 8 * b.len)
+    bb.putLong(b.n).putLong(b.min).putInt(b.len)
+    var i = 0
+    while (i < b.len) { bb.putLong(b.buf(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): CappedLongBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new CappedLongBuffer(cap)
+    b.n = bb.getLong()
+    b.min = bb.getLong()
+    val len = bb.getInt()
+    b.buf = new Array[Long](math.max(len, 1))
+    var i = 0
+    while (i < len) { b.buf(i) = bb.getLong(); i += 1 }
+    b.len = len
+    b
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Ordered element pairs of an ascending long array (see
   * hashing.orderedPairs) — array<struct<a, b>> with a < b.
   */
@@ -1218,6 +1316,8 @@ object GraftFunctions {
   def word_counts(text: Column): Column = col(WordCounts(e(text)))
   def hashed_bow_vector(text: Column, dim: Int): Column =
     col(HashedBowVector(e(text), dim))
+  def capped_collect_long(c: Column, cap: Int): Column =
+    col(CappedCollectLong(e(c), cap).toAggregateExpression())
   def bigram_counts(text: Column): Column = col(BigramCounts(e(text)))
 
   /** Spark's internal Bloom pair (the machinery behind its own runtime

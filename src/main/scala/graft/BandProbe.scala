@@ -31,7 +31,7 @@ object BandProbe {
     val meta = operators.Dedup.segmentHashFrame(docs, 10)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     meta.count()
-    val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord")).select($"ord")
+    val keeperOrds = meta.groupBy($"h", $"h2").agg(min($"ord").as("ord")).select($"ord")
     val keepers = meta.join(keeperOrds, Seq("ord"))
       .select($"ord".as("doc_id"), $"sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

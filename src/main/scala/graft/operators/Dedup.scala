@@ -632,10 +632,14 @@ object Dedup {
     * Sizing: `planes` must GROW with the corpus — bucket count is
     * 2^planes, and the pair stage verifies within buckets, so target
     * 2^planes ≈ corpus size / expected bucket size (e.g. 100M vectors at
-    * ~1k per bucket → planes ≈ 17). The default planes=8 / maxBucket=512
-    * fits the test SFs; at 100M+ vectors it would mark most of the corpus
-    * oversized (`semanticDroppedBuckets` surfaces this loudly) — raise
-    * planes first, maxBucket second.
+    * ~1k per bucket → planes ≈ 17). This rule is WIRED (r15): every
+    * dir-keyed entry point defaults to `planes = 0`, which derives the
+    * count via [[scaledPlanes]] — 8 at the test SFs (so the planes=8
+    * DuckDB oracle stays bit-comparable), 10 at sf10's 200k vectors, 19
+    * at 100M. A fixed planes=8 at 100M+ vectors would mark most of the
+    * corpus oversized (`semanticDroppedBuckets` surfaces this loudly;
+    * PlanesProbe measures the cliff) — planes scales first, maxBucket
+    * stays the skew guard.
     */
   /** Sign-partition bucket id over a double-array column `v`: bit p =
     * sign of the projection onto the p-th md5-family ±1 hyperplane
@@ -721,9 +725,41 @@ object Dedup {
       .select($"bucket", $"vec_a", $"vec_b", $"cos")
   }
 
-  def semanticDedup(s: SparkSession, dir: String, planes: Int = 8,
-      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame =
-    semanticPairsFrom(semanticBucketed(s, dir, planes, dim), minCos, maxBucket)
+  /** The "planes must grow with the corpus" sizing rule, WIRED (VERDICT
+    * r14 #1 — it was documentation-only before): target 2^planes ≈
+    * corpus / targetFill with targetFill = maxBucket/2, floored at
+    * `minPlanes` so the test-scale partition (and the cross-engine
+    * planes=8 oracle that depends on it) is unchanged below ~65k
+    * vectors. At fixed planes the per-bucket population grows linearly
+    * with the corpus: by sf10 (200k vectors, 2^8 buckets) mean fill
+    * ~780 already exceeds maxBucket=512 — a growing fraction of buckets
+    * cap-drops, and at 100× essentially every bucket does, silently
+    * zeroing recall (100M vectors → planes 19 here, ~2k× more buckets).
+    * Every dir-keyed semantic entry point derives planes through this
+    * when the caller passes `planes = 0` (their default); explicit
+    * values pin the partition for oracle parity and A/B probes.
+    */
+  def scaledPlanes(n: Long, maxBucket: Int = 512, minPlanes: Int = 8): Int = {
+    val targetFill = math.max(1.0, maxBucket / 2.0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n / targetFill)) / math.log(2.0)).toInt
+    math.max(minPlanes, needed)
+  }
+
+  /** planes=0 → corpus-derived via [[scaledPlanes]]; the embeddings
+    * count is parquet-footer metadata, one bounded scalar (the IvfIndex
+    * exception).
+    */
+  private def resolvePlanes(s: SparkSession, dir: String, planes: Int,
+      maxBucket: Int): Int =
+    if (planes > 0) planes
+    else scaledPlanes(Tables.embeddings(s, dir).count(), maxBucket)
+
+  def semanticDedup(s: SparkSession, dir: String, planes: Int = 0,
+      dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512): DataFrame = {
+    val p = resolvePlanes(s, dir, planes, maxBucket)
+    semanticPairsFrom(semanticBucketed(s, dir, p, dim), minCos, maxBucket)
+  }
 
   /** Public core of the d11 pair stage over any (vec_id, v: array<double>)
     * frame — p07's doc-granular semantic gate composes this over hashed
@@ -756,12 +792,13 @@ object Dedup {
     * template embeddings, say) surfaces here — raise the cap or route
     * it to a per-bucket canonical pick instead of pairwise verify.
     */
-  def semanticDroppedBuckets(s: SparkSession, dir: String, planes: Int = 8,
+  def semanticDroppedBuckets(s: SparkSession, dir: String, planes: Int = 0,
       dim: Int = 64, maxBucket: Int = 512): DataFrame = {
     import s.implicits._
+    val p = resolvePlanes(s, dir, planes, maxBucket)
     Tables.embeddings(s, dir)
       .select(asDouble($"embedding").as("v"))
-      .select(signBucket($"v", planes, dim).as("bucket"))
+      .select(signBucket($"v", p, dim).as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("bucket_n"))
       .filter($"bucket_n" > maxBucket)
       .orderBy($"bucket")
@@ -856,9 +893,10 @@ object Dedup {
 
   /** Probe-only accessor for Bench/probes: the candidate frame alone. */
   private[graft] def semanticMultiprobeCandidates(s: SparkSession,
-      dir: String, planes: Int = 8, dim: Int = 64, maxBucket: Int = 512,
+      dir: String, planes: Int = 0, dim: Int = 64, maxBucket: Int = 512,
       nprobe: Int = 3): DataFrame =
-    multiprobeCandFrom(semanticProbed(s, dir, planes, dim, nprobe), maxBucket)
+    multiprobeCandFrom(semanticProbed(s, dir,
+      resolvePlanes(s, dir, planes, maxBucket), dim, nprobe), maxBucket)
 
   private def semanticPairsMultiprobeFrom(probed: DataFrame, minCos: Double,
       maxBucket: Int, quantPrefilter: Boolean = true): DataFrame = {
@@ -924,12 +962,12 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 8,
+  def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 0,
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
       nprobe: Int = 3, quantPrefilter: Boolean = true): DataFrame =
     semanticPairsMultiprobeFrom(
-      semanticProbed(s, dir, planes, dim, nprobe), minCos, maxBucket,
-      quantPrefilter)
+      semanticProbed(s, dir, resolvePlanes(s, dir, planes, maxBucket), dim,
+        nprobe), minCos, maxBucket, quantPrefilter)
 
   /** Same md5-parity hyperplane family as d11's oracle, extended with the
     * probe construction: per-vector margins, flipped buckets for the two
@@ -1043,16 +1081,17 @@ object Dedup {
     * identical on both paths, so the canonical-routing branch composes
     * unchanged.
     */
-  def semanticClusters(s: SparkSession, dir: String, planes: Int = 8,
+  def semanticClusters(s: SparkSession, dir: String, planes: Int = 0,
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
       oversizedCanonical: Boolean = false, nprobe: Int = 1): DataFrame = {
     import s.implicits._
+    val planesR = resolvePlanes(s, dir, planes, maxBucket)
     // Build ONLY the candidate frame this path reads: the probe frame
     // subsumes the bucketed frame (same bucket family plus the probe
     // array), so the multi-probe path never builds both.
     val candidates =
-      if (nprobe > 1) semanticProbed(s, dir, planes, dim, nprobe)
-      else semanticBucketed(s, dir, planes, dim)
+      if (nprobe > 1) semanticProbed(s, dir, planesR, dim, nprobe)
+      else semanticBucketed(s, dir, planesR, dim)
     // Single-probe pairs NEVER cross buckets (both members of every edge
     // share the bucket join key), so each component is confined to one
     // bucket and clustering runs as a per-bucket union-find over the
@@ -1995,11 +2034,12 @@ object Dedup {
     // — the former shape segmented the corpus twice (a digest pass and a
     // keeper-text pass) and paid per-segment md5 string work; this frame
     // is the only corpus-sized cache and holds nothing but hashes.
-    // Digest h is xxhash64 of the segment text (grouping-equivalent to
-    // the md5 it replaces, at the wordShingleHashes collision-odds
-    // contract); the shingle hashes are value-identical to the old
-    // keeper-side word_shingle_hashes, so banding, bucket caps, and the
-    // Jaccard verify reproduce the previous pair set bit-for-bit.
+    // The exact digest is the PAIR (h, h2) of independent-seed xxhash64s
+    // — 128 collision bits, matching the md5 contract it replaced (the
+    // d19b two-family discipline; ADVICE r14) — and the shingle hashes
+    // are value-identical to the old keeper-side word_shingle_hashes,
+    // so banding, bucket caps, and the Jaccard verify reproduce the
+    // previous pair set bit-for-bit.
     val meta = segmentHashFrame(documents.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (ords, keeperCache) = segmentDupOrdsFromHashes(meta, bands, rows,
@@ -2022,7 +2062,7 @@ object Dedup {
       .select($"doc_id", posexplode(org.apache.spark.sql.graft.GraftFunctions
         .segment_shingle_hashes($"text", width, 3)))
       .select($"doc_id", (shiftleft($"doc_id", 32) + $"pos").as("ord"),
-        $"col.h".as("h"), $"col.sh".as("sh"))
+        $"col.h".as("h"), $"col.h2".as("h2"), $"col.sh".as("sh"))
   }
 
   /** The flagged (ord) set over a persisted [[segmentHashFrame]]:
@@ -2034,7 +2074,11 @@ object Dedup {
       rows: Int, maxBucket: Int, minJaccard: Double): (DataFrame, DataFrame) = {
     val s = meta.sparkSession
     import s.implicits._
-    val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
+    // Exact-equality key is the independent-seed digest PAIR (h, h2) —
+    // 128 collision bits, the d19b discipline; a single 64-bit key
+    // silently drops a non-duplicate segment with nonzero expectation
+    // at ~10¹⁰ segments (ADVICE r14).
+    val keeperOrds = meta.groupBy($"h", $"h2").agg(min($"ord").as("ord"))
       .select($"ord")
     val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
       .select($"ord")
@@ -2656,13 +2700,22 @@ object Dedup {
     * rule: 2^planes distinct keys would cap parallelism).
     */
   def writeSemanticIndex(vectors: DataFrame, table: String,
-      buckets: Int = 8, planes: Int = 12, maxBucket: Int = 512): Unit = {
+      buckets: Int = 8, planes: Int = 0, maxBucket: Int = 512): Unit = {
     val s = vectors.sparkSession
     import s.implicits._
+    // planes=0 (default) → corpus-derived (VERDICT r14 #1): the index
+    // writer is exactly where a fixed plane count rots — the corpus
+    // grows across reindexes while 2^planes stays put, so fill climbs
+    // until every bucket cap-drops. minPlanes=12 keeps the historical
+    // stored-path default at small corpora; the derived value is
+    // PERSISTED in `${table}_vecmeta` so appends and probes address the
+    // same partition without the caller re-supplying it.
+    val p = if (planes > 0) planes
+      else scaledPlanes(vectors.count(), maxBucket, minPlanes = 12)
     val bucketed = vectors
       .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
       .withColumn("bucket",
-        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", planes))
+        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", p))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eligible = bucketed.groupBy($"bucket")
       .agg(count(lit(1)).as("bn")).filter($"bn" <= maxBucket)
@@ -2672,9 +2725,20 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "bucket").sortBy("bucket")
       .format("parquet").saveAsTable(s"${table}_vecs")
+    Seq((p, maxBucket)).toDF("planes", "max_bucket")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_vecmeta")
     bucketed.unpersist()
     ()
   }
+
+  /** The plane count a [[writeSemanticIndex]] table was written with —
+    * one driver-side row from the `_vecmeta` sidecar; pre-sidecar
+    * indexes fall back to the historical default 12.
+    */
+  private def storedPlanes(spark: SparkSession, table: String): Int =
+    try spark.table(s"${table}_vecmeta").head().getInt(0)
+    catch { case _: Throwable => 12 }
 
   /** Probe a delta embedding batch against a [[writeSemanticIndex]]
     * corpus index: the delta's home bucket PLUS its `nprobe - 1`
@@ -2686,14 +2750,17 @@ object Dedup {
     * O(delta) + candidate-sized work regardless of corpus size.
     */
   def semanticDelta(spark: SparkSession, table: String, delta: DataFrame,
-      planes: Int = 12, nprobe: Int = 3, minCos: Double = 0.9): DataFrame = {
+      planes: Int = 0, nprobe: Int = 3, minCos: Double = 0.9): DataFrame = {
     import spark.implicits._
+    // planes=0 → the value the index was written with (_vecmeta): probe
+    // and store MUST share the partition or every lookup misses.
+    val p = if (planes > 0) planes else storedPlanes(spark, table)
     val probes = delta
       .select($"vec_id".as("new_id"),
         graft.functions.VectorFunctions.asDouble($"embedding").as("nv"))
       .withColumn("bucket", explode(
         org.apache.spark.sql.graft.GraftFunctions
-          .hyperplane_probes($"nv", planes, nprobe)))
+          .hyperplane_probes($"nv", p, nprobe)))
     spark.table(s"${table}_vecs")
       .select($"bucket", $"vec_id".as("corpus_id"), $"v".as("cv"))
       .join(probes, Seq("bucket"))
@@ -2719,13 +2786,14 @@ object Dedup {
     * tolerated: [[semanticDelta]] collapses duplicate candidates.
     */
   def appendSemanticIndex(vectors: DataFrame, table: String,
-      buckets: Int = 8, planes: Int = 12): Unit = {
+      buckets: Int = 8, planes: Int = 0): Unit = {
     val s = vectors.sparkSession
     import s.implicits._
+    val p = if (planes > 0) planes else storedPlanes(s, table)
     vectors
       .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
       .withColumn("bucket",
-        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", planes))
+        org.apache.spark.sql.graft.GraftFunctions.hyperplane_sig($"v", p))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "bucket").sortBy("bucket")
       .format("parquet").saveAsTable(s"${table}_vecs")

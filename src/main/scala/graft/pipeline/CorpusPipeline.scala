@@ -115,7 +115,10 @@ object CorpusPipeline {
       // see Config.nearDupStarMode — default ON for the same SkewProbe
       // evidence (drop mode silently passes hot-template near-dup mass)
       nearDupStarMode: Boolean = true,
-      semPlanes: Int = 8,
+      // 0 = corpus-derived via Dedup.scaledPlanes at the semantic
+      // stage's input count (8 at test scale, grows with the corpus —
+      // VERDICT r14 #1); explicit values pin the partition
+      semPlanes: Int = 0,
       semDim: Int = 64,
       semMinCos: Double = 0.9,
       semMaxBucket: Int = 512,
@@ -311,9 +314,11 @@ object CorpusPipeline {
 
     // d12-style semantic gate over hashed doc vectors; same
     // drop-the-later-element policy as the d02 stage.
+    val semPlanes = if (cfg.semPlanes > 0) cfg.semPlanes
+      else Dedup.scaledPlanes(nNd, cfg.semMaxBucket)
     val (semPairs, semBucketed) = Dedup
       .semanticPairsHandle(hashedDocVectors(afterNd, cfg.semDim),
-        cfg.semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
+        semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
     val semLosers = semPairs.select($"vec_b".as("doc_id")).distinct()
     val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
       afterNd.join(semLosers, Seq("doc_id"), "left_anti"))
@@ -323,7 +328,7 @@ object CorpusPipeline {
     stateTable.foreach(t => Dedup.writeSemanticIndex(
       hashedDocVectors(afterNd, cfg.semDim)
         .select($"vec_id", $"v".as("embedding")),
-      s"${t}_sem", planes = cfg.semPlanes, maxBucket = cfg.semMaxBucket))
+      s"${t}_sem", planes = semPlanes, maxBucket = cfg.semMaxBucket))
 
     // d16: Bloom-gated decontamination against the benchmark.
     val contaminated = DocumentPipeline
@@ -486,8 +491,14 @@ object CorpusPipeline {
 
     // d12: stored-vector matches ∪ within-delta pair losers
     val vecs = hashedDocVectors(afterNd, cfg.semDim).localCheckpoint()
+    // within-delta pairing sizes planes to the DELTA (small → floor 8);
+    // the stored-index probe at planes=0 reads the partition the index
+    // was WRITTEN with from its _vecmeta sidecar — probe and store must
+    // agree even when the full DAG derived a bigger value
+    val semPlanes = if (cfg.semPlanes > 0) cfg.semPlanes
+      else Dedup.scaledPlanes(nNd, cfg.semMaxBucket)
     val (semPairs, semBucketed) = Dedup.semanticPairsHandle(vecs,
-      cfg.semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
+      semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
     val semLosers = Dedup
       .semanticDelta(s, s"${stateTable}_sem",
         vecs.select($"vec_id", $"v".as("embedding")),

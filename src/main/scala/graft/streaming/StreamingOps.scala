@@ -333,15 +333,17 @@ object StreamingOps {
     * semanticDelta collapses; probe-before-grow gates a replayed
     * batch's vectors against themselves.
     */
-  /** `planes`/`nprobe` MUST match the values the index was written with —
-    * a mismatched plane count produces signatures from a different bit
-    * space that silently never match (near-zero recall, no error), which
-    * is why the wrapper threads them through to both the probe and the
-    * growth append rather than trusting defaults to agree.
+  /** `planes` MUST match the value the index was written with — a
+    * mismatched plane count produces signatures from a different bit
+    * space that silently never match (near-zero recall, no error). The
+    * default 0 resolves it from the index's own `_vecmeta` sidecar
+    * (written by writeSemanticIndex, r15) so probe and growth append
+    * agree by construction; an explicit value pins it for pre-sidecar
+    * indexes.
     */
   def semanticDedupStream(vectors: DataFrame, indexTable: String,
       storeDir: String, minCos: Double = 0.99,
-      planes: Int = 12, nprobe: Int = 3,
+      planes: Int = 0, nprobe: Int = 3,
       queryName: String = "graft_semantic_gate",
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectors.writeStream

@@ -470,15 +470,19 @@ object hashing {
   }
 
   /** Per-segment digests + shingle hashes in ONE pass over the document:
-    * array<struct<h: long, sh: array<long>>> with one element per
-    * fixed-width token segment (ceil(n_tokens/width) segments, same
+    * array<struct<h: long, h2: long, sh: array<long>>> with one element
+    * per fixed-width token segment (ceil(n_tokens/width) segments, same
     * boundaries as slicing `split(text, ' ')` into width-token spans —
     * the last segment may be short; an empty text yields one empty
-    * segment, matching `split`'s single empty token). h is the
-    * xxhash64(seed 42) of the segment's space-joined text — the exact-
-    * equality grouping key (collision odds ~n²/2⁶⁵ corpus-wide, the
-    * wordShingleHashes contract) — and sh carries the segment's sorted
-    * distinct word-n-gram hashes, value-identical to
+    * segment, matching `split`'s single empty token). (h, h2) are TWO
+    * independent-seed xxhash64 digests (seeds 42 / 17) of the segment's
+    * space-joined text — the exact-equality grouping key is the PAIR,
+    * the d19b two-64-bit-family discipline (ADVICE r14): a single
+    * 64-bit key expects nonzero silent false-dedups at the 100 TB
+    * design point (~10¹⁰–10¹¹ segments), while the 128-bit pair is back
+    * at the md5 collision-odds contract it replaced, for one extra long
+    * per segment and no second tokenization. sh carries the segment's
+    * sorted distinct word-n-gram hashes, value-identical to
     * [[wordShingleHashes]] applied to the segment text. Replaces d18b's
     * former two full segmentation passes (digest pass + keeper-text
     * pass) and its per-segment md5 string work with one tokenization,
@@ -496,7 +500,9 @@ object hashing {
       val parts = new Array[UTF8String](len)
       var k = 0
       while (k < len) { parts(k) = words(start + k); k += 1 }
-      val h = hashUtf8(UTF8String.concatWs(space, parts: _*), 42L)
+      val segText = UTF8String.concatWs(space, parts: _*)
+      val h = hashUtf8(segText, 42L)
+      val h2 = hashUtf8(segText, 17L)
       val m = len - n + 1
       val sh: Array[Long] =
         if (m <= 0) Array.emptyLongArray
@@ -517,7 +523,7 @@ object hashing {
           java.util.Arrays.sort(trimmed)
           trimmed
         }
-      out(s) = new GenericInternalRow(Array[Any](h, new GenericArrayData(sh)))
+      out(s) = new GenericInternalRow(Array[Any](h, h2, new GenericArrayData(sh)))
       s += 1
     }
     new GenericArrayData(out)
@@ -1267,6 +1273,7 @@ case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("h", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
     StructField("sh", ArrayType(LongType, containsNull = false),
       nullable = false))), containsNull = false)
   override def nullSafeEval(input: Any): Any =

@@ -821,6 +821,25 @@ class DedupSpec extends SparkSpec {
       r.getAs[String]("span_text") == warm.mkString(" ")))
   }
 
+  test("scaledPlanes wires the documented corpus rule (r14 #1)") {
+    import operators.Dedup.scaledPlanes
+    // floor: test-scale corpora stay at the oracled planes=8 partition
+    assert(scaledPlanes(1000) == 8)
+    assert(scaledPlanes(65536) == 8)  // boundary: 65536/256 = 2^8 exactly
+    assert(scaledPlanes(65537) == 9)
+    assert(scaledPlanes(200000) == 10)       // sf10's 200k vectors
+    assert(scaledPlanes(100000000) == 19)    // the scaladoc's 100M example
+    // stored-index floor (writeSemanticIndex minPlanes = 12)
+    assert(scaledPlanes(1000, minPlanes = 12) == 12)
+    assert(scaledPlanes(100000000, minPlanes = 12) == 19)
+    // every verify/selfcheck SF resolves to the oracle's planes=8, so
+    // the auto default cannot diverge from the DuckDB hash check
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = Tables.embeddings(spark, d).count()
+      assert(scaledPlanes(n) == 8, s"$d: n=$n must resolve to 8")
+    }
+  }
+
   test("d19b rolling-hash fast path is row-identical to the md5 form") {
     val docs = Tables.documents(spark, sf)
     val slow = operators.Dedup.substringDedupOf(docs).collect().toSeq

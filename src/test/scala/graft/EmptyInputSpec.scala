@@ -68,6 +68,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(operators.Graph
       .pagerankOf(operators.Graph.tradeEdgesOf(emptyPairs)).count() == 0)
     assert(operators.Graph.copurchaseOf(emptyPairs).count() == 0)
+    assert(operators.Graph.copurchaseSketchOf(emptyPairs).count() == 0)
+    // fully-pruned projection: the strength percentile has no histogram
+    // — strong edges and triangles must come back empty, not throw
+    // (ADVICE r14)
+    assert(operators.Graph
+      .strongEdges(emptyPairs, maxFan = 64, minCommon = 2, strengthQ = 0.9)
+      .count() == 0)
+    assert(operators.Graph.trianglesOf(emptyPairs).count() == 0)
   }
 
   test("ccnet buckets and decode packing on empty input are empty") {

@@ -98,6 +98,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g02b vs g02 on a hub-ful graph: documented jaccard conventions") {
+    // Suppliers 100/101 share customers {1,2,3}; hub customer 999 trades
+    // with ALL ten suppliers (fan 10 > maxFan 4 → excluded from pair
+    // generation in g02 AND from the indexed sets in g02b). Convention
+    // pin (ADVICE r14): g02 reports the hybrid 3/(4+4-3) = 0.6 (bounded
+    // common over TRUE set sizes incl. the hub); g02b reports the
+    // bounded-SET jaccard 3/3 = 1.0 (hub dropped from numerator and
+    // denominator alike). Both are asserted so the divergence is a
+    // contract, not an accident.
+    val pairs = (
+      Seq((1L, 100L), (2L, 100L), (3L, 100L),
+          (1L, 101L), (2L, 101L), (3L, 101L)) ++
+      (100L until 110L).map(sk => (999L, sk))    // the hub
+    ).toDF("ck", "sk")
+    val exact = operators.Graph.copurchaseOf(pairs, maxFan = 4, top = 5)
+      .select($"sk_a", $"sk_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sketch = operators.Graph
+      .copurchaseSketchOf(pairs, maxFan = 4, top = 5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact.keySet == Set((100L, 101L)) && sketch.keySet == exact.keySet)
+    assert(math.abs(exact((100L, 101L)) - 0.6) < 1e-5,
+      s"g02 hybrid convention: ${exact((100L, 101L))}")
+    assert(math.abs(sketch((100L, 101L)) - 1.0) < 1e-5,
+      s"g02b bounded-set convention: ${sketch((100L, 101L))}")
+  }
+
+  test("registry graph queries leave no cached frames behind (r14 #3)") {
+    for ((name, fn) <- operators.Graph.queries.toSeq.sortBy(_._1)) {
+      spark.catalog.clearCache()
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      assert(org.apache.spark.sql.graft.SparkInternals.cacheIsEmpty(spark),
+        s"$name leaked persisted frames into the session")
+    }
+  }
+
   test("g02b on the real corpus: exact jaccards, floored, canonical") {
     val rows = operators.Graph.copurchaseSketch(spark, sf).collect()
     // dense near-tie mass may be cap-pruned (documented regime contract)

@@ -38,6 +38,21 @@ object PlanesProbe {
         spark.catalog.clearCache()
       }
     }
+    // End-state leg: the giant clusters no plane count splits are the
+    // canonical-routing regime — d12 with oversizedCanonical covers
+    // them at O(bucket) cost where the pair list would need O(bucket²)
+    // verifies. Report wall + the coverage the pair form drops.
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val cl = operators.Dedup.semanticClusters(spark, dir,
+        oversizedCanonical = true)
+      val agg = cl.agg(count(lit(1)).as("n"),
+        sum(when(!$"is_kept", 1L).otherwise(0L)).as("pruned")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[planesprobe] d12 canonical rep=$rep n=${agg.getLong(0)} " +
+        f"pruned=${agg.getLong(1)} wall=$sec%.2f s")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

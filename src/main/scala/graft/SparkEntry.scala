@@ -24,7 +24,7 @@ object SparkEntry {
       pipeline.Events.queries ++ pipeline.Analytics.queries ++
       operators.Dedup.queries ++ operators.KeywordSearch.queries ++
       operators.InvertedIndex.queries ++ operators.Redact.queries ++
-      operators.Apss.queries ++
+      operators.Apss.queries ++ operators.Bpe.queries ++
       operators.Similarity.queries ++ operators.Graph.queries ++
       multimodal.Multimodal.queries ++
       Map(
@@ -41,7 +41,7 @@ object SparkEntry {
       pipeline.Events.oracles ++ pipeline.Analytics.oracles ++
       operators.Dedup.oracles ++ operators.KeywordSearch.oracles ++
       operators.InvertedIndex.oracles ++ operators.Redact.oracles ++
-      operators.Apss.oracles ++
+      operators.Apss.oracles ++ operators.Bpe.oracles ++
       operators.Similarity.oracles ++ operators.Graph.oracles ++
       multimodal.Multimodal.oracles
 }

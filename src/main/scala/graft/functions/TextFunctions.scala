@@ -55,6 +55,44 @@ object TextFunctions {
   def wsTokenCount(text: Column): Column =
     size(split(text, "\\s+"))
 
+  /** Fraction of characters that are whitespace — the signal that decides
+    * whether whitespace tokenization is meaningful at all. CJK and other
+    * unsegmented scripts sit near 0; segmented prose sits near 0.15–0.2.
+    * (Code points on both engines: Spark `length` counts code points,
+    * DuckDB `length` likewise.)
+    */
+  def whitespaceDensity(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "\\s", "")))
+      .cast("double") / greatest(length(text), lit(1)) + lit(1e-9), 6)
+
+  /** Characters in a Unicode script, via Java's `\p{Is<Script>}` classes
+    * (DuckDB's RE2 spells the same classes `\p{<Script>}` — both follow
+    * the Unicode Script property, so counts agree cross-engine).
+    */
+  def scriptCharCount(text: Column, javaScriptClass: String): Column =
+    length(regexp_replace(text, s"[^$javaScriptClass]", ""))
+
+  /** Han / kana (hiragana+katakana) / hangul char counts — the three
+    * signals behind the script-aware language fallback (t26).
+    */
+  def cjkCounts(text: Column): (Column, Column, Column) = (
+    scriptCharCount(text, "\\p{IsHan}"),
+    scriptCharCount(text, "\\p{IsHiragana}\\p{IsKatakana}"),
+    scriptCharCount(text, "\\p{IsHangul}"))
+
+  /** Adaptive token count: whitespace words when the text is
+    * whitespace-segmented, non-space character count when it isn't (the
+    * standard public fallback for unsegmented scripts — CJK chars carry
+    * ≈1 token each, so the char count is the honest budget unit where
+    * `split(' ')` would count a whole document as one token). `wsThresh`
+    * = minimum whitespace density to trust word splitting (CJK prose
+    * sits at ~0, segmented prose at ~0.15+).
+    */
+  def adaptiveTokenCount(text: Column, wsThresh: Double = 0.05): Column =
+    when(whitespaceDensity(text) < wsThresh,
+      length(regexp_replace(text, "\\s", "")))
+      .otherwise(size(split(text, " ")))
+
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the standard GPT-2-style pre-split shape.
     */

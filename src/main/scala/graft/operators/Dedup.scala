@@ -181,6 +181,68 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d02c: MinHash near-dup with the CJK/whitespace-free fallback
+    * (VERDICT r14 #6). Word 3-shingles are structurally blind to
+    * unsegmented scripts: a CJK document splits to ONE "word", yields
+    * zero 3-shingles, and is silently dropped from near-dup entirely.
+    * Here each document picks its shingle family by whitespace density —
+    * word 3-shingles where whitespace segments, char `k`-gram shingles
+    * (CharShingleHashes, same sorted-distinct array<long> contract)
+    * where it doesn't — and BOTH feed the identical single-shuffle
+    * banding + merge-walk-verify machinery. Cross-family candidate pairs
+    * can only arise from band-hash collisions and die at verify (the two
+    * families hash disjoint gram spaces, so true cross-family Jaccard is
+    * ~0); within a family the semantics are exactly d02's. On a fully
+    * whitespace-segmented corpus this is bit-identical to d02
+    * (CjkSpec pins both directions). k=6 chars ≈ a 3-word gram's
+    * discrimination at CJK char entropy (~2 chars/word, public CCNet/
+    * cc100 practice).
+    */
+  def dedupMinhashAdaptive(s: SparkSession, dir: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5, k: Int = 6,
+      wsThresh: Double = 0.05): DataFrame =
+    minhashPairsAdaptive(Tables.documents(s, dir), bands, rows, maxBucket,
+      minJaccard, k, wsThresh)
+
+  /** Core of d02c over any (doc_id, text) frame — [[minhashPairs]] with
+    * the adaptive shingle frame.
+    */
+  def minhashPairsAdaptive(documents: DataFrame,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
+      minJaccard: Double = 0.5, k: Int = 6,
+      wsThresh: Double = 0.05): DataFrame = {
+    val docs = shingleFrameAdaptive(documents, k, wsThresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minhashPairsFromShingles(docs, bands, rows, maxBucket,
+      minJaccard)
+    // same self-cleaning contract as the graph helpers (r14 #3): the
+    // pair set is bounded, materialize it and release the corpus cache
+    val local = out.localCheckpoint(true)
+    docs.unpersist()
+    local
+  }
+
+  /** Per-document adaptive hashed-shingle frame: char k-grams below the
+    * whitespace-density threshold, word 3-shingles above it. One
+    * map-side pass; the density test and both shingle families are
+    * codegen'd expressions.
+    */
+  private[graft] def shingleFrameAdaptive(documents: DataFrame, k: Int,
+      wsThresh: Double): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    documents
+      .select($"doc_id",
+        when(graft.functions.TextFunctions.whitespaceDensity($"text")
+            < wsThresh,
+          org.apache.spark.sql.graft.GraftFunctions
+            .char_shingle_hashes($"text", k))
+          .otherwise(org.apache.spark.sql.graft.GraftFunctions
+            .word_shingle_hashes($"text", 3)).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
   /** The hashed-shingle frame minhash banding runs over. */
   private def shingleFrame(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
@@ -2096,38 +2158,6 @@ object Dedup {
       keepers)
   }
 
-  /** The flagged (ord) set behind [[segmentNeardupFullOf]] — exact-stage
-    * later occurrences plus near-dup later keepers — exposed so
-    * incremental pipelines can union WITHIN-batch dup ords with
-    * stored-index matches before a single rollup. `meta` is the
-    * (doc_id, ord, h=md5(seg)) digest frame over the same docs.
-    */
-  private[graft] def segmentDupOrdsOf(docs: DataFrame, meta: DataFrame,
-      width: Int, bands: Int, rows: Int, maxBucket: Int,
-      minJaccard: Double): DataFrame =
-    segmentDupOrdsHandle(docs, meta, width, bands, rows, maxBucket,
-      minJaccard)._1
-
-  /** [[segmentDupOrdsOf]] plus the pair stage's persisted caches. */
-  private[graft] def segmentDupOrdsHandle(docs: DataFrame, meta: DataFrame,
-      width: Int, bands: Int, rows: Int, maxBucket: Int,
-      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val keeperOrds = meta.groupBy($"h").agg(min($"ord").as("ord"))
-      .select($"ord")
-    val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
-      .select($"ord")
-    val reps = segmentFrame(docs, width).join(keeperOrds, Seq("ord"))
-    val (nearPairs, shCache) = minhashPairsHandle(
-      reps.select($"ord".as("doc_id"), $"seg".as("text")),
-      bands, rows, maxBucket, minJaccard)
-    // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
-    // the later occurrence is the fuzzy dup, d13's keeper orientation
-    val nearDups = nearPairs.select($"doc_b".as("ord"))
-    (exactDups.unionByName(nearDups).distinct(), Seq(shCache))
-  }
-
   /** Observability for [[segmentNeardupFull]]'s bucket cap: the keeper
     * (distinct-segment) buckets the near-dup stage pruned as oversized.
     * A hit here means > maxBucket DISTINCT near-identical variants of
@@ -2436,9 +2466,23 @@ object Dedup {
   def writeDedupIndex(documents: DataFrame, table: String, buckets: Int = 8,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64): Unit = {
     val s = documents.sparkSession
-    import s.implicits._
     val sh = shingleFrame(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writeDedupIndexFromShingles(sh, table, buckets, bands, rows, maxBucket)
+    sh.unpersist()
+  }
+
+  /** [[writeDedupIndex]] core over an already-hashed (doc_id, sh) frame
+    * (caller persists it — it's read twice) — the segment index writes
+    * through here so the fused SegmentShingleHashes pass is hashed once
+    * (VERDICT r14 #8: the former path re-tokenized keeper segments).
+    */
+  private[graft] def writeDedupIndexFromShingles(shingled: DataFrame,
+      table: String, buckets: Int, bands: Int, rows: Int,
+      maxBucket: Int): Unit = {
+    val s = shingled.sparkSession
+    import s.implicits._
+    val sh = shingled.filter(size($"sh") > 0)
     // Aggregate-then-join cap (minhashPairs' straggler reasoning): the
     // hot bucket a window would sort in one task is exactly the
     // boilerplate skew this write-time filter exists to exclude.
@@ -2455,7 +2499,6 @@ object Dedup {
     sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_shingles")
-    sh.unpersist()
   }
 
   /** Probe a delta batch against a [[writeDedupIndex]] corpus index:
@@ -2479,9 +2522,23 @@ object Dedup {
   def dedupDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
       bands: Int = 16, rows: Int = 4,
       minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
-    import spark.implicits._
     val dsh = shingleFrame(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (dedupDeltaFromShingles(spark, table, dsh, bands, rows, minJaccard),
+      Seq(dsh))
+  }
+
+  /** [[dedupDelta]] core over an already-hashed (doc_id, sh) delta frame
+    * (caller persists it — banding and the verify join both read it):
+    * the segment gate probes through here off ONE fused
+    * SegmentShingleHashes pass instead of re-tokenizing every segment
+    * (VERDICT r14 #8).
+    */
+  private[graft] def dedupDeltaFromShingles(spark: SparkSession,
+      table: String, shingled: DataFrame, bands: Int, rows: Int,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    val dsh = shingled.filter(size($"sh") > 0)
     val cand = spark.table(s"${table}_bands")
       .select($"band", $"band_hash", $"doc_id".as("corpus_id"))
       .join(minhashBandedFrom(dsh, bands, rows)
@@ -2495,7 +2552,7 @@ object Dedup {
       .join(dsh.select($"doc_id".as("new_id"), $"sh".as("sh_b")), "new_id")
     val ni = org.apache.spark.sql.graft.GraftFunctions
       .sorted_intersection_size($"sh_a", $"sh_b")
-    (withSh
+    withSh
       .withColumn("jaccard",
         round(ni.cast("double") / (size($"sh_a") + size($"sh_b") - ni), 6))
       .filter($"jaccard" >= minJaccard)
@@ -2504,7 +2561,7 @@ object Dedup {
       // verify joins into duplicate output rows — collapse the
       // result-sized frame so probes stay exactly-once downstream
       .dropDuplicates("corpus_id", "new_id")
-      .orderBy($"corpus_id", $"new_id"), Seq(dsh))
+      .orderBy($"corpus_id", $"new_id")
   }
 
   /** Append a batch's band + shingle rows to a [[writeDedupIndex]] table
@@ -2516,10 +2573,20 @@ object Dedup {
     */
   def appendDedupIndex(documents: DataFrame, table: String, buckets: Int = 8,
       bands: Int = 16, rows: Int = 4): Unit = {
-    val s = documents.sparkSession
-    import s.implicits._
     val sh = shingleFrame(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appendDedupIndexFromShingles(sh, table, buckets, bands, rows)
+    sh.unpersist()
+  }
+
+  /** [[appendDedupIndex]] core over an already-hashed (doc_id, sh) frame
+    * (caller persists it — read twice).
+    */
+  private[graft] def appendDedupIndexFromShingles(shingled: DataFrame,
+      table: String, buckets: Int, bands: Int, rows: Int): Unit = {
+    val s = shingled.sparkSession
+    import s.implicits._
+    val sh = shingled.filter(size($"sh") > 0)
     minhashBandedFrom(sh, bands, rows)
       .select($"doc_id", $"band", $"band_hash")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -2528,7 +2595,6 @@ object Dedup {
     sh.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_shingles")
-    sh.unpersist()
   }
 
   /** Materialize a SEGMENT-granularity dedup index for [[segmentDelta]]
@@ -2536,12 +2602,21 @@ object Dedup {
     * corpus's distinct segment KEEPERS (first occurrence per digest)
     * stored three ways, all in probe-without-reshuffle bucketed layout:
     *
-    *  - `<table>_segdigests`: md5 digests, bucketed by digest — the
-    *    exact-match fast path (verbatim boilerplate, d13's stage);
-    *  - `<table>_bands` / `<table>_shingles` (via [[writeDedupIndex]]
-    *    over keeper segments as pseudo-docs, ord as doc_id): the
-    *    minhash banding + shingle-verify path that catches EDITED
-    *    boilerplate — a header with a date swapped — which digests miss.
+    *  - `<table>_segdigests`: the (h, h2) independent-seed xxhash64
+    *    digest PAIR (128 collision bits — the d19b discipline),
+    *    bucketed by h — the exact-match fast path (verbatim
+    *    boilerplate, d13's stage);
+    *  - `<table>_bands` / `<table>_shingles` (keeper segments as
+    *    pseudo-docs, ord as doc_id): the minhash banding +
+    *    shingle-verify path that catches EDITED boilerplate — a header
+    *    with a date swapped — which digests miss.
+    *
+    * The whole family runs off ONE fused [[SegmentShingleHashes]] pass
+    * (VERDICT r14 #8): digests and shingle hashes come out of the same
+    * tokenization, so writer, grower and prober never re-tokenize a
+    * segment and no segment TEXT is ever persisted or shuffled —
+    * formerly this writer segmented once for digests and re-tokenized
+    * every keeper inside writeDedupIndex.
     *
     * Keeper-only indexing is the same exact-first discipline as
     * [[segmentNeardupFull]]: hot verbatim mass collapses to one
@@ -2552,18 +2627,19 @@ object Dedup {
       maxBucket: Int = 64): Unit = {
     val s = documents.sparkSession
     import s.implicits._
-    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
-      .select($"ord", md5($"seg").as("h"), $"seg")
+    val meta = segmentHashFrame(documents.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keepers = segs
-      .join(segs.groupBy($"h").agg(min($"ord").as("ord")), Seq("ord", "h"))
-    keepers.select($"h")
+    val keepers = meta.join(
+      meta.groupBy($"h", $"h2").agg(min($"ord").as("ord")).select($"ord"),
+      Seq("ord"))
+    keepers.select($"h", $"h2")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "h").sortBy("h")
       .format("parquet").saveAsTable(s"${table}_segdigests")
-    writeDedupIndex(keepers.select($"ord".as("doc_id"), $"seg".as("text")),
+    writeDedupIndexFromShingles(
+      keepers.select($"ord".as("doc_id"), $"sh"),
       table, buckets, bands, rows, maxBucket)
-    segs.unpersist()
+    meta.unpersist()
     ()
   }
 
@@ -2591,94 +2667,116 @@ object Dedup {
   def segmentDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
       width: Int = 10, bands: Int = 16, rows: Int = 4,
       minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
-    import spark.implicits._
-    val segs = segmentFrame(delta.select($"doc_id", $"text"), width)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (ords, caches) =
-      segmentDeltaOrdsHandle(spark, table, segs, bands, rows, minJaccard)
-    (segmentNeardupRollup(segs.select($"doc_id", $"ord"),
-      ords.withColumn("is_dup", lit(1L))), segs +: caches)
+    val (rollup, meta) =
+      segmentDeltaMetaHandle(spark, table, delta, width, bands, rows, minJaccard)
+    (rollup, Seq(meta))
   }
 
-  /** The stored-index-matched (ord) set behind [[segmentDelta]], over an
-    * already-built [[segmentFrame]] — see [[segmentDupOrdsOf]] for why
-    * the ord set is exposed separately from the rollup.
+  /** [[segmentDeltaHandle]] exposing the persisted fused meta frame
+    * (doc_id, ord, h, h2, sh) itself, so the streaming gate can GROW the
+    * index from the same single tokenization pass that probed it
+    * (filtered to kept docs) instead of re-segmenting the batch —
+    * VERDICT r14 #8: one SegmentShingleHashes pass per batch now serves
+    * probe + rollup + append, where the former path tokenized the batch
+    * three times (segment texts, probe shingles, append shingles) and
+    * persisted segment STRINGS.
     */
-  private[graft] def segmentDeltaOrds(spark: SparkSession, table: String,
-      segs: DataFrame, bands: Int, rows: Int,
-      minJaccard: Double): DataFrame =
-    segmentDeltaOrdsHandle(spark, table, segs, bands, rows, minJaccard)._1
-
-  /** [[segmentDeltaOrds]] plus the fuzzy probe's persisted caches. */
-  private[graft] def segmentDeltaOrdsHandle(spark: SparkSession,
-      table: String, segs: DataFrame, bands: Int, rows: Int,
-      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
+  def segmentDeltaMetaHandle(spark: SparkSession, table: String,
+      delta: DataFrame, width: Int = 10, bands: Int = 16, rows: Int = 4,
+      minJaccard: Double = 0.5): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val exact = segs.select($"ord", md5($"seg").as("h"))
-      .join(spark.table(s"${table}_segdigests"), Seq("h"), "left_semi")
+    val meta = segmentHashFrame(delta.select($"doc_id", $"text"), width)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ords = segmentDeltaOrdsFromMeta(spark, table, meta, bands, rows,
+      minJaccard)
+    (segmentNeardupRollup(meta.select($"doc_id", $"ord"),
+      ords.withColumn("is_dup", lit(1L))), meta)
+  }
+
+  /** The stored-index-matched (ord) set behind [[segmentDelta]], over a
+    * persisted [[segmentHashFrame]]: exact = (h, h2) digest semi-join
+    * against the keeper store; edited = the band/shingle-verify probe
+    * over the SAME pre-hashed shingles.
+    */
+  private[graft] def segmentDeltaOrdsFromMeta(spark: SparkSession,
+      table: String, meta: DataFrame, bands: Int, rows: Int,
+      minJaccard: Double): DataFrame = {
+    import spark.implicits._
+    val exact = meta
+      .join(spark.table(s"${table}_segdigests"), Seq("h", "h2"), "left_semi")
       .select($"ord")
-    val (fuzzyPairs, caches) = dedupDeltaHandle(spark, table,
-      segs.select($"ord".as("doc_id"), $"seg".as("text")),
-      bands, rows, minJaccard)
-    val fuzzy = fuzzyPairs.select($"new_id".as("ord"))
-    (exact.unionByName(fuzzy).distinct(), caches)
+    val fuzzy = dedupDeltaFromShingles(spark, table,
+      meta.select($"ord".as("doc_id"), $"sh"), bands, rows, minJaccard)
+      .select($"new_id".as("ord"))
+    exact.unionByName(fuzzy).distinct()
   }
 
   /** d18b's rollup for a delta batch against a [[writeSegmentIndex]]
     * store, counting BOTH dup sources the batch form would see on the
     * union corpus (stored corpus ords all precede delta ords): segments
     * matching a stored keeper (exact digest or ≥ `minJaccard` edited,
-    * via [[segmentDeltaOrds]]) and within-batch later occurrences
-    * ([[segmentDupOrdsOf]]) — unioned BEFORE one rollup so a segment
-    * dup'd both ways counts once.
+    * via [[segmentDeltaOrdsFromMeta]]) and within-batch later
+    * occurrences ([[segmentDupOrdsFromHashes]] — d18b's own fused path)
+    * — unioned BEFORE one rollup so a segment dup'd both ways counts
+    * once. One tokenization pass total.
     */
   def segmentDeltaFull(spark: SparkSession, table: String, delta: DataFrame,
       width: Int = 10, bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
       minJaccard: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val docs = delta.select($"doc_id", $"text")
-    val segs = segmentFrame(docs, width)
+    val meta = segmentHashFrame(delta.select($"doc_id", $"text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val meta = segs.select($"doc_id", $"ord", md5($"seg").as("h"))
-    val within = segmentDupOrdsOf(docs, meta, width, bands, rows,
+    val (within, _) = segmentDupOrdsFromHashes(meta, bands, rows,
       maxBucket, minJaccard)
-    val stored = segmentDeltaOrds(spark, table, segs, bands, rows, minJaccard)
-    segmentNeardupRollup(segs.select($"doc_id", $"ord"),
+    val stored = segmentDeltaOrdsFromMeta(spark, table, meta, bands, rows,
+      minJaccard)
+    segmentNeardupRollup(meta.select($"doc_id", $"ord"),
       within.unionByName(stored).distinct().withColumn("is_dup", lit(1L)))
   }
 
   /** Grow a [[writeSegmentIndex]] store with a batch's NOVEL keeper
-    * segments (first occurrence within the batch, digest not already
-    * stored): digest rows + band/shingle rows append in the bucketed
-    * layout. Replayed appends leave duplicate rows — [[segmentDelta]]'s
-    * exact path is a semi-join (duplicate-insensitive) and its fuzzy
-    * path collapses duplicate candidates, so growth runs at-least-once.
+    * segments (first occurrence within the batch, digest pair not
+    * already stored): digest rows + band/shingle rows append in the
+    * bucketed layout. Replayed appends leave duplicate rows —
+    * [[segmentDelta]]'s exact path is a semi-join
+    * (duplicate-insensitive) and its fuzzy path collapses duplicate
+    * candidates, so growth runs at-least-once.
     */
   def appendSegmentIndex(documents: DataFrame, table: String,
       width: Int = 10, buckets: Int = 8, bands: Int = 16,
       rows: Int = 4): Unit = {
-    val s = documents.sparkSession
-    import s.implicits._
-    val segs = segmentFrame(documents.select($"doc_id", $"text"), width)
-      .select($"ord", md5($"seg").as("h"), $"seg")
+    val meta = segmentHashFrame(documents.select("doc_id", "text"), width)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appendSegmentIndexFromMeta(meta, table, buckets, bands, rows)
+    meta.unpersist()
+    ()
+  }
+
+  /** [[appendSegmentIndex]] core over a persisted [[segmentHashFrame]]
+    * — the streaming gate feeds the probe pass's meta (filtered to kept
+    * docs) through here, so growth costs zero extra tokenization.
+    */
+  private[graft] def appendSegmentIndexFromMeta(meta: DataFrame,
+      table: String, buckets: Int = 8, bands: Int = 16,
+      rows: Int = 4): Unit = {
+    val s = meta.sparkSession
+    import s.implicits._
     // localCheckpoint, not persist: novel's plan anti-joins the digest
     // table, and the digest APPEND below comes before the band/shingle
     // append reads novel again — a cache-miss recompute after the first
     // write would see its own digests and silently append nothing.
     // Checkpointing cuts the lineage so both writes read the same rows.
-    val novel = segs
-      .join(segs.groupBy($"h").agg(min($"ord").as("ord")), Seq("ord", "h"))
-      .join(s.table(s"${table}_segdigests"), Seq("h"), "left_anti")
+    val novel = meta
+      .join(meta.groupBy($"h", $"h2").agg(min($"ord").as("ord"))
+        .select($"ord"), Seq("ord"))
+      .join(s.table(s"${table}_segdigests"), Seq("h", "h2"), "left_anti")
       .localCheckpoint()
-    novel.select($"h")
+    novel.select($"h", $"h2")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "h").sortBy("h")
       .format("parquet").saveAsTable(s"${table}_segdigests")
-    appendDedupIndex(novel.select($"ord".as("doc_id"), $"seg".as("text")),
+    appendDedupIndexFromShingles(novel.select($"ord".as("doc_id"), $"sh"),
       table, buckets, bands, rows)
-    segs.unpersist()
-    ()
   }
 
   /** Materialize a semantic dedup index for [[semanticDelta]] probes —
@@ -2816,6 +2914,7 @@ object Dedup {
     "d08_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "d02_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "d02b_minhash_portable" -> ((s: SparkSession, d: String) => minhashPortable(s, d)),
+    "d02c_minhash_adaptive" -> ((s: SparkSession, d: String) => dedupMinhashAdaptive(s, d)),
     "d03_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "d03b_simhash_portable" -> ((s: SparkSession, d: String) => simhashPortable(s, d)),
     "d04_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),

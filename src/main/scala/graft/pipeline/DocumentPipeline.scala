@@ -179,8 +179,17 @@ object DocumentPipeline {
       .cast("long") % shards).cast("int")
 
   /** Core of p02 over any (doc_id, source, text) frame. */
+  /** `tokenCount`: the per-document token-count column the budget packs
+    * against. Default is the oracled whitespace count; pass
+    * `Bpe`-backed counting (see [[sequencePackBpe]]) to make budgets
+    * production-true against a trained tokenizer (VERDICT r14 #5) —
+    * the packing plan is identical either way (the counter is one
+    * map-side codegen'd expression).
+    */
   def sequencePackOf(documents: DataFrame, budget: Int = 512,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 8,
+      tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => size(split(c, " "))): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -189,7 +198,7 @@ object DocumentPipeline {
     // corpus would be scanned and split() twice.
     val docs = documents
       .select($"doc_id", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"),
+        tokenCount($"text").cast("long").as("n_tokens"),
         packShard(shards).as("shard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 1: prefix sum local to the (source, shard) pack group.
@@ -217,6 +226,17 @@ object DocumentPipeline {
         sum($"crosses".cast("long")).as("n_boundary_crossers"))
       .orderBy($"source", $"seq_id")
   }
+
+  /** [[sequencePackOf]] budgeting by TRAINED-tokenizer counts: packs
+    * against [[org.apache.spark.sql.graft.BpeTokenCount]] over the given
+    * merge table (train one with `operators.Bpe.trainMerges`) instead of
+    * the whitespace approximation — same plan, production-true budgets.
+    */
+  def sequencePackBpe(documents: DataFrame,
+      merges: Seq[(String, String)], budget: Int = 512,
+      shards: Int = 8): DataFrame =
+    sequencePackOf(documents, budget, shards,
+      c => org.apache.spark.sql.graft.GraftFunctions.bpe_token_count(c, merges))
 
   val sequencePackSql: String =
     """WITH d AS (
@@ -744,6 +764,90 @@ object DocumentPipeline {
       |    ELSE 'en'
       |  END AS predicted_lang
       |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** t26: script-aware language ID + adaptive token accounting — the
+    * CJK/whitespace-free fallback (VERDICT r14 #6). t01's stopword
+    * profile is structurally blind to unsegmented scripts (zero
+    * whitespace → zero word-boundary stopword hits → every CJK document
+    * silently labels 'en'); this query adds the standard public answer:
+    * per-script character profiling (Unicode Script property — Han /
+    * kana / hangul counts) with whitespace density deciding which signal
+    * to trust. Majority-CJK text routes hangul→'ko', any-kana→'ja',
+    * else 'zh'; segmented text falls through to EXACTLY t01's stopword
+    * argmax (same tie-break), so on a whitespace corpus t26 ≡ t01.
+    * `n_tokens_adaptive` is the matching token-budget fallback: word
+    * count where whitespace is meaningful, non-space char count where it
+    * isn't (≈1 token/char, the honest CJK budget unit; t03/p02 count a
+    * whole unsegmented document as ONE whitespace token).
+    *
+    * One map-side pass (regexp counts + the shared TokenProfileCounts
+    * scan), one presentation sort — scale shape identical to t01.
+    * Hash-oracled cross-engine: Java `\p{IsHan}` and RE2 `\p{Han}` both
+    * implement the Unicode Script property.
+    */
+  def scriptLangid(s: SparkSession, dir: String,
+      wsThresh: Double = 0.05): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val (han, kana, hangul) = graft.functions.TextFunctions.cjkCounts($"text")
+    val scores = langScores($"text")
+    val wsDens = graft.functions.TextFunctions.whitespaceDensity($"text")
+    docs.select((Seq($"doc_id", han.as("n_han"), kana.as("n_kana"),
+        hangul.as("n_hangul"), wsDens.as("ws_density"),
+        length($"text").as("n_cp"),
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        length(regexp_replace($"text", "\\s", "")).cast("long")
+          .as("n_nonspace")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") } :+
+          predictLang(scores).as("ws_lang")): _*)
+      .withColumn("n_tokens_adaptive",
+        when($"ws_density" < wsThresh, $"n_nonspace")
+          .otherwise($"n_ws_tokens"))
+      .withColumn("predicted_lang",
+        when(($"n_han" + $"n_kana" + $"n_hangul") * 2 > $"n_cp",
+          when($"n_hangul" > greatest($"n_han", $"n_kana"), "ko")
+            .when($"n_kana" > 0, "ja")
+            .otherwise("zh"))
+          .otherwise($"ws_lang"))
+      .select($"doc_id", $"n_han", $"n_kana", $"n_hangul", $"ws_density",
+        $"n_tokens_adaptive", $"predicted_lang")
+      .orderBy($"doc_id")
+  }
+
+  val scriptLangidSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS n_han,
+      |    length(regexp_replace(text, '[^\p{Hiragana}\p{Katakana}]', '', 'g')) AS n_kana,
+      |    length(regexp_replace(text, '[^\p{Hangul}]', '', 'g')) AS n_hangul,
+      |    round((length(text) - length(regexp_replace(text, '\s', '', 'g')))::DOUBLE
+      |      / greatest(length(text), 1) + 1e-9, 6) AS ws_density,
+      |    length(text) AS n_cp,
+      |    len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+      |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_nonspace,
+      |    CASE
+      |      WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) >
+      |           greatest(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')),
+      |                    len(regexp_extract_all(text, '\b(le|la|et|les|une)\b')),
+      |                    len(regexp_extract_all(text, '\b(el|los|y|que|una)\b'))) THEN 'de'
+      |      WHEN len(regexp_extract_all(text, '\b(el|los|y|que|una)\b')) >
+      |           greatest(len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')),
+      |                    len(regexp_extract_all(text, '\b(le|la|et|les|une)\b'))) THEN 'es'
+      |      WHEN len(regexp_extract_all(text, '\b(le|la|et|les|une)\b')) >
+      |           len(regexp_extract_all(text, '\b(the|a|of|and|is)\b')) THEN 'fr'
+      |      ELSE 'en'
+      |    END AS ws_lang
+      |  FROM documents)
+      |SELECT doc_id, n_han, n_kana, n_hangul, ws_density,
+      |  CASE WHEN ws_density < 0.05 THEN n_nonspace ELSE n_ws_tokens END
+      |    AS n_tokens_adaptive,
+      |  CASE WHEN (n_han + n_kana + n_hangul) * 2 > n_cp THEN
+      |    CASE WHEN n_hangul > greatest(n_han, n_kana) THEN 'ko'
+      |         WHEN n_kana > 0 THEN 'ja'
+      |         ELSE 'zh' END
+      |  ELSE ws_lang END AS predicted_lang
+      |FROM s
       |ORDER BY doc_id""".stripMargin
 
   /** t02: document quality scoring: token stats, stopword/alpha ratios,
@@ -1882,6 +1986,7 @@ object DocumentPipeline {
     "q11_keyword_docfreq" -> keywordDocfreq _,
     "q12_agency_rollup" -> agencyRollup _,
     "t01_langid" -> langid _,
+    "t26_script_langid" -> ((s: SparkSession, d: String) => scriptLangid(s, d)),
     "t02_quality" -> quality _,
     "t03_tokens" -> tokens _,
     "t04_fingerprint" -> fingerprintQ _,
@@ -1924,6 +2029,7 @@ object DocumentPipeline {
     "q11_keyword_docfreq" -> keywordDocfreqSql,
     "q12_agency_rollup" -> agencyRollupSql,
     "t01_langid" -> langidSql,
+    "t26_script_langid" -> scriptLangidSql,
     "t02_quality" -> qualitySql,
     "t03_tokens" -> tokensSql,
     "t04_fingerprint" -> fingerprintSql,

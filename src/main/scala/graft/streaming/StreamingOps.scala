@@ -230,8 +230,12 @@ object StreamingOps {
         val bid = f"batch$batchId%06d"
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (rollup, segCaches) = graft.operators.Dedup
-          .segmentDeltaHandle(spark, indexTable, b, width,
+        // ONE fused SegmentShingleHashes pass per batch serves probe,
+        // rollup AND index growth (VERDICT r14 #8): the meta frame the
+        // probe persisted is filtered to kept docs for the append —
+        // formerly the batch was segmented + tokenized three times.
+        val (rollup, meta) = graft.operators.Dedup
+          .segmentDeltaMetaHandle(spark, indexTable, b, width,
             minJaccard = minJaccard)
         val gated = rollup
           .filter($"kept_ratio" < segKeptRatioMin)
@@ -240,14 +244,14 @@ object StreamingOps {
         graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
         val marker = s"${storeDir}_idx_marked/$bid"
         if (!pathExists(spark, marker) && !kept.isEmpty) {
-          graft.operators.Dedup.appendSegmentIndex(
-            kept.select($"doc_id", $"text"), indexTable, width)
+          graft.operators.Dedup.appendSegmentIndexFromMeta(
+            meta.join(gated, Seq("doc_id"), "left_anti"), indexTable)
           touchMarker(spark, marker)
         }
-        // Self-cleaning via the handle (segment frame + probe shingle
-        // cache), not session-wide clearCache — see dedupStream.
+        // Self-cleaning via the handle (the fused meta frame), not
+        // session-wide clearCache — see dedupStream.
         b.unpersist()
-        segCaches.foreach(_.unpersist())
+        meta.unpersist()
         ()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()

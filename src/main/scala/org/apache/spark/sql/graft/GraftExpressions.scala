@@ -226,6 +226,36 @@ object hashing {
     new GenericArrayData(trimmed)
   }
 
+  /** Distinct CHARACTER n-gram shingles hashed to 64-bit — the
+    * whitespace-free (CJK) twin of [[wordShingleHashes]]: grams slide
+    * over code points instead of words, so an unsegmented document
+    * (which word-shingling sees as ONE word → zero 3-shingles) still
+    * yields a dense shingle set with the same sorted-distinct
+    * array<long> contract, feeding the identical MinHash banding +
+    * merge-walk verify machinery. Whitespace runs collapse to a single
+    * space first so gram identity survives formatting jitter (the
+    * word-path's implicit normalization).
+    */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.replaceAll("\\s+", " ").trim
+    val cps = s.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      val h = hashUtf8(
+        UTF8String.fromString(new String(cps, i, n)), 42L)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, cnt)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+
   /** POSITIONAL k-gram fingerprints by polynomial rolling hash — the
     * O(n_tokens) production family behind substring-span dedup (d19's
     * md5-of-joined-window portable form hashes O(k · n_tokens) bytes;
@@ -826,6 +856,22 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct char n-gram shingle hashes (see hashing.charShingleHashes) —
+  * the whitespace-free twin of WordShingleHashes.
+  */
+case class CharShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.charShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.charShingleHashes($a, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Positional rolling k-gram fingerprints (see
   * hashing.rollingKgramHashes) — element i fingerprints tokens [i, i+k).
   */
@@ -1299,6 +1345,8 @@ object GraftFunctions {
     col(WinnowFingerprints(e(shingles), window))
   def word_shingle_hashes(text: Column, n: Int): Column =
     col(WordShingleHashes(e(text), n))
+  def char_shingle_hashes(text: Column, n: Int): Column =
+    col(CharShingleHashes(e(text), n))
   def rolling_kgram_hashes(text: Column, k: Int, seed: Long): Column =
     col(RollingKgramHashes(e(text), k, seed))
   def minhash_sig_from_hashes(hashes: Column, k: Int = 64): Column =
@@ -1318,6 +1366,10 @@ object GraftFunctions {
   def int8_dot(a: Column, b: Column): Column = col(Int8Dot(e(a), e(b)))
   def segment_shingle_hashes(text: Column, width: Int, n: Int): Column =
     col(SegmentShingleHashes(e(text), width, n))
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeTokenCount(e(text), merges))
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeTokens(e(text), merges))
   def ordered_pairs(arr: Column): Column = col(OrderedPairs(e(arr)))
   def component_labels(edges: Column): Column = col(ComponentLabels(e(edges)))
   def word_counts(text: Column): Column = col(WordCounts(e(text)))

@@ -20,7 +20,8 @@ class QueriesSpec extends SparkSpec {
       val n = df.count()
       assert(n >= 0)
       // queries that must be non-empty on any sf
-      val mustHaveRows = !Set("d02_dedup_minhash", "d03_dedup_simhash",
+      val mustHaveRows = !Set("d02_dedup_minhash", "d02c_minhash_adaptive",
+        "d03_dedup_simhash",
         "q04_antijoin_incremental", "q06_setdiff_audit").contains(name)
       if (mustHaveRows) assert(n > 0, s"$name returned 0 rows")
     }

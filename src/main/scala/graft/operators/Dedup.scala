@@ -254,11 +254,16 @@ object Dedup {
       .filter(size($"sh") > 0)
   }
 
-  /** MinHash signatures banded into (doc_id, band, band_hash) — shared by
-    * the pair generator and the dropped-bucket diagnostic so both always
-    * see exactly the same buckets. The signature is materialized before
-    * the band-explode: inside the transform lambda it would be recomputed
-    * once per band (16×).
+  /** MinHash band hashes exploded into (doc_id, band, band_hash) —
+    * shared by the pair generator and the dropped-bucket diagnostic so
+    * both always see exactly the same buckets. ONE fused codegen'd pass
+    * (MinHashBandHashes: signature minima folded straight into per-band
+    * XXH64 digests, bit-identical to the former
+    * xxhash64(slice(sig, …)) form — DedupSpec pins the equality) — the
+    * d18 stage probe at sf10 named the former shape's map side (64-long
+    * sig column materialized per row + 16 per-band slice allocations +
+    * generic array hashing, over 3M keeper segments) as 80%+ of the
+    * segment near-dup wall.
     */
   private def minhashBandedFrom(shingled: DataFrame, bands: Int,
       rows: Int): DataFrame = {
@@ -266,11 +271,8 @@ object Dedup {
     import s.implicits._
     shingled
       .select($"doc_id",
-        org.apache.spark.sql.graft.GraftFunctions
-          .minhash_sig_from_hashes($"sh").as("sig"))
-      .select($"doc_id",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+        posexplode(org.apache.spark.sql.graft.GraftFunctions
+          .minhash_band_hashes($"sh", bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }

@@ -329,6 +329,50 @@ object hashing {
     new GenericArrayData(mins)
   }
 
+  /** MinHash LSH band hashes in ONE pass: the k = bands×rows signature
+    * minima (identical loop to [[minhashSigFromHashes]]) folded straight
+    * into per-band XXH64 digests — bit-identical to
+    * `xxhash64(slice(minhash_sig_from_hashes(sh), b·rows+1, rows))`
+    * (Spark's XxHash64 over array<long> folds elements with the running
+    * hash as seed, init 42), pinned in DedupSpec. Fusing kills the
+    * 64-long signature column the banding exchange input used to
+    * materialize per row plus 16 per-band slice allocations + generic
+    * array hashing — the d18 probe named this map side as 80%+ of the
+    * segment near-dup stage at sf10 (3M keeper segments × 16 bands).
+    */
+  def minhashBandHashes(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val k = bands * rows
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val base = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var r = b * rows
+      val end = r + rows
+      while (r < end) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(mins(r), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sparse dot product of two term-sorted (terms, weights) vector pairs
     * via a linear merge walk on the term strings — the verify stage of
     * all-pairs similarity search calls this once per candidate pair, so
@@ -888,6 +932,23 @@ case class RollingKgramHashes(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass fused MinHash band hashes (see hashing.minhashBandHashes) —
+  * bit-identical to xxhash64-over-signature-slices, without ever
+  * materializing the signature column.
+  */
+case class MinHashBandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands >= 1 && rows >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.minhashBandHashes(input.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.minhashBandHashes($a, $bands, $rows);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature from pre-hashed shingles (array<long>). */
 case class MinHashSigFromHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -1351,6 +1412,8 @@ object GraftFunctions {
     col(RollingKgramHashes(e(text), k, seed))
   def minhash_sig_from_hashes(hashes: Column, k: Int = 64): Column =
     col(MinHashSigFromHashes(e(hashes), k))
+  def minhash_band_hashes(hashes: Column, bands: Int, rows: Int): Column =
+    col(MinHashBandHashes(e(hashes), bands, rows))
   def sorted_intersection_size(a: Column, b: Column): Column =
     col(SortedIntersectionSize(e(a), e(b)))
   def sorted_weighted_dot(ta: Column, wa: Column, tb: Column, wb: Column): Column =

@@ -28,6 +28,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive on unrelated")
   }
 
+  test("fused band hashes are bit-identical to xxhash64 over signature slices") {
+    // the banding rewrite contract: MinHashBandHashes must reproduce the
+    // former xxhash64(slice(minhash_sig_from_hashes(sh), b*rows+1, rows))
+    // exactly, else every stored _bands index and planted pin shifts
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select($"doc_id", org.apache.spark.sql.graft.GraftFunctions
+        .word_shingle_hashes($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    for ((bands, rows) <- Seq((16, 4), (8, 4), (4, 15))) {
+      val old = docs
+        .select($"doc_id", org.apache.spark.sql.graft.GraftFunctions
+          .minhash_sig_from_hashes($"sh", bands * rows).as("sig"))
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+        .as[(Long, Int, Long)].collect().toSet
+      val fused = docs
+        .select($"doc_id", posexplode(org.apache.spark.sql.graft
+          .GraftFunctions.minhash_band_hashes($"sh", bands, rows)))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(fused == old, s"band-hash mismatch at bands=$bands rows=$rows")
+    }
+  }
+
   test("minhash jaccard matches brute-force jaccard") {
     val docs = mkDocs(Seq(1L -> base, 2L -> nearDup))
     val got = Dedup.minhashPairs(docs, minJaccard = 0.0)

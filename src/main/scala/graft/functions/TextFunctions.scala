@@ -59,10 +59,14 @@ object TextFunctions {
     * whether whitespace tokenization is meaningful at all. CJK and other
     * unsegmented scripts sit near 0; segmented prose sits near 0.15–0.2.
     * (Code points on both engines: Spark `length` counts code points,
-    * DuckDB `length` likewise.)
+    * DuckDB `length` likewise.) The numerator is the codegen'd
+    * WhitespaceCount byte scan — value-identical to the former
+    * `length(text) - length(regexp_replace(text, "\\s", ""))` (spec-pinned
+    * in CjkSpec), which allocated a full copy of every document per row
+    * and cost 1.4–3 s of d02c's/t26's sf10 wall on its own.
     */
   def whitespaceDensity(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "\\s", "")))
+    round(org.apache.spark.sql.graft.GraftFunctions.whitespace_count(text)
       .cast("double") / greatest(length(text), lit(1)) + lit(1e-9), 6)
 
   /** Characters in a Unicode script, via Java's `\p{Is<Script>}` classes
@@ -90,7 +94,8 @@ object TextFunctions {
     */
   def adaptiveTokenCount(text: Column, wsThresh: Double = 0.05): Column =
     when(whitespaceDensity(text) < wsThresh,
-      length(regexp_replace(text, "\\s", "")))
+      length(text) - org.apache.spark.sql.graft.GraftFunctions
+        .whitespace_count(text))
       .otherwise(size(split(text, " ")))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single

@@ -340,6 +340,24 @@ object hashing {
     * array hashing — the d18 probe named this map side as 80%+ of the
     * segment near-dup stage at sf10 (3M keeper segments × 16 bands).
     */
+  /** Count of Java-regex `\s` chars ([ \t\n\x0B\f\r] — the default,
+    * non-UNICODE_CHARACTER_CLASS definition) in one UTF-8 byte scan.
+    * Exact on any input: these are ASCII values, and ASCII byte values
+    * never occur inside a multi-byte UTF-8 sequence (continuation bytes
+    * are ≥ 0x80), so counting bytes counts code points.
+    */
+  def whitespaceCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def minhashBandHashes(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
     val mins = new Array[Long](k)
@@ -932,6 +950,25 @@ case class RollingKgramHashes(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of Java-regex `\s` characters (see hashing.whitespaceCount) —
+  * the map side of every whitespace-density route (d02c, t26, adaptive
+  * token budgets). Value-identical to
+  * `length(text) - length(regexp_replace(text, "\\s", ""))`, without the
+  * regex engine or the full-document copy that form allocates per row
+  * (measured 1.4–3 s of pure density cost over 500k sf10 docs).
+  */
+case class WhitespaceCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    hashing.whitespaceCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.whitespaceCount($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass fused MinHash band hashes (see hashing.minhashBandHashes) —
   * bit-identical to xxhash64-over-signature-slices, without ever
   * materializing the signature column.
@@ -1414,6 +1451,7 @@ object GraftFunctions {
     col(MinHashSigFromHashes(e(hashes), k))
   def minhash_band_hashes(hashes: Column, bands: Int, rows: Int): Column =
     col(MinHashBandHashes(e(hashes), bands, rows))
+  def whitespace_count(text: Column): Column = col(WhitespaceCount(e(text)))
   def sorted_intersection_size(a: Column, b: Column): Column =
     col(SortedIntersectionSize(e(a), e(b)))
   def sorted_weighted_dot(ta: Column, wa: Column, tb: Column, wb: Column): Column =

@@ -43,6 +43,37 @@ class CjkSpec extends SparkSpec {
       .numElements() == 0)
   }
 
+  test("whitespace density byte scan matches the regexp_replace form") {
+    // the r15 WhitespaceCount rewrite contract: bit-identical to
+    // round((length - length(regexp_replace(text,'\\s','')))/length, 6)
+    // on every whitespace class Java \s covers, multi-byte text (no
+    // ASCII aliasing inside UTF-8 sequences), and the degenerate rows
+    val docs = Seq(
+      (1L, "plain words here"),
+      (2L, "tabs\tand\nnewlines\u000Bvt\u000Cff\rcr "),
+      (3L, hanDoc(50, 7)),                       // no whitespace at all
+      (4L, hanDoc(10, 3) + " " + kanaTail),      // multi-byte + spaces
+      (5L, ""),                                  // empty
+      (6L, " \t\r\n"),                           // all whitespace
+      (7L, "caf\u00e9 na\u00efve r\u00e9sum\u00e9") // 2-byte latin
+    ).toDF("doc_id", "text")
+    val oldForm = round(
+      (length($"text") - length(regexp_replace($"text", "\\s", "")))
+        .cast("double") / greatest(length($"text"), lit(1)) + lit(1e-9), 6)
+    val mismatches = docs
+      .select(functions.TextFunctions.whitespaceDensity($"text").as("nw"),
+        oldForm.as("old"))
+      .filter($"nw" =!= $"old").count()
+    assert(mismatches == 0)
+    // and the adaptive count's non-ws char branch: length - wsCount
+    val cntDiff = docs.select(
+        (length($"text") - org.apache.spark.sql.graft.GraftFunctions
+          .whitespace_count($"text")).as("a"),
+        length(regexp_replace($"text", "\\s", "")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(cntDiff == 0)
+  }
+
   test("t26: planted scripts label zh/ja/ko; segmented text matches t01") {
     val zh = hanDoc(120, 13)
     val ja = hanDoc(40, 11) + kanaTail * 4

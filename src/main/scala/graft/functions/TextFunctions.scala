@@ -51,9 +51,13 @@ object TextFunctions {
     }._1
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count — the codegen'd WsTokenCount byte scan,
+    * value-identical to `size(split(text, "\\s+"))` (spec-pinned in
+    * TokenCountSpec) without materializing the word-string array that
+    * form allocated per row just to take its length.
+    */
   def wsTokenCount(text: Column): Column =
-    size(split(text, "\\s+"))
+    org.apache.spark.sql.graft.GraftFunctions.ws_token_count(text)
 
   /** Fraction of characters that are whitespace — the signal that decides
     * whether whitespace tokenization is meaningful at all. CJK and other
@@ -99,10 +103,15 @@ object TextFunctions {
       .otherwise(size(split(text, " ")))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
-    * punctuation — the standard GPT-2-style pre-split shape.
+    * punctuation — the standard GPT-2-style pre-split shape. The
+    * codegen'd BpeishTokenCount byte scan, value-identical to
+    * `size(regexp_extract_all(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))`
+    * (spec-pinned in TokenCountSpec) without the regex engine or the
+    * per-row array of matched token strings that form allocated just to
+    * count.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.graft.GraftFunctions.bpeish_token_count(text)
 
   /** Normalized text: lowercase, non-alphanumeric runs collapsed to single
     * spaces, trimmed. Basis for content fingerprinting (dedup-stable).

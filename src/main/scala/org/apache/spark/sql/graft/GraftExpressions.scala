@@ -358,6 +358,68 @@ object hashing {
     c
   }
 
+  /** Value-identical to `size(split(text, "\\s+"))` (Spark keeps
+    * leading/trailing empty strings at limit -1, so the size is exactly
+    * one more than the number of `\s+` separator matches = maximal
+    * ASCII-whitespace runs; "" splits to [""], also runs+1). One byte
+    * scan, no token-string array. `\s` is Java's default six ASCII
+    * chars — see [[whitespaceCount]] for why a byte scan is exact.
+    */
+  def wsTokenCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var i = 0
+    var runs = 0
+    var inWs = false
+    while (i < n) {
+      val b = text.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+      if (ws && !inWs) runs += 1
+      inWs = ws
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** Value-identical to
+    * `size(regexp_extract_all(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))`
+    * — the GPT-2-style pre-tokenizer match count: one match per maximal
+    * ASCII-letter run, per maximal ASCII-digit run, and per single code
+    * point that is none of letter/digit/`\s`. Non-ASCII code points all
+    * fall in the third class (Java regex char classes match per code
+    * point; counting UTF-8 lead bytes counts code points, surrogate
+    * pairs included), so the scan never decodes. No match-array
+    * allocation, no regex engine.
+    */
+  def bpeishTokenCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var i = 0
+    var c = 0
+    // 0 = none/other/ws, 1 = in letter run, 2 = in digit run
+    var run = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if ((b & 0x80) != 0) {
+        // non-ASCII code point: lead byte counts one "other" match,
+        // continuation bytes (10xxxxxx) are skipped
+        if ((b & 0xC0) != 0x80) c += 1
+        run = 0
+      } else if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+        if (run != 1) c += 1
+        run = 1
+      } else if (b >= '0' && b <= '9') {
+        if (run != 2) c += 1
+        run = 2
+      } else if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) {
+        run = 0
+      } else {
+        c += 1
+        run = 0
+      }
+      i += 1
+    }
+    c
+  }
+
   def minhashBandHashes(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
     val mins = new Array[Long](k)
@@ -969,6 +1031,40 @@ case class WhitespaceCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Whitespace-token count (see hashing.wsTokenCount) — value-identical
+  * to `size(split(text, "\\s+"))` without materializing the word-string
+  * array it threw away. The count sits in every quality/stats operator
+  * (t02/t03/t22, the p01/p07 gate, the stopword-ratio langid family).
+  */
+case class WsTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    hashing.wsTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.wsTokenCount($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** GPT-2-style pre-tokenizer match count (see hashing.bpeishTokenCount)
+  * — value-identical to `size(regexp_extract_all(text,
+  * "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))` without running the regex
+  * engine or allocating every matched token string per row.
+  */
+case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    hashing.bpeishTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.bpeishTokenCount($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass fused MinHash band hashes (see hashing.minhashBandHashes) —
   * bit-identical to xxhash64-over-signature-slices, without ever
   * materializing the signature column.
@@ -1452,6 +1548,8 @@ object GraftFunctions {
   def minhash_band_hashes(hashes: Column, bands: Int, rows: Int): Column =
     col(MinHashBandHashes(e(hashes), bands, rows))
   def whitespace_count(text: Column): Column = col(WhitespaceCount(e(text)))
+  def ws_token_count(text: Column): Column = col(WsTokenCount(e(text)))
+  def bpeish_token_count(text: Column): Column = col(BpeishTokenCount(e(text)))
   def sorted_intersection_size(a: Column, b: Column): Column =
     col(SortedIntersectionSize(e(a), e(b)))
   def sorted_weighted_dot(ta: Column, wa: Column, tb: Column, wb: Column): Column =

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{hashing, GraftFunctions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The r15 allocate-to-count rewrites: WsTokenCount and BpeishTokenCount
+  * must be bit-identical to the regex forms they replaced —
+  * `size(split(text, "\s+"))` and
+  * `size(regexp_extract_all(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))` —
+  * on every edge the regex semantics encode: leading/trailing/multiple
+  * whitespace (Spark split keeps empty fields at limit -1), every Java
+  * `\s` class member, empty strings, multi-byte code points (one "other"
+  * match per code point, surrogate pairs included), and the real corpus.
+  */
+class TokenCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeDocs = Seq(
+    "plain words here",
+    "  leading", "trailing  ", "  both  ", " ",
+    "", "a", " \t\r\n\u000B\u000C",
+    "tabs\tand\nnewlines\u000Bvt\u000Cff\rcr",
+    "digits123mixed456runs", "123 456  789",
+    "punct!@#$%^&*()_+-=[]{};':\",./<>?",
+    "café naïve résumé",          // 2-byte letters → "other"
+    "中文没有空格",           // 3-byte CJK run
+    "emoji 😀😀 pair",            // 4-byte code points
+    "a1b2c3", "ABC abc 007 --- \u00A0nbsp",           // nbsp is NOT Java \s
+    "word, word. word; (word)"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select($"doc_id", $"text")
+
+  test("WsTokenCount ≡ size(split(text, \\s+)) on edges and corpus") {
+    for (df <- Seq(edgeDocs.toDF("doc_id", "text"), corpus)) {
+      val bad = df.select(
+          GraftFunctions.ws_token_count($"text").as("a"),
+          size(split($"text", "\\s+")).as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(bad == 0)
+    }
+    // kernel-level spot pins (the +1 formula's corners)
+    def k(s: String) = hashing.wsTokenCount(UTF8String.fromString(s))
+    assert(k("") == 1)
+    assert(k(" ") == 2)
+    assert(k("a b") == 2)
+    assert(k(" a b ") == 4)
+    assert(k("abc") == 1)
+  }
+
+  test("BpeishTokenCount ≡ size(regexp_extract_all(...)) on edges and corpus") {
+    val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+    for (df <- Seq(edgeDocs.toDF("doc_id", "text"), corpus)) {
+      val bad = df.select(
+          GraftFunctions.bpeish_token_count($"text").as("a"),
+          size(regexp_extract_all($"text", pat, lit(0))).as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(bad == 0)
+    }
+    def k(s: String) = hashing.bpeishTokenCount(UTF8String.fromString(s))
+    assert(k("") == 0)
+    assert(k("abc") == 1)
+    assert(k("abc123") == 2)          // letter run + digit run
+    assert(k("a,b") == 3)
+    assert(k("中文") == 2)    // one match per CJK code point
+    assert(k("😀") == 1)    // surrogate pair = one code point
+    assert(k("a\u00A0b") == 3)        // nbsp: other (not \s), splits runs
+  }
+}

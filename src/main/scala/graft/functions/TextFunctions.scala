@@ -81,12 +81,16 @@ object TextFunctions {
     length(regexp_replace(text, s"[^$javaScriptClass]", ""))
 
   /** Han / kana (hiragana+katakana) / hangul char counts — the three
-    * signals behind the script-aware language fallback (t26).
+    * signals behind the script-aware language fallback (t26). One fused
+    * CjkScriptCounts decode pass (value-identical to three
+    * [[scriptCharCount]] regexp_replace copies — CjkSpec pins it; Java
+    * `\p{IsHan}` IS `Character.UnicodeScript.HAN` membership).
     */
-  def cjkCounts(text: Column): (Column, Column, Column) = (
-    scriptCharCount(text, "\\p{IsHan}"),
-    scriptCharCount(text, "\\p{IsHiragana}\\p{IsKatakana}"),
-    scriptCharCount(text, "\\p{IsHangul}"))
+  def cjkCounts(text: Column): (Column, Column, Column) = {
+    val counts = org.apache.spark.sql.graft.GraftFunctions
+      .cjk_script_counts(text)
+    (element_at(counts, 1), element_at(counts, 2), element_at(counts, 3))
+  }
 
   /** Adaptive token count: whitespace words when the text is
     * whitespace-segmented, non-space character count when it isn't (the

@@ -797,7 +797,8 @@ object DocumentPipeline {
         hangul.as("n_hangul"), wsDens.as("ws_density"),
         length($"text").as("n_cp"),
         size(split($"text", " ")).cast("long").as("n_ws_tokens"),
-        length(regexp_replace($"text", "\\s", "")).cast("long")
+        (length($"text") - org.apache.spark.sql.graft.GraftFunctions
+          .whitespace_count($"text")).cast("long")
           .as("n_nonspace")) ++
         scores.map { case (l, c) => c.as(s"score_$l") } :+
           predictLang(scores).as("ws_lang")): _*)

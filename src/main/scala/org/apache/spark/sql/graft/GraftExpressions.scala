@@ -390,6 +390,52 @@ object hashing {
     * pairs included), so the scan never decodes. No match-array
     * allocation, no regex engine.
     */
+  /** Han / kana (Hiragana+Katakana) / Hangul code-point counts in ONE
+    * UTF-8 decode pass — value-identical to the three
+    * `length(regexp_replace(text, "[^\p{IsXxx}]", ""))` columns it
+    * replaces (each of which allocated a filtered copy of every
+    * document): Java's `\p{IsHan}` IS `Character.UnicodeScript.HAN`
+    * membership, and Spark `length` counts code points, so counting
+    * script members per decoded code point is the same number. ASCII
+    * bytes short-circuit (none of the three scripts has ASCII members);
+    * malformed sequences skip a byte, matching UTF8String's lenient
+    * numChars accounting on valid corpus data.
+    */
+  def cjkScriptCounts(text: UTF8String): ArrayData = {
+    val n = text.numBytes()
+    var i = 0
+    var han = 0
+    var kana = 0
+    var hangul = 0
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xFF
+      if (b0 < 0x80) { i += 1 }
+      else {
+        var cp = -1
+        var len = 1
+        if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+          cp = ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F); len = 2
+        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+          cp = ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
+            (text.getByte(i + 2) & 0x3F); len = 3
+        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+          cp = ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
+            ((text.getByte(i + 2) & 0x3F) << 6) |
+            (text.getByte(i + 3) & 0x3F); len = 4
+        }
+        if (cp >= 0x1100 && Character.isValidCodePoint(cp)) {
+          val s = Character.UnicodeScript.of(cp)
+          if (s eq Character.UnicodeScript.HAN) han += 1
+          else if ((s eq Character.UnicodeScript.HIRAGANA) ||
+            (s eq Character.UnicodeScript.KATAKANA)) kana += 1
+          else if (s eq Character.UnicodeScript.HANGUL) hangul += 1
+        }
+        i += len
+      }
+    }
+    new GenericArrayData(Array[Any](han, kana, hangul))
+  }
+
   def bpeishTokenCount(text: UTF8String): Int = {
     val n = text.numBytes()
     var i = 0
@@ -1048,6 +1094,23 @@ case class WsTokenCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused CJK script profile (see hashing.cjkScriptCounts) — array<int>
+  * of (Han, kana, Hangul) code-point counts in one decode pass, replacing
+  * three per-script `length(regexp_replace(text, "[^\p{IsXxx}]", ""))`
+  * full-copy columns in the t26 map side (CjkSpec pins equality).
+  */
+case class CjkScriptCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.cjkScriptCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.cjkScriptCounts($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** GPT-2-style pre-tokenizer match count (see hashing.bpeishTokenCount)
   * — value-identical to `size(regexp_extract_all(text,
   * "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))` without running the regex
@@ -1549,6 +1612,7 @@ object GraftFunctions {
     col(MinHashBandHashes(e(hashes), bands, rows))
   def whitespace_count(text: Column): Column = col(WhitespaceCount(e(text)))
   def ws_token_count(text: Column): Column = col(WsTokenCount(e(text)))
+  def cjk_script_counts(text: Column): Column = col(CjkScriptCounts(e(text)))
   def bpeish_token_count(text: Column): Column = col(BpeishTokenCount(e(text)))
   def sorted_intersection_size(a: Column, b: Column): Column =
     col(SortedIntersectionSize(e(a), e(b)))

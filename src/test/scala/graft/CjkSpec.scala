@@ -74,6 +74,34 @@ class CjkSpec extends SparkSpec {
     assert(cntDiff == 0)
   }
 
+  test("fused CjkScriptCounts matches the three regexp_replace script counts") {
+    // the r15 fusion contract: one decode pass ≡ three
+    // length(regexp_replace(text, "[^\p{IsXxx}]", "")) columns, on Han/
+    // kana/hangul text, mixed-script docs, supplementary-plane chars
+    // (𠀀 is script Han in plane 2), and whitespace/latin noise
+    val docs = Seq(
+      (1L, hanDoc(60, 7)),
+      (2L, hanDoc(20, 3) + kanaTail + " latin tail 123"),
+      (3L, hangulDoc),
+      (4L, "pure latin text, no cjk at all"),
+      (5L, ""),
+      (6L, "𠀀𠀁 plane-2 han"), // U+20000 U+20001
+      (7L, kanaTail + hangulDoc + hanDoc(10, 11))
+    ).toDF("doc_id", "text")
+    val old = Seq(
+      functions.TextFunctions.scriptCharCount($"text", "\\p{IsHan}"),
+      functions.TextFunctions.scriptCharCount($"text",
+        "\\p{IsHiragana}\\p{IsKatakana}"),
+      functions.TextFunctions.scriptCharCount($"text", "\\p{IsHangul}"))
+    val fused = GraftFunctions.cjk_script_counts($"text")
+    val mismatches = docs.select(
+        element_at(fused, 1).as("h"), element_at(fused, 2).as("k"),
+        element_at(fused, 3).as("g"),
+        old(0).as("oh"), old(1).as("ok"), old(2).as("og"))
+      .filter($"h" =!= $"oh" || $"k" =!= $"ok" || $"g" =!= $"og").count()
+    assert(mismatches == 0)
+  }
+
   test("t26: planted scripts label zh/ja/ko; segmented text matches t01") {
     val zh = hanDoc(120, 13)
     val ja = hanDoc(40, 11) + kanaTail * 4

@@ -38,6 +38,21 @@ object ProbeD18 {
         .select($"ord".as("doc_id"), $"sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("keeper shingle join")(keepers.count())
+      // A/B (r15): ONE-PASS keeper aggregation — min_by carries the
+      // shingle arrays through the (h,h2) shuffle, replacing keeper
+      // groupBy + the ord-join that re-shuffles meta(ord, sh); exact
+      // dups then come from a light (h,h2) join against the kept ords.
+      // Volumes are near-equal (sh travels one corpus shuffle either
+      // way; partial agg only collapses the ~6% duplicate segments), so
+      // this measures exchanges saved vs agg-buffer cost.
+      val ka = meta.groupBy($"h", $"h2")
+        .agg(min($"ord").as("kord"), min_by($"sh", $"ord").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("MIN_BY keeper one-pass")(ka.count())
+      t("MIN_BY exact-dup join")(meta.select($"ord", $"h", $"h2")
+        .join(ka.select($"h", $"h2", $"kord"), Seq("h", "h2"))
+        .filter($"ord" =!= $"kord").count())
+      ka.unpersist()
       val banded = keepers
         .select($"doc_id", org.apache.spark.sql.graft.GraftFunctions
           .minhash_sig_from_hashes($"sh").as("sig"))

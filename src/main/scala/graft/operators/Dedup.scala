@@ -850,6 +850,41 @@ object Dedup {
     (semanticPairsFrom(bucketed, minCos, maxBucket), bucketed)
   }
 
+  /** Canonical-pick LOSERS for sign-partition buckets past `maxBucket`
+    * over a bucketed (vec_id, v, bucket) frame — every member except the
+    * bucket's min vec_id. This is d12's `oversizedCanonical` routing
+    * exposed as a composable stage half: the pair generator's
+    * eligibility cap EXEMPTS over-cap buckets from pairing (their
+    * members would otherwise all survive dedup — exactly the hot
+    * template mass a curation pipeline exists to kill), so a pipeline
+    * composing [[semanticPairsHandle]] unions these in as additional
+    * losers. No cosine verify inside the bucket, by design: a bucket
+    * past the cap at corpus-scaled planes holds >maxBucket vectors
+    * concentrated in one of 2^planes sign cells — degenerate
+    * template/boilerplate mass where O(n²) verify is unpayable and the
+    * bucket IS the cluster (the SemDeDup pragmatic move; PlanesProbe
+    * measured this covering 100% of a 200k clustered corpus 3–4×
+    * FASTER than any pair form, 5.4 s vs 18–44 s, because giant
+    * clusters never expand into pairs).
+    *
+    * Shape at 100 TB: the per-bucket (count, min) is a partial-
+    * aggregatable groupBy bounded at 2^planes rows, broadcast back
+    * onto the members — one map-side filter over the already-persisted
+    * bucketed frame, no new shuffle of the corpus.
+    */
+  def semanticOversizedLosersFrom(bucketed: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val s = bucketed.sparkSession
+    import s.implicits._
+    val over = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"), min($"vec_id").as("keep_id"))
+      .filter($"bn" > maxBucket)
+      .select($"bucket", $"keep_id")
+    bucketed.join(broadcast(over), Seq("bucket"))
+      .filter($"vec_id" =!= $"keep_id")
+      .select($"vec_id")
+  }
+
   /** Observability for d11's bucket cap (the minhash/simhash contract):
     * sign-partition buckets the pair stage prunes as oversized, with
     * populations. A legitimate giant semantic cluster (press-release

@@ -122,6 +122,16 @@ object CorpusPipeline {
       semDim: Int = 64,
       semMinCos: Double = 0.9,
       semMaxBucket: Int = 512,
+      // Route over-cap semantic buckets to a per-bucket canonical pick
+      // (min-id keeps, rest drop) instead of exempting them from dedup
+      // entirely. Default ON for the same reason nearDupStarMode is:
+      // the pair stage's eligibility cap silently PASSES every member
+      // of a bucket past semMaxBucket — at corpus-scaled planes that is
+      // precisely the degenerate hot-template mass curation exists to
+      // kill (PlanesProbe: 77–89% of a 200k clustered corpus sits
+      // over-cap, and canonical routing covers it 3–4× faster than any
+      // pair form because giant clusters never expand into pairs).
+      semOversizedCanonical: Boolean = true,
       minWords: Int = 20,
       maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0,
@@ -313,13 +323,22 @@ object CorpusPipeline {
     ndShCache.unpersist()
 
     // d12-style semantic gate over hashed doc vectors; same
-    // drop-the-later-element policy as the d02 stage.
+    // drop-the-later-element policy as the d02 stage. Over-cap buckets
+    // route to a per-bucket canonical pick (semOversizedCanonical) —
+    // the semantic twin of the d02 stage's star mode: without it every
+    // vector in a bucket past semMaxBucket is EXEMPT from dedup, the
+    // leak the d02 stage runs star mode to close.
     val semPlanes = if (cfg.semPlanes > 0) cfg.semPlanes
       else Dedup.scaledPlanes(nNd, cfg.semMaxBucket)
     val (semPairs, semBucketed) = Dedup
       .semanticPairsHandle(hashedDocVectors(afterNd, cfg.semDim),
         semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
-    val semLosers = semPairs.select($"vec_b".as("doc_id")).distinct()
+    val semPairLosers = semPairs.select($"vec_b".as("doc_id"))
+    val semLosers = (if (cfg.semOversizedCanonical)
+        semPairLosers.unionByName(Dedup
+          .semanticOversizedLosersFrom(semBucketed, cfg.semMaxBucket)
+          .select($"vec_id".as("doc_id")))
+      else semPairLosers).distinct()
     val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
       afterNd.join(semLosers, Seq("doc_id"), "left_anti"))
     // the staged() count above materialized the losers — the bucketed
@@ -499,12 +518,24 @@ object CorpusPipeline {
       else Dedup.scaledPlanes(nNd, cfg.semMaxBucket)
     val (semPairs, semBucketed) = Dedup.semanticPairsHandle(vecs,
       semPlanes, cfg.semDim, cfg.semMinCos, cfg.semMaxBucket)
+    // within-delta over-cap buckets route to canonical, same as the
+    // batch DAG; the cap stays per-side (the documented LSH-cap
+    // divergence — a bucket over-cap only when corpus+delta combine is
+    // handled at the side that sees it)
+    val semWithin = {
+      val pairLosers = semPairs.select($"vec_b".as("doc_id"))
+      if (cfg.semOversizedCanonical)
+        pairLosers.unionByName(Dedup
+          .semanticOversizedLosersFrom(semBucketed, cfg.semMaxBucket)
+          .select($"vec_id".as("doc_id")))
+      else pairLosers
+    }
     val semLosers = Dedup
       .semanticDelta(s, s"${stateTable}_sem",
         vecs.select($"vec_id", $"v".as("embedding")),
         planes = cfg.semPlanes, minCos = cfg.semMinCos)
       .select($"new_id".as("doc_id"))
-      .unionByName(semPairs.select($"vec_b".as("doc_id")))
+      .unionByName(semWithin)
       .distinct()
     val (afterSem, nSem) = staged("d12_semantic_dedup", nNd,
       afterNd.join(semLosers, Seq("doc_id"), "left_anti"))

@@ -380,16 +380,6 @@ object hashing {
     runs + 1
   }
 
-  /** Value-identical to
-    * `size(regexp_extract_all(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))`
-    * — the GPT-2-style pre-tokenizer match count: one match per maximal
-    * ASCII-letter run, per maximal ASCII-digit run, and per single code
-    * point that is none of letter/digit/`\s`. Non-ASCII code points all
-    * fall in the third class (Java regex char classes match per code
-    * point; counting UTF-8 lead bytes counts code points, surrogate
-    * pairs included), so the scan never decodes. No match-array
-    * allocation, no regex engine.
-    */
   /** Han / kana (Hiragana+Katakana) / Hangul code-point counts in ONE
     * UTF-8 decode pass — value-identical to the three
     * `length(regexp_replace(text, "[^\p{IsXxx}]", ""))` columns it
@@ -397,9 +387,13 @@ object hashing {
     * document): Java's `\p{IsHan}` IS `Character.UnicodeScript.HAN`
     * membership, and Spark `length` counts code points, so counting
     * script members per decoded code point is the same number. ASCII
-    * bytes short-circuit (none of the three scripts has ASCII members);
-    * malformed sequences skip a byte, matching UTF8String's lenient
-    * numChars accounting on valid corpus data.
+    * bytes short-circuit (none of the three scripts has ASCII members).
+    * A multi-byte sequence is accepted only when every continuation
+    * byte is 10xxxxxx; a malformed lead (or truncated tail) advances
+    * one byte — lenient skip, so a stray 0xE4 never swallows the ASCII
+    * bytes after it (those decode to U+FFFD via String conversion on
+    * the regex side, which none of the three scripts contains, so both
+    * forms count malformed input as zero).
     */
   def cjkScriptCounts(text: UTF8String): ArrayData = {
     val n = text.numBytes()
@@ -407,18 +401,21 @@ object hashing {
     var han = 0
     var kana = 0
     var hangul = 0
+    def cont(k: Int): Boolean = (text.getByte(k) & 0xC0) == 0x80
     while (i < n) {
       val b0 = text.getByte(i) & 0xFF
       if (b0 < 0x80) { i += 1 }
       else {
         var cp = -1
         var len = 1
-        if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+        if ((b0 & 0xE0) == 0xC0 && i + 1 < n && cont(i + 1)) {
           cp = ((b0 & 0x1F) << 6) | (text.getByte(i + 1) & 0x3F); len = 2
-        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n && cont(i + 1) &&
+            cont(i + 2)) {
           cp = ((b0 & 0x0F) << 12) | ((text.getByte(i + 1) & 0x3F) << 6) |
             (text.getByte(i + 2) & 0x3F); len = 3
-        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n && cont(i + 1) &&
+            cont(i + 2) && cont(i + 3)) {
           cp = ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3F) << 12) |
             ((text.getByte(i + 2) & 0x3F) << 6) |
             (text.getByte(i + 3) & 0x3F); len = 4
@@ -436,6 +433,16 @@ object hashing {
     new GenericArrayData(Array[Any](han, kana, hangul))
   }
 
+  /** Value-identical to
+    * `size(regexp_extract_all(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))`
+    * — the GPT-2-style pre-tokenizer match count: one match per maximal
+    * ASCII-letter run, per maximal ASCII-digit run, and per single code
+    * point that is none of letter/digit/`\s`. Non-ASCII code points all
+    * fall in the third class (Java regex char classes match per code
+    * point; counting UTF-8 lead bytes counts code points, surrogate
+    * pairs included), so the scan never decodes. No match-array
+    * allocation, no regex engine.
+    */
   def bpeishTokenCount(text: UTF8String): Int = {
     val n = text.numBytes()
     var i = 0

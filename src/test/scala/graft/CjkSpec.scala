@@ -102,6 +102,52 @@ class CjkSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("fused CjkScriptCounts matches regexp form on MALFORMED UTF-8") {
+    // ADVICE r15: the hand decoder must validate continuation bytes
+    // (10xxxxxx) — a malformed lead must not swallow the valid bytes
+    // after it. The regexp side decodes via String (malformed → U+FFFD,
+    // not a CJK script), so equality on crafted byte sequences pins the
+    // lenient-skip behavior. Binary → string cast keeps the raw bytes.
+    val zhong = Array[Byte](0xE4.toByte, 0xB8.toByte, 0xAD.toByte) // 中
+    val wen = Array[Byte](0xE6.toByte, 0x96.toByte, 0x87.toByte)   // 文
+    val cases = Seq(
+      // malformed 3-byte lead then ASCII: old code ate 'a','b'
+      Array[Byte](0xE4.toByte, 'a', 'b', 'c'),
+      // malformed lead directly before a valid Han char: the char must
+      // still count (old code consumed its lead as a continuation)
+      Array[Byte](0xE4.toByte) ++ zhong,
+      // truncated sequence at end of string
+      zhong ++ Array[Byte](0xE6.toByte, 0x96.toByte),
+      // lone continuation byte between two valid chars
+      zhong ++ Array[Byte](0x80.toByte) ++ wen,
+      // 4-byte lead with only ASCII after it
+      Array[Byte](0xF0.toByte, 'x', 'y'),
+      // all-valid baseline
+      zhong ++ wen
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    val docs = cases.toDF("doc_id", "b")
+      .select($"doc_id", $"b".cast("string").as("text"))
+    val old = Seq(
+      functions.TextFunctions.scriptCharCount($"text", "\\p{IsHan}"),
+      functions.TextFunctions.scriptCharCount($"text",
+        "\\p{IsHiragana}\\p{IsKatakana}"),
+      functions.TextFunctions.scriptCharCount($"text", "\\p{IsHangul}"))
+    val fused = GraftFunctions.cjk_script_counts($"text")
+    val rows = docs.select($"doc_id",
+        element_at(fused, 1).as("h"), element_at(fused, 2).as("k"),
+        element_at(fused, 3).as("g"),
+        old(0).as("oh"), old(1).as("ok"), old(2).as("og"))
+      .collect()
+    for (r <- rows) {
+      assert(r.getAs[Int]("h") == r.getAs[Int]("oh") &&
+        r.getAs[Int]("k") == r.getAs[Int]("ok") &&
+        r.getAs[Int]("g") == r.getAs[Int]("og"),
+        s"malformed-input divergence on case ${r.getAs[Long]("doc_id")}: $r")
+    }
+    // the load-bearing case explicitly: 0xE4 + 中 still counts the 中
+    assert(rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Int]("h") == 1)
+  }
+
   test("t26: planted scripts label zh/ja/ko; segmented text matches t01") {
     val zh = hanDoc(120, 13)
     val ja = hanDoc(40, 11) + kanaTail * 4

@@ -306,6 +306,50 @@ class CorpusPipelineSpec extends SparkSpec {
       s"expected the template family to leak through, $survivingVariants")
   }
 
+  test("p07 semantic stage routes over-cap buckets to canonical instead of " +
+      "exempting them") {
+    // A semantic template family TWICE the bucket cap: 8 stride
+    // permutations of one 30-word multiset (strides coprime to 30, so
+    // the orderings are distinct and share ~zero 3-shingles — invisible
+    // to d01/d18b/d02) with IDENTICAL hashed-BoW vectors, hence one
+    // semantic bucket of population 8 > semMaxBucket 4. The pair
+    // stage's eligibility cap exempts that bucket entirely, so before
+    // the routing fix every member survived curation — the same leak
+    // the d02 stage runs star mode to close.
+    val base = words(0, 30)
+    val family = Seq(1, 7, 11, 13, 17, 19, 23, 29).zipWithIndex.map {
+      case (stride, i) =>
+        (500L + i, base.indices.map(j => base((j * stride) % 30)))
+    }
+    val fillers = (0 until 6).map(i => (600L + i, words(400 + 25 * i, 25)))
+    val docs = (family ++ fillers)
+      .map { case (id, ws) => (id, "web", ws.mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val cfg = p07Cfg.copy(semMaxBucket = 4)
+
+    val routed = CorpusPipeline.curateFull(docs, benchmarkDf, cfg)
+    val rKills = killsOf(routed.waterfall)
+    assert(rKills("d01_exact") == 0 && rKills("d18_segment_neardup") == 0 &&
+      rKills("d02_minhash_neardup") == 0,
+      s"the family must reach the semantic stage intact: $rKills")
+    assert(rKills("d12_semantic_dedup") == 7,
+      s"canonical routing kills all but the min-id member: " +
+        s"${rKills("d12_semantic_dedup")}")
+    val rKept = routed.docs.select($"doc_id").as[Long].collect().toSet
+    assert(rKept == Set(500L) ++ (600L until 606L).toSet,
+      s"survivors: ${rKept.toSeq.sorted}")
+
+    // contrast: with routing off the over-cap bucket is exempt and the
+    // whole family leaks through — the r15 verdict's `weak`
+    val exempt = CorpusPipeline.curateFull(docs, benchmarkDf,
+      cfg.copy(semOversizedCanonical = false))
+    assert(killsOf(exempt.waterfall)("d12_semantic_dedup") == 0,
+      "exempt mode must pass the over-cap family untouched")
+    val eKept = exempt.docs.select($"doc_id").as[Long].collect().toSet
+    assert(eKept == (500L until 508L).toSet ++ (600L until 606L).toSet,
+      s"exempt survivors: ${eKept.toSeq.sorted}")
+  }
+
   test("curated corpus on test data removes the planted near-duplicates") {
     val docs = Tables.documents(spark, sf)
     val curated = CorpusPipeline.curate(docs)

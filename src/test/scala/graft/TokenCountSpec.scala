@@ -68,4 +68,27 @@ class TokenCountSpec extends SparkSpec {
     assert(k("😀") == 1)    // surrogate pair = one code point
     assert(k("a\u00A0b") == 3)        // nbsp: other (not \s), splits runs
   }
+
+  test("null text null-propagates through both counters (pinned intent)") {
+    // The regex forms they replaced return -1 for null text under the
+    // legacy sizeOfNull flag; the byte-scan expressions null-propagate
+    // (Spark 4 default size(null) semantics, and what the DuckDB oracle
+    // SQL computes). Keep-gate filters behave identically \u2014 both -1 and
+    // NULL fail `>= k` \u2014 but emitted token counts over null-text rows
+    // are NULL by contract, pinned here so the divergence from the
+    // legacy flag is intentional, not accidental (ADVICE r15).
+    val df = Seq((1L, Some("two words")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        GraftFunctions.ws_token_count($"text").as("ws"),
+        GraftFunctions.bpeish_token_count($"text").as("bpe"),
+        GraftFunctions.cjk_script_counts($"text").as("cjk"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 2)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3),
+      s"null text must yield NULL counts: ${out(1)}")
+    // and a null row still fails a keep-gate threshold, same as -1 did
+    assert(df.filter(GraftFunctions.ws_token_count($"text") >= 1)
+      .count() == 1)
+  }
 }

@@ -128,6 +128,13 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Min-of-reps as a FIRST-CLASS stat (VERDICT r15 #7): on this VM the
+    // medians ride >2x wall-clock regimes while the min tracks code —
+    // three rounds of verdicts had to re-derive that from the spreads by
+    // hand. `times` is sorted, so head IS the min.
+    val qsMin = results.map { case (k, v, _, _, ts) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.000" else f"${ts.head}%.3f")
+    }.mkString("{", ",", "}")
     val sh = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
     // Per-query [min, median, max] over the reps: a contended run is
@@ -145,8 +152,9 @@ object Bench {
     val memoizedNames =
       results.collect { case (k, _, _, mz, _) if mz => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.collect { case (_, v, _, _, ts) if v >= 0 => ts.head }.sum
     val detail =
-      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"shuffle_mb":$sh,"spread":$spread,"failed":${failedNames.mkString("[", ",", "]")},"memoized":${memoizedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"queries_min":$qsMin,"total_min":${f"$totalMin%.3f"},"shuffle_mb":$sh,"spread":$spread,"failed":${failedNames.mkString("[", ",", "]")},"memoized":${memoizedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // Full per-query detail goes on its OWN line (and into a file) because
     // the driver keeps only the final ~2000 chars of stdout: the LAST line
     // must stay short so it always fits the tail buffer and parses.
@@ -155,7 +163,7 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     val totalLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${failedNames.size},"reps":$reps,"stat":"median","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":${results.size},"failed":${failedNames.size},"reps":$reps,"stat":"median","sf":"$sfDir"}"""
     // Artifact hygiene (VERDICT r13 #4): executor shutdown races can
     // interleave stack-trace lines into captured stdout, breaking naive
     // JSON-lines parsing of BENCH_r*.json. With SPARK_GRAFT_BENCH_OUT

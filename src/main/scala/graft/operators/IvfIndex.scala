@@ -22,14 +22,23 @@ import graft.functions.VectorFunctions._
 object IvfIndex {
 
   /** Lloyd iterations over cosine similarity; returns (cluster_id, centroid)
-    * rows. Deterministic: seeds are the first K vectors by id.
+    * rows. Deterministic: seeds are the K vectors with the smallest
+    * xxhash64(vec_id) — a fixed pseudo-random sample spread across the
+    * whole corpus (one distributed top-K, no global sort). Seeding by
+    * FIRST K ids planted every seed in whichever region owns the low
+    * ids, so a retrain over an appended corpus (old ids low, new ids
+    * high) left the appended region centroid-less and its residuals
+    * unabsorbed — the drift-retrain loop's recovery depends on seeds
+    * landing everywhere (SimilaritySpec's drift test measures exactly
+    * this).
     */
   def train(vectors: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] = {
     val s = vectors.sparkSession
     import s.implicits._
     val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
 
-    var centroids: Seq[(Int, Seq[Double])] = v.orderBy($"vec_id").limit(k)
+    var centroids: Seq[(Int, Seq[Double])] = v
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
       .select($"v").as[Seq[Double]].collect().toSeq.zipWithIndex.map(_.swap)
 
     for (_ <- 1 to iters) {
@@ -117,9 +126,14 @@ object IvfIndex {
       .coalesce(1) // K rows of kilobytes — one file IS the right layout
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + "/centroids")
-    assign(vectors, centroids)
+    val assigned = assign(vectors, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster_id").parquet(path + "/members")
+    writeTrainStats(assigned, centroids, path)
+    assigned.unpersist()
+    ()
   }
 
   private def readCentroids(s: SparkSession,
@@ -142,6 +156,147 @@ object IvfIndex {
     assign(newVectors, readCentroids(s, path))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster_id").parquet(path + "/members")
+
+  // ------------------------------------------------------------------
+  // Drift detection + retrain trigger (VERDICT r15 #3). appendVectors /
+  // appendPqVectors encode against FROZEN centroids/codebooks, so a
+  // distribution-shifted append stream silently degrades the index —
+  // oversized cells make probes scan-heavy in IVF, and PQ codes built
+  // from out-of-distribution residuals scramble the ADC shortlist, both
+  // with nothing reporting it. This is the droppedBuckets observability
+  // discipline applied to the vector stores: the index persists its
+  // TRAINING-time per-cluster baseline, every append batch can be
+  // scored against it in one map-only pass, and a flagged batch routes
+  // to a rebuild entry point.
+  // ------------------------------------------------------------------
+
+  /** Training baseline the drift detector compares against — one row
+    * per cluster: population and mean coarse-residual norm
+    * (mean ‖v − c(v)‖₂, the distance the quantizer was optimized for;
+    * for a PQ store these are exactly the residuals its codebooks were
+    * trained on). Written by writeIndex/writePqIndex; appends do NOT
+    * update it — the baseline is the distribution the centroids
+    * actually saw, which is the thing drift is measured FROM.
+    */
+  private[operators] def writeTrainStats(assigned: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit = {
+    clusterStats(assigned, centroids)
+      .toDF("cluster_id", "n_train", "mean_resid_train")
+      .coalesce(1) // K rows — same one-file layout as the centroids
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/stats")
+  }
+
+  /** Per-cluster (cluster_id, n, mean ‖v − centroid‖₂) over an assigned
+    * (vec_id, v, cluster_id) frame. One partial-aggregatable shuffle of
+    * K rows; the centroid lookup is a broadcast K-row join (joined by
+    * id, not positional element_at — Lloyd can empty a cluster, leaving
+    * gapped ids in a stored IVF index).
+    */
+  private def clusterStats(assigned: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val cDf = s.createDataFrame(centroids).toDF("cluster_id", "centroid")
+    assigned.join(broadcast(cDf), Seq("cluster_id"))
+      .withColumn("resid",
+        sqrt(normSq(zip_with($"v", $"centroid", (a, b) => a - b))))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n"), avg($"resid").as("mean_resid"))
+  }
+
+  /** Score an append batch against the stored training baseline BEFORE
+    * it lands: assign the batch map-only against the stored centroids,
+    * aggregate per-cluster stats, and join the `/stats` baseline. One
+    * row per cluster touched by either side:
+    * (cluster_id, n_train, share_train, mean_resid_train, n_batch,
+    * share_batch, mean_resid_batch, resid_ratio, share_ratio) — a
+    * shifted batch shows resid_ratio ≫ 1 (its vectors are far from
+    * every centroid trained on the old distribution) and/or
+    * share_ratio ≫ 1 (its mass piles into whichever cell is least
+    * wrong). Works against an IVF or PQ store — both persist the same
+    * centroids/stats layout.
+    *
+    * Cost shape: the batch pays one map-only assignment + a K-row
+    * aggregate; the stored corpus is never touched (the baseline is
+    * K rows of parquet).
+    */
+  def driftReport(s: SparkSession, path: String,
+      newVectors: DataFrame): DataFrame = {
+    import s.implicits._
+    val centroids = readCentroids(s, path)
+    val batch = clusterStats(assign(newVectors, centroids), centroids)
+      .toDF("cluster_id", "n_batch", "mean_resid_batch")
+    val trainStats = s.read.parquet(path + "/stats")
+    val nTrain = trainStats.agg(sum($"n_train")).head().getLong(0).toDouble
+    val nBatch = newVectors.count().toDouble
+    trainStats.join(batch, Seq("cluster_id"), "full_outer")
+      .na.fill(0L, Seq("n_train", "n_batch"))
+      .withColumn("share_train", $"n_train" / lit(nTrain))
+      .withColumn("share_batch", $"n_batch" / lit(math.max(1.0, nBatch)))
+      .withColumn("resid_ratio",
+        round($"mean_resid_batch" / greatest($"mean_resid_train", lit(1e-12)), 4))
+      .withColumn("share_ratio",
+        round($"share_batch" / greatest($"share_train", lit(1e-12)), 4))
+      .select($"cluster_id", $"n_train", round($"share_train", 4).as("share_train"),
+        round($"mean_resid_train", 6).as("mean_resid_train"),
+        $"n_batch", round($"share_batch", 4).as("share_batch"),
+        round($"mean_resid_batch", 6).as("mean_resid_batch"),
+        $"resid_ratio", $"share_ratio")
+      .orderBy($"cluster_id")
+  }
+
+  /** Batch-level drift verdict over a [[driftReport]]: drifted when the
+    * batch-weighted mean residual norm exceeds `residRatioMax` × the
+    * train-weighted baseline (the quantization error the new data would
+    * pay against the frozen geometry), or when any cluster's batch
+    * share exceeds `shareRatioMax` × its training share on a
+    * non-trivial slice of the batch (mass piling into cells the
+    * training distribution barely used). Thresholds are deliberately
+    * coarse — the detector's job is catching a DIFFERENT distribution,
+    * not tuning micro-rebalance.
+    */
+  def isDrifted(report: DataFrame, residRatioMax: Double = 1.5,
+      shareRatioMax: Double = 5.0): Boolean = {
+    val s = report.sparkSession
+    import s.implicits._
+    val agg = report.agg(
+      (sum($"mean_resid_batch" * $"n_batch") /
+        greatest(sum($"n_batch"), lit(1L))).as("batch_resid"),
+      (sum($"mean_resid_train" * $"n_train") /
+        greatest(sum($"n_train"), lit(1L))).as("train_resid"),
+      max(when($"share_batch" >= 0.05, $"share_ratio")).as("hot_share"))
+      .head()
+    val batchResid = Option(agg.get(0)).fold(0.0)(_ => agg.getDouble(0))
+    val trainResid = Option(agg.get(1)).fold(0.0)(_ => agg.getDouble(1))
+    val hotShare = Option(agg.get(2)).fold(0.0)(_ => agg.getDouble(2))
+    batchResid > residRatioMax * math.max(trainResid, 1e-12) ||
+      hotShare > shareRatioMax
+  }
+
+  /** Append with the drift gate: the batch always LANDS (data loss is
+    * never the right response to drift), but a flagged batch triggers a
+    * full retrain over the stored members — rebuilding centroids,
+    * partition layout, and the stats baseline from everything seen.
+    * Returns whether the retrain fired. The rebuild materializes the
+    * member vectors first (the overwrite would otherwise race its own
+    * lazy scan); a production deployment at corpus scale would write a
+    * versioned sibling path and swap, same shape.
+    */
+  def retrainIfDrifted(s: SparkSession, path: String,
+      newVectors: DataFrame, clusters: Int = 16, iters: Int = 3,
+      residRatioMax: Double = 1.5, shareRatioMax: Double = 5.0): Boolean = {
+    import s.implicits._
+    val drifted = isDrifted(driftReport(s, path, newVectors),
+      residRatioMax, shareRatioMax)
+    appendVectors(s, path, newVectors)
+    if (drifted) {
+      val all = s.read.parquet(path + "/members")
+        .select($"vec_id", $"v".as("embedding")).localCheckpoint()
+      writeIndex(all, path, clusters, iters)
+    }
+    drifted
+  }
 
   /** Top-k search against a stored index: route each query to its
     * `nprobe` nearest stored centroids (broadcast K-row table), then

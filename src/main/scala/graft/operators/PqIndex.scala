@@ -57,8 +57,10 @@ object PqIndex {
     require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
     val d = dim / m
     val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
-    // deterministic seeds: the first k vectors' slices per sub-space
-    val seeds = v.orderBy($"vec_id").limit(k)
+    // deterministic hash-spread seeds (IvfIndex.train's contract): the
+    // k smallest-xxhash64(vec_id) vectors' slices per sub-space — a
+    // first-k-by-id seed would miss appended regions entirely at retrain
+    val seeds = v.orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
       .select($"v").as[Seq[Double]].collect().toSeq
     var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { sub =>
       seeds.zipWithIndex.map { case (vec, i) =>
@@ -266,8 +268,38 @@ object PqIndex {
     assigned.select($"vec_id", $"v".as("nv"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + "/raw")
+    // drift baseline over the SAME coarse residuals the codebooks were
+    // trained on — IvfIndex.driftReport works against either store
+    IvfIndex.writeTrainStats(assigned, coarse, path)
     assigned.unpersist()
     ()
+  }
+
+  /** [[appendPqVectors]] with the drift gate (IvfIndex.retrainIfDrifted
+    * for a PQ store): the batch lands either way; a batch whose coarse
+    * residuals or cell shares are out of the trained distribution
+    * (IvfIndex.isDrifted over the shared `/stats` baseline) triggers a
+    * full rebuild — coarse quantizer, residual codebooks, codes, and
+    * baseline — from the stored raw vectors. Returns whether the
+    * retrain fired. Drift here is a RECALL defect, not just a scan-cost
+    * one: out-of-distribution residuals quantize to garbage codes, the
+    * ADC shortlist stops separating true neighbors, and the exact
+    * re-rank never sees them (SimilaritySpec measures the recovery).
+    */
+  def retrainPqIfDrifted(s: SparkSession, path: String,
+      newVectors: DataFrame, m: Int = 8, kCode: Int = 256, iters: Int = 2,
+      coarseK: Int = 16, residRatioMax: Double = 1.5,
+      shareRatioMax: Double = 5.0): Boolean = {
+    import s.implicits._
+    val drifted = IvfIndex.isDrifted(
+      IvfIndex.driftReport(s, path, newVectors), residRatioMax, shareRatioMax)
+    appendPqVectors(s, path, newVectors)
+    if (drifted) {
+      val all = s.read.parquet(path + "/raw")
+        .select($"vec_id", $"nv".as("embedding")).localCheckpoint()
+      writePqIndex(all, path, m, kCode, iters, coarseK)
+    }
+    drifted
   }
 
   private def readCoarse(s: SparkSession,

@@ -198,6 +198,97 @@ class SimilaritySpec extends SparkSpec {
       s"planted exact copy must be rank 1 with sim 1.0: $top")
   }
 
+  test("ann drift: shifted appends flag, in-distribution appends don't, " +
+      "and the retrain trigger recovers PQ recall") {
+    import graft.operators.{IvfIndex, PqIndex}
+    import graft.functions.VectorFunctions.{asDouble, cosine}
+    import org.apache.spark.sql.expressions.Window
+
+    // 4-blob corpora; labelSeed picks the blob-center family, so two
+    // seeds give disjoint regions of the 64-dim cube — the "new data
+    // source starts flowing into yesterday's index" shape
+    def blobs(n: Int, idStart: Long, labelSeed: Int) =
+      spark.range(n).select(($"id" + idStart).as("vec_id"))
+        .withColumn("label",
+          pmod(xxhash64($"vec_id", lit(21)), lit(4)).cast("int"))
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)), { j =>
+          val c = pmod(xxhash64($"label", j, lit(labelSeed)), lit(2001))
+            .cast("double") / 1000.0 - 1.0
+          val nz = pmod(xxhash64($"vec_id", j, lit(23)), lit(2001))
+            .cast("double") / 1000.0 - 1.0
+          (c + nz * 0.25).cast("float")
+        }))
+        .select($"vec_id", $"embedding")
+    val corpus = blobs(400, 0L, labelSeed = 22)
+    val inDist = blobs(80, 20000L, labelSeed = 22)    // same blob centers
+    val shifted = blobs(200, 40000L, labelSeed = 777) // different region
+
+    // detector separates the two batches against an IVF baseline
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_drift_").toString
+    IvfIndex.writeIndex(corpus, ivfDir, clusters = 4, iters = 3)
+    val inRep = IvfIndex.driftReport(spark, ivfDir, inDist)
+    val shRep = IvfIndex.driftReport(spark, ivfDir, shifted)
+    info("in-dist report: " + inRep.collect().mkString("; "))
+    info("shifted report: " + shRep.collect().mkString("; "))
+    assert(!IvfIndex.isDrifted(inRep),
+      "an in-distribution batch must not trip the detector")
+    assert(IvfIndex.isDrifted(shRep),
+      "a shifted batch must trip the detector")
+
+    // PQ store A: appends land with NO retrain — the silent-degradation
+    // baseline. Store B: same appends through the drift gate.
+    val dirA = java.nio.file.Files.createTempDirectory("pq_stale_").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pq_gated_").toString
+    for (d <- Seq(dirA, dirB))
+      PqIndex.writePqIndex(corpus, d, m = 8, kCode = 16, iters = 2, coarseK = 4)
+    PqIndex.appendPqVectors(spark, dirA, inDist)
+    PqIndex.appendPqVectors(spark, dirA, shifted)
+    assert(!PqIndex.retrainPqIfDrifted(spark, dirB, inDist,
+      m = 8, kCode = 16, iters = 2, coarseK = 4),
+      "in-distribution append must not trigger a retrain")
+    // the rebuild resizes capacity to the grown/shifted corpus (8 blob
+    // regions now) — the retrain entry point owns the geometry decision
+    assert(PqIndex.retrainPqIfDrifted(spark, dirB, shifted,
+      m = 8, kCode = 16, iters = 2, coarseK = 8),
+      "shifted append must trigger the retrain")
+    // post-retrain the baseline INCLUDES the shifted mass: the
+    // quantization-error signal is absorbed (resid ratio back to ~1).
+    // The share check is deliberately left out of this assert — a batch
+    // drawn from ONE region of the now-mixed corpus is still share-
+    // skewed vs the whole, and saying so is the detector being right.
+    assert(!IvfIndex.isDrifted(IvfIndex.driftReport(spark, dirB, shifted),
+      residRatioMax = 1.5, shareRatioMax = Double.MaxValue),
+      "retrained centroids must absorb the shifted region's residuals")
+
+    // recall on shifted-region queries: exact truth over the full store
+    val queries = shifted.filter($"vec_id" < 40008L)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qv"))
+    val allV = corpus.unionByName(inDist).unionByName(shifted)
+      .select($"vec_id".as("neighbor_id"), asDouble($"embedding").as("nv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    val truth = queries.crossJoin(allV)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", cosine($"qv", $"nv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(dir: String): Double = {
+      val got = PqIndex.searchPqIndex(spark, dir, queries,
+        k = 5, nprobe = 2, shortlist = 32)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val recallStale = recallOf(dirA)
+    val recallGated = recallOf(dirB)
+    info(f"PQ recall@5 on shifted queries: stale $recallStale%.3f vs " +
+      f"drift-gated $recallGated%.3f")
+    assert(recallGated >= recallStale,
+      f"retrain must not lose recall: $recallGated%.3f < $recallStale%.3f")
+    assert(recallGated > 0.8,
+      f"retrained index must serve the shifted region: $recallGated%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("stored ivf index: search reads only probed partitions (dynamic " +
       "pruning), delta append is searchable without retraining") {
     import graft.operators.IvfIndex

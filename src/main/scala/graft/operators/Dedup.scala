@@ -2149,17 +2149,32 @@ object Dedup {
 
   /** d13's segmentation fused to hashes: (doc_id, ord, h, sh) — one row
     * per fixed-width segment, digest + sorted distinct shingle hashes,
-    * computed map-side in one pass (see
-    * [[org.apache.spark.sql.graft.SegmentShingleHashes]]). ord keeps
-    * [[segmentFrame]]'s doc_id<<32|pos total corpus order.
+    * computed map-side in one pass. ord keeps [[segmentFrame]]'s
+    * doc_id<<32|pos total corpus order.
+    *
+    * SCRIPT-ADAPTIVE since r16 (the §7.14 contract's named production
+    * swap, VERDICT r15 #4): documents whose whitespace density clears
+    * `wsThresh` segment by `width` WORDS with word-3-gram shingles —
+    * bit-identical rows to the former
+    * [[org.apache.spark.sql.graft.SegmentShingleHashes]]-only frame, so
+    * every existing consumer (d18b, the p07 segment stage, the stored
+    * segment index, the streaming segment gate) reproduces its previous
+    * output exactly on segmented corpora (CjkSpec pins the equality) —
+    * while unsegmented CJK-class documents segment by `width` CODE
+    * POINTS with char `charK`-gram shingles, so edited boilerplate
+    * repeats are flagged instead of collapsing into one giant
+    * whitespace token that near-dups only at whole-doc granularity.
+    * Probe/store/append paths all route through this one frame, so the
+    * stored index and its deltas stay in the same family by
+    * construction.
     */
   private[graft] def segmentHashFrame(documents: DataFrame,
-      width: Int): DataFrame = {
+      width: Int, charK: Int = 6, wsThresh: Double = 0.05): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     documents
       .select($"doc_id", posexplode(org.apache.spark.sql.graft.GraftFunctions
-        .segment_shingle_hashes($"text", width, 3)))
+        .segment_shingle_hashes_adaptive($"text", width, 3, charK, wsThresh)))
       .select($"doc_id", (shiftleft($"doc_id", 32) + $"pos").as("ord"),
         $"col.h".as("h"), $"col.h2".as("h2"), $"col.sh".as("sh"))
   }

@@ -736,6 +736,69 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  /** Script-adaptive twin of [[segmentShingleHashes]] — the d02c routing
+    * rule applied at SEGMENT granularity (SURVEY §7.14's documented
+    * production swap for d13/d18/d18b): where whitespace segments the
+    * document (density ≥ `wsThresh`, the exact rounded test
+    * [[graft.functions.TextFunctions.whitespaceDensity]] runs), the
+    * output is BIT-IDENTICAL to `segmentShingleHashes(text, width, n)`
+    * — same boundaries, same (h, h2) digest pair, same shingle hashes —
+    * so segmented corpora reproduce the word family's rows exactly.
+    * Where it doesn't (unsegmented CJK/Thai-class text: word splitting
+    * sees ONE giant token, so near-dup recall silently collapses to
+    * whole-doc granularity), segments become `width` CODE POINTS (the
+    * t26 ≈1-token-per-char budget unit, so `width` keeps one meaning:
+    * tokens) and `sh` carries the segment's sorted distinct char
+    * `k`-gram hashes over the RAW span (no whitespace normalization —
+    * low-density text has almost none by construction, and the digest
+    * must equal byte-identical repeated passages). An empty text yields
+    * one empty segment on either route, matching `split`'s single empty
+    * token.
+    */
+  def segmentShingleHashesAdaptive(text: UTF8String, width: Int, n: Int,
+      k: Int, wsThresh: Double): ArrayData = {
+    // round(ws/len + 1e-9, 6) with HALF_UP, exactly the Column-level
+    // whitespaceDensity the d02c route tests (positive domain, so
+    // floor(x·1e6 + 0.5) IS HALF_UP)
+    val len = math.max(text.numChars(), 1)
+    val density = math.floor(
+      (whitespaceCount(text).toDouble / len + 1e-9) * 1e6 + 0.5) / 1e6
+    if (density >= wsThresh) return segmentShingleHashes(text, width, n)
+    val cps = text.toString.codePoints().toArray
+    val total = cps.length
+    val nSeg = math.max(1, (total + width - 1) / width)
+    val out = new Array[Any](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val start = s * width
+      val segLen = math.max(0, math.min(width, total - start))
+      val segText = UTF8String.fromString(new String(cps, start, segLen))
+      val h = hashUtf8(segText, 42L)
+      val h2 = hashUtf8(segText, 17L)
+      val m = segLen - k + 1
+      val sh: Array[Long] =
+        if (m <= 0) Array.emptyLongArray
+        else {
+          val seen = new java.util.HashSet[java.lang.Long](m * 2)
+          val tmp = new Array[Long](m)
+          var cnt = 0
+          var i = 0
+          while (i < m) {
+            val hh = hashUtf8(
+              UTF8String.fromString(new String(cps, start + i, k)), 42L)
+            if (seen.add(hh)) { tmp(cnt) = hh; cnt += 1 }
+            i += 1
+          }
+          val trimmed = java.util.Arrays.copyOf(tmp, cnt)
+          java.util.Arrays.sort(trimmed)
+          trimmed
+        }
+      out(s) = new GenericInternalRow(Array[Any](h, h2, new GenericArrayData(sh)))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val LOG2 = math.log(2.0)
 
   /** Per-document vocabulary statistics in ONE map-side pass:
@@ -1594,6 +1657,30 @@ case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Script-adaptive per-segment digest + shingle hashes (see
+  * hashing.segmentShingleHashesAdaptive) — SegmentShingleHashes where
+  * whitespace segments the document, code-point segments + char k-gram
+  * shingles where it doesn't. Same array<struct<h, h2, sh>> shape.
+  */
+case class SegmentShingleHashesAdaptive(child: Expression, width: Int,
+    n: Int, k: Int, wsThresh: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.segmentShingleHashesAdaptive(
+      input.asInstanceOf[UTF8String], width, n, k, wsThresh)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing" +
+        s".segmentShingleHashesAdaptive($a, $width, $n, $k, $wsThresh);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API wrappers (classic-API bridge: Column ↔ catalyst Expression). */
 object GraftFunctions {
   private def e(c: Column) = ExpressionUtils.expression(c)
@@ -1636,6 +1723,9 @@ object GraftFunctions {
   def int8_dot(a: Column, b: Column): Column = col(Int8Dot(e(a), e(b)))
   def segment_shingle_hashes(text: Column, width: Int, n: Int): Column =
     col(SegmentShingleHashes(e(text), width, n))
+  def segment_shingle_hashes_adaptive(text: Column, width: Int, n: Int,
+      k: Int, wsThresh: Double): Column =
+    col(SegmentShingleHashesAdaptive(e(text), width, n, k, wsThresh))
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCount(e(text), merges))
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =

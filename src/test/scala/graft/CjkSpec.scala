@@ -221,6 +221,84 @@ class CjkSpec extends SparkSpec {
     assert(wordOnly.contains((10L, 11L)))
   }
 
+  test("adaptive segment frame ≡ word segment frame on segmented text") {
+    // the r16 segmentHashFrame swap's safety contract: where whitespace
+    // density clears the threshold, SegmentShingleHashesAdaptive must be
+    // BIT-identical to SegmentShingleHashes — boundaries, digest pair,
+    // shingle hashes — so d18b / p07 / the stored segment index / the
+    // streaming gate reproduce their pre-swap rows on segmented corpora.
+    val rows = Seq(
+      (1L, (0 until 37).map(i => s"tok${(i * 7 + 1) % 53}").mkString(" ")),
+      (2L, "exactly ten words one two three four five six seven"),
+      (3L, "short"), // 1 word, no whitespace → density 0 → CHAR route
+      (4L, ""),      // empty → char route; must still be 1 empty segment
+      (5L, "tabs\tand spaces  mixed\nacross lines with enough words here")
+    ).toDF("doc_id", "text")
+    val f = org.apache.spark.sql.graft.GraftFunctions
+    val both = rows.select($"doc_id",
+        f.segment_shingle_hashes($"text", 10, 3).cast("string").as("w"),
+        f.segment_shingle_hashes_adaptive($"text", 10, 3, 6, 0.05)
+          .cast("string").as("a"))
+      .collect()
+    both.filter(r => r.getLong(0) != 3L).foreach { r =>
+      // doc 3 legitimately diverges only if longer than width chars —
+      // "short" is 5 chars < 10, so BOTH routes yield the whole text as
+      // one segment with the same digests (shingles: word route has <3
+      // words → empty; char route has <6 chars → empty). Doc 4 (empty)
+      // must agree too: one empty segment either way.
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: adaptive != word\n${r.getString(1)}\n${r.getString(2)}")
+    }
+    val short = both.find(_.getLong(0) == 3L).get
+    assert(short.getString(1) == short.getString(2),
+      "sub-width no-whitespace doc: both routes see the identical single segment")
+  }
+
+  test("d18b flags edited CJK boilerplate repeats after the adaptive swap") {
+    // Each doc: unique 20-char prefix (2 char-segments at width 10) +
+    // shared 40-char boilerplate P aligned on a segment boundary. Doc 2
+    // repeats P with ONE substitution at the first char of P's second
+    // segment (affects only 1 of that segment's 5 char-6-grams →
+    // Jaccard 4/6 ≥ 0.5); its other 3 boilerplate segments are exact
+    // digest dups. Word segmentation sees each doc as ONE whitespace
+    // token — distinct digests, nothing flagged — which is precisely
+    // the blind spot the swap closes.
+    val p = hanDoc(40, 13)
+    val pEdited = { val c = p.toCharArray; c(10) = '雨'; new String(c) }
+    val docs = Seq(
+      (1L, hanDoc(20, 29) + p),
+      // step must be coprime to the 93-char (3×31) alphabet — 31 cycles
+      // with period 3, making the prefix itself internally near-dup
+      (2L, hanDoc(20, 41) + pEdited),
+      (3L, hanDoc(60, 37))) // unrelated walk, same length
+      .toDF("doc_id", "text")
+    val rollup = operators.Dedup.segmentNeardupFullOf(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rollup(1L)._3 == 0L, "keeper doc must be clean")
+    assert(rollup(2L)._2 == 6L, "20+40 chars at width 10 = 6 segments")
+    assert(rollup(2L)._3 == 4L,
+      s"3 exact + 1 edited boilerplate segment must flag (got ${rollup(2L)})")
+    assert(rollup(2L)._4 < 0.5, "p07's segKeptRatioMin gate would kill it")
+    assert(rollup(3L)._3 == 0L, "unrelated CJK doc must not flag")
+  }
+
+  test("segment delta probe flags CJK boilerplate against a stored index") {
+    // store/probe ride the same adaptive frame by construction — a CJK
+    // passage indexed at write time must be found by a later delta batch
+    val p = hanDoc(40, 13)
+    val corpus = Seq((1L, hanDoc(20, 29) + p)).toDF("doc_id", "text")
+    operators.Dedup.writeSegmentIndex(corpus, "cjkseg_idx")
+    val pEdited = { val c = p.toCharArray; c(10) = '雨'; new String(c) }
+    val delta = Seq((100L, hanDoc(20, 41) + pEdited),
+      (101L, hanDoc(60, 37))).toDF("doc_id", "text")
+    val probed = operators.Dedup.segmentDelta(spark, "cjkseg_idx", delta)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(probed(100L)._3 == 4L,
+      s"stored boilerplate (3 exact + 1 edited segs) must flag (got ${probed(100L)})")
+    assert(probed(101L)._3 == 0L)
+  }
+
   test("d02c ≡ d02 bit-identically on a fully-segmented corpus") {
     val docs = Tables.documents(spark, sf)
     val d02 = operators.Dedup.minhashPairs(docs)

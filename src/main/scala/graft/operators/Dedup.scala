@@ -265,6 +265,19 @@ object Dedup {
     * generic array hashing, over 3M keeper segments) as 80%+ of the
     * segment near-dup wall.
     */
+  /** Banding rows (doc_id, band, band_hash) of an already-hashed
+    * (doc_id, sh) frame — the pending-buffer side of
+    * [[dedupProbeFrames]] (the streaming gates band their small
+    * not-yet-folded keeper set per trigger; recomputing ≤ growEvery
+    * batches of bands is cheaper than the bucketed append it defers).
+    */
+  private[graft] def bandingRowsOf(shingled: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    val s = shingled.sparkSession
+    import s.implicits._
+    minhashBandedFrom(shingled.filter(size($"sh") > 0), bands, rows)
+  }
+
   private def minhashBandedFrom(shingled: DataFrame, bands: Int,
       rows: Int): DataFrame = {
     val s = shingled.sparkSession
@@ -2007,17 +2020,28 @@ object Dedup {
 
   /** Per-doc rollup over a [[segmentFrame]] and the set of segment ords
     * flagged as having an earlier near-dup.
+    *
+    * Shape (r16): ord ENCODES its doc (doc_id<<32|pos, the segment
+    * frames' contract), so both aggregates are independent per-doc
+    * COUNTS — a map-partial groupBy over the segment frame and one over
+    * the small flagged-ord set, joined at doc granularity — instead of
+    * the former corpus-sized segs⋈dupOrds join feeding one groupBy.
+    * Value-identical (same counts, same rounding), one less
+    * segment-sized shuffle.
     */
-  private def segmentNeardupRollup(segs: DataFrame,
+  private[graft] def segmentNeardupRollup(segs: DataFrame,
       dupOrds: DataFrame): DataFrame = {
     val s = segs.sparkSession
     import s.implicits._
-    segs.join(dupOrds, Seq("ord"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_seg"),
-        coalesce(sum($"is_dup"), lit(0L)).as("n_fuzzy_dup"),
-        round((count(lit(1)) - coalesce(sum($"is_dup"), lit(0L))) * lit(1.0)
-          / count(lit(1)) + lit(1e-9), 6).as("kept_ratio"))
+    val perDoc = segs.groupBy($"doc_id").agg(count(lit(1)).as("n_seg"))
+    val dupPerDoc = dupOrds
+      .groupBy(shiftright($"ord", 32).as("doc_id"))
+      .agg(count(lit(1)).as("_n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_seg",
+        coalesce($"_n_dup", lit(0L)).as("n_fuzzy_dup"),
+        round(($"n_seg" - coalesce($"_n_dup", lit(0L))) * lit(1.0)
+          / $"n_seg" + lit(1e-9), 6).as("kept_ratio"))
       .orderBy($"doc_id")
   }
 
@@ -2192,22 +2216,35 @@ object Dedup {
     // 128 collision bits, the d19b discipline; a single 64-bit key
     // silently drops a non-duplicate segment with nonzero expectation
     // at ~10¹⁰ segments (ADVICE r14).
-    val keeperOrds = meta.groupBy($"h", $"h2").agg(min($"ord").as("ord"))
-      .select($"ord")
-    val exactDups = meta.join(keeperOrds, Seq("ord"), "left_anti")
-      .select($"ord")
-    // keeper shingle frame persisted in its own right: the pair stage
-    // reads it three times (banding + both verify sides), and each
-    // re-read would otherwise replay the keeper groupBy+join over meta
-    val keepers = meta.join(keeperOrds, Seq("ord"))
-      .select($"ord".as("doc_id"), $"sh")
+    //
+    // ONE (h, h2) exchange settles the whole exact stage (r16): min_by
+    // carries each digest's first-occurrence shingles through the
+    // keeper aggregation (ord is unique per row, so min_by is
+    // deterministic), and exact dups fall out of a join against the
+    // persisted keeper frame — replacing keeper-groupBy + ord-anti-join
+    // + keeper-ord-join, three meta exchanges. The r15 A/B (ProbeD18)
+    // rejected this at ~1.5 s inside the stage's old noise band; the
+    // r16 waterfall re-priced the three-exchange form at 5.5 s vs 3.5 s
+    // once the banding leg stopped dominating, so it lands now.
+    val keeperAgg = meta.groupBy($"h", $"h2")
+      .agg(min($"ord").as("ord"), min_by($"sh", $"ord").as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = keeperAgg.select($"ord".as("doc_id"), $"sh")
+    val exactDups = meta.select($"ord", $"h", $"h2")
+      .join(keeperAgg.select($"h", $"h2", $"ord".as("_kord")), Seq("h", "h2"))
+      .filter($"ord" =!= $"_kord")
+      .select($"ord")
     val nearPairs = minhashPairsFromShingles(keepers, bands, rows,
       maxBucket, minJaccard)
     // pairs come back (doc_a < doc_b) = (earlier ord, later ord):
-    // the later occurrence is the fuzzy dup, d13's keeper orientation
-    (exactDups.unionByName(nearPairs.select($"doc_b".as("ord"))).distinct(),
-      keepers)
+    // the later occurrence is the fuzzy dup, d13's keeper orientation.
+    // exact dups are NON-keeper ords and near-dup losers are KEEPER
+    // ords — disjoint by construction — so only the pair side (where
+    // one keeper can lose to several partners) needs a distinct, never
+    // the segment-sized union the former shape deduped.
+    (exactDups.unionByName(
+        nearPairs.select($"doc_b".as("ord")).distinct()),
+      keeperAgg)
   }
 
   /** Observability for [[segmentNeardupFull]]'s bucket cap: the keeper
@@ -2588,10 +2625,28 @@ object Dedup {
     */
   private[graft] def dedupDeltaFromShingles(spark: SparkSession,
       table: String, shingled: DataFrame, bands: Int, rows: Int,
+      minJaccard: Double): DataFrame =
+    dedupProbeFrames(
+      spark.table(s"${table}_bands"),
+      spark.table(s"${table}_shingles"),
+      shingled, bands, rows, minJaccard)
+
+  /** Probe an already-hashed (doc_id, sh) delta frame against a corpus
+    * index given as FRAMES — (doc_id, band, band_hash) banding rows plus
+    * the (doc_id, sh) shingle rows. [[dedupDeltaFromShingles]] passes
+    * the stored bucketed tables; the streaming gates' deferred-growth
+    * path (r16) passes the small PENDING keeper buffer (novel rows not
+    * yet folded into the bucketed index), so the gate verdict keeps
+    * seeing every earlier batch while index appends amortize over
+    * `growEvery` triggers.
+    */
+  private[graft] def dedupProbeFrames(bandsIdx: DataFrame,
+      shinglesIdx: DataFrame, shingled: DataFrame, bands: Int, rows: Int,
       minJaccard: Double): DataFrame = {
+    val spark = shingled.sparkSession
     import spark.implicits._
     val dsh = shingled.filter(size($"sh") > 0)
-    val cand = spark.table(s"${table}_bands")
+    val cand = bandsIdx
       .select($"band", $"band_hash", $"doc_id".as("corpus_id"))
       .join(minhashBandedFrom(dsh, bands, rows)
         .select($"band", $"band_hash", $"doc_id".as("new_id")),
@@ -2599,7 +2654,7 @@ object Dedup {
       .select($"corpus_id", $"new_id")
       .dropDuplicates("corpus_id", "new_id")
     val withSh = cand
-      .join(spark.table(s"${table}_shingles")
+      .join(shinglesIdx
         .select($"doc_id".as("corpus_id"), $"sh".as("sh_a")), "corpus_id")
       .join(dsh.select($"doc_id".as("new_id"), $"sh".as("sh_b")), "new_id")
     val ni = org.apache.spark.sql.graft.GraftFunctions

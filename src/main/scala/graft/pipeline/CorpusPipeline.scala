@@ -356,16 +356,17 @@ object CorpusPipeline {
     val (afterDecon, nDecon) = staged("d16_decontaminate", nSem,
       afterSem.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // t22 + t20: Gopher heuristics AND the hashed-unigram classifier.
-    val gopherKeep = DocumentPipeline
-      .gopherFilterOf(afterDecon, cfg.minWords, cfg.maxWords,
-        cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds)
-      .filter($"keep").select($"doc_id")
-    val clsKeep = DocumentPipeline.classifierQualityOf(afterDecon)
-      .filter($"quality_prob" >= cfg.minQualityProb).select($"doc_id")
+    // t22 + t20: Gopher heuristics AND the hashed-unigram classifier —
+    // ONE map-side filter (r16): both gates are document-local column
+    // predicates (the t20 score went map-side with ClassifierTokenScore),
+    // so the former two-operator → two-semi-join shape paid two doc_id
+    // exchanges for predicates the scan can evaluate in place. Same
+    // predicates, same survivors, zero shuffles.
     val (afterQ, nQ) = staged("t22_t20_quality", nDecon,
-      afterDecon.join(gopherKeep, Seq("doc_id"), "left_semi")
-        .join(clsKeep, Seq("doc_id"), "left_semi"))
+      afterDecon.filter(
+        DocumentPipeline.gopherKeepCol(cfg.minWords, cfg.maxWords,
+          cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds) &&
+        DocumentPipeline.classifierProbCol >= cfg.minQualityProb))
 
     // t23: PII redaction — rewrites text, kills nothing.
     val (afterPii, nPii) = staged("t23_pii_redact", nQ,
@@ -547,15 +548,12 @@ object CorpusPipeline {
       .filter($"contaminated").select($"doc_id")
     val (afterDecon, nDecon) = staged("d16_decontaminate", nSem,
       afterSem.join(contaminated, Seq("doc_id"), "left_anti"))
-    val gopherKeep = DocumentPipeline
-      .gopherFilterOf(afterDecon, cfg.minWords, cfg.maxWords,
-        cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds)
-      .filter($"keep").select($"doc_id")
-    val clsKeep = DocumentPipeline.classifierQualityOf(afterDecon)
-      .filter($"quality_prob" >= cfg.minQualityProb).select($"doc_id")
+    // same one-pass fused gate as the batch DAG (see curateFull)
     val (afterQ, nQ) = staged("t22_t20_quality", nDecon,
-      afterDecon.join(gopherKeep, Seq("doc_id"), "left_semi")
-        .join(clsKeep, Seq("doc_id"), "left_semi"))
+      afterDecon.filter(
+        DocumentPipeline.gopherKeepCol(cfg.minWords, cfg.maxWords,
+          cfg.minMeanWordLen, cfg.maxMeanWordLen, cfg.minStopKinds) &&
+        DocumentPipeline.classifierProbCol >= cfg.minQualityProb))
     val (afterPii, nPii) = staged("t23_pii_redact", nQ,
       graft.operators.Redact.redactOf(afterQ, "text",
           graft.operators.Redact.corpusRules)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -1785,28 +1785,44 @@ object DocumentPipeline {
     * Weights here are the md5-parity ±1 family (the d11 hyperplane
     * trick) so the WHOLE scoring pipeline is cross-engine checkable.
     *
-    * Scale shape: one partial-aggregatable shuffle on (doc, token) for
-    * the tf counts, one on doc for the score — no model broadcast at
-    * all in the hashed form (the weight is computed from the token), and
-    * a trained embedding-table variant broadcasts a |vocab|-row map.
-    * Everything codegen'd; keep decision is sign-exact (numerator sign,
-    * no fp threshold straddle).
+    * Scale shape (r16): ZERO shuffles — the score is document-local, so
+    * one codegen'd pass ([[org.apache.spark.sql.graft
+    * .ClassifierTokenScore]]) emits each doc's (Σ token weights, token
+    * count) and the sigmoid is plain column math. Value-identical to
+    * the former explode → groupBy(doc, token) → groupBy(doc) pipeline
+    * (both Σ are LONG sums, so the division sees the exact operands the
+    * shuffled form produced), minus its full-token-stream double
+    * exchange — the t11-class disease, previously sitting inside every
+    * p07 quality stage. A trained embedding-table variant broadcasts a
+    * |vocab|-row map. Keep decision is sign-exact (numerator sign, no
+    * fp threshold straddle).
     */
   def classifierQuality(s: SparkSession, dir: String): DataFrame =
     classifierQualityOf(Tables.documents(s, dir))
+
+  /** The raw tf-weighted mean score column ([[classifierQualityOf]]'s
+    * `raw`) — exposed so composed pipelines (p07's quality stage) can
+    * gate map-side without the operator's presentation sort or a
+    * doc_id semi-join back.
+    */
+  private[graft] def classifierRawCol: Column = {
+    val sc = org.apache.spark.sql.graft.GraftFunctions
+      .classifier_token_score(col("text"))
+    sc.getField("s").cast("double") / sc.getField("n")
+  }
+
+  /** [[classifierQualityOf]]'s rounded sigmoid over [[classifierRawCol]]. */
+  private[graft] def classifierProbCol: Column =
+    round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * classifierRawCol))
+      + lit(1e-9), 6)
 
   /** Core of [[classifierQuality]] over any (doc_id, text) frame. */
   def classifierQualityOf(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val wc = documents
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
-    val wgt = when(
-      conv(substring(md5($"w"), 1, 1), 16, 10).cast("long") % 2 === 0,
-      lit(1L)).otherwise(lit(-1L))
-    wc.groupBy($"doc_id")
-      .agg((sum($"n" * wgt).cast("double") / sum($"n")).as("raw"))
+    documents
+      .filter($"text".isNotNull) // the exploded form dropped null-text rows
+      .select($"doc_id", classifierRawCol.as("raw"))
       .select($"doc_id",
         round($"raw" + lit(1e-9), 6).as("score_raw"),
         round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * $"raw")) + lit(1e-9), 6)
@@ -1897,16 +1913,38 @@ object DocumentPipeline {
       maxMwl, minStopKinds)
 
   /** Core of [[gopherFilter]] over any (doc_id, text) frame. */
+  // gopher gate sub-expressions, shared by the operator and the fused
+  // p07 quality stage. mean_word_len's non-whitespace char count is
+  // `length - whitespaceCount` (every Java `\s` char is one code point,
+  // so stripping them removes exactly whitespaceCount chars) — value-
+  // identical to the regexp_replace("\\s+","") full-document copy it
+  // replaces (the r15 allocate-to-count discipline; spec-pinned).
+  private[graft] def gopherNw: Column = wsTokenCount(col("text"))
+  private[graft] def gopherMwl: Column =
+    (length(col("text")) - org.apache.spark.sql.graft.GraftFunctions
+      .whitespace_count(col("text"))).cast("double") / gopherNw
+  private[graft] def gopherStopKinds: Column =
+    Seq("the", "a", "of", "and", "is").map { w =>
+      when(col("text").rlike("\\b" + w + "\\b"), 1).otherwise(0)
+    }.reduce(_ + _)
+
+  /** The composed keep predicate ([[gopherFilterOf]]'s `keep` column) —
+    * exposed so p07's quality stage gates map-side in one pass.
+    */
+  private[graft] def gopherKeepCol(minWords: Int, maxWords: Int,
+      minMwl: Double, maxMwl: Double, minStopKinds: Int): Column =
+    (gopherNw >= minWords && gopherNw <= maxWords) &&
+      (gopherMwl >= minMwl && gopherMwl <= maxMwl) &&
+      (gopherStopKinds >= minStopKinds)
+
   def gopherFilterOf(documents: DataFrame, minWords: Int = 50,
       maxWords: Int = 100000, minMwl: Double = 3.0, maxMwl: Double = 10.0,
       minStopKinds: Int = 2): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val nw = wsTokenCount($"text")
-    val mwl = length(regexp_replace($"text", "\\s+", "")).cast("double") / nw
-    val stopKinds = Seq("the", "a", "of", "and", "is").map { w =>
-      when($"text".rlike("\\b" + w + "\\b"), 1).otherwise(0)
-    }.reduce(_ + _)
+    val nw = gopherNw
+    val mwl = gopherMwl
+    val stopKinds = gopherStopKinds
     documents.select(
         $"doc_id",
         nw.as("n_words"),

@@ -799,6 +799,47 @@ object hashing {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** t20's hashed-unigram classifier sums in ONE map-side pass —
+    * struct<s: long, n: long> with s = Σ_tokens wgt(token) and
+    * n = token count, where wgt = +1 iff the token's first md5 nibble
+    * is even (exactly `conv(substring(md5(w),1,1),16,10) % 2 = 0`).
+    * Value-identical to the former explode → groupBy(doc, w) →
+    * groupBy(doc) pipeline: Σ over distinct words of n_w·wgt(w) IS the
+    * same sum over token occurrences, and both Σ are LONG sums (no
+    * float-order concern), so raw = s/n reproduces the old division
+    * bit-for-bit — minus the full-token-stream double shuffle it paid
+    * (the t11-class disease, sitting inside every p07 quality stage).
+    * Token semantics match `split(text, ' ')` with limit -1 (empty
+    * tokens kept; "" is one empty token — md5("") has an odd first
+    * nibble, weight −1, matching the old path).
+    */
+  def classifierTokenScore(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val md = md5Local.get()
+    var s = 0L
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        s += (if (((d(0) >> 4) & 1) == 0) 1L else -1L)
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](s, n))
+  }
+
   private val LOG2 = math.log(2.0)
 
   /** Per-document vocabulary statistics in ONE map-side pass:
@@ -1657,6 +1698,23 @@ case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** t20 classifier sums (see hashing.classifierTokenScore) —
+  * struct<s, n> per document, one map-side pass.
+  */
+case class ClassifierTokenScore(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    hashing.classifierTokenScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.classifierTokenScore($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Script-adaptive per-segment digest + shingle hashes (see
   * hashing.segmentShingleHashesAdaptive) — SegmentShingleHashes where
   * whitespace segments the document, code-point segments + char k-gram
@@ -1726,6 +1784,8 @@ object GraftFunctions {
   def segment_shingle_hashes_adaptive(text: Column, width: Int, n: Int,
       k: Int, wsThresh: Double): Column =
     col(SegmentShingleHashesAdaptive(e(text), width, n, k, wsThresh))
+  def classifier_token_score(text: Column): Column =
+    col(ClassifierTokenScore(e(text)))
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCount(e(text), merges))
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =

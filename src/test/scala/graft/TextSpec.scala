@@ -103,6 +103,50 @@ class TextSpec extends SparkSpec {
     assert(sfKeep.keySet == Set(true, false), s"gate is vacuous on sf: $sfKeep")
   }
 
+  test("t20 map-side ClassifierTokenScore ≡ the exploded groupBy form") {
+    // the r16 rewrite contract: Σ_w n_w·wgt(w) over distinct words IS
+    // Σ_tokens wgt(token), both LONG sums, so the map-side pass must be
+    // bit-identical to the old token-stream double groupBy — on the sf
+    // corpus AND the degenerate rows (empty text → one empty token,
+    // repeated tokens, multi-space runs → empty tokens between spaces)
+    val crafted = Seq((9001L, ""), (9002L, "a a a the the zz"),
+      (9003L, "x  y   z"), (9004L, "solo")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(crafted)
+    val neu = pipeline.DocumentPipeline.classifierQualityOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // the pre-r16 pipeline, inline
+    val wc = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+    val wgt = when(
+      conv(substring(md5($"w"), 1, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    val old = wc.groupBy($"doc_id")
+      .agg((sum($"n" * wgt).cast("double") / sum($"n")).as("raw"))
+      .select($"doc_id", round($"raw" + lit(1e-9), 6),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * $"raw")) + lit(1e-9), 6),
+        ($"raw" >= 0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(neu.keySet == old.keySet)
+    old.foreach { case (id, v) =>
+      assert(neu(id) == v, s"doc $id: map-side ${neu(id)} != exploded $v")
+    }
+  }
+
+  test("t22 mean_word_len length-minus-wsCount ≡ the regexp_replace form") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "tabs\tand\nnewlines  here"),
+        (9002L, "汉字 text mixed 内容"), (9003L, "")).toDF("doc_id", "text"))
+    val mismatch = docs.select(
+        (length($"text") - org.apache.spark.sql.graft.GraftFunctions
+          .whitespace_count($"text")).as("a"),
+        length(regexp_replace($"text", "\\s+", "")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(mismatch == 0L)
+  }
+
   test("langid picks the profile with most stopword hits") {
     val df = Seq(
       "the cat and the dog of the house is big",

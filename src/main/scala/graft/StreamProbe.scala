@@ -21,6 +21,11 @@ object StreamProbe {
     val waves = if (args.length > 1) args(1).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus)
+    // GRAFT_STREAM_PROBE_ONLY=name,name runs a subset (local iteration);
+    // unset = the full committed artifact.
+    val only = sys.env.get("GRAFT_STREAM_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(n: String): Boolean = only.forall(_.contains(n))
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -60,7 +65,7 @@ object StreamProbe {
     // Sessionizer: flatMapGroupsWithState with event-time timeout. The
     // claim under test: state tracks the ACTIVE cohort (~10k users), not
     // the ~100k distinct users ever seen — eviction at sustained rate.
-    locally {
+    if (want("stream_sessionize")) locally {
       val mem = MemoryStream[streaming.Ev]
       val q = streaming.StreamingOps.sessionize(mem.toDS())
         .writeStream.format("memory").queryName("probe_sess")
@@ -73,7 +78,7 @@ object StreamProbe {
 
     // Watermarked tumbling-window aggregation: state is (window × type)
     // cells inside the watermark horizon — tiny and flat by design.
-    locally {
+    if (want("stream_windowed_agg")) locally {
       val mem = MemoryStream[streaming.Ev]
       val q = streaming.StreamingOps.windowedAgg(mem.toDF())
         .writeStream.format("memory").queryName("probe_wagg")
@@ -89,7 +94,7 @@ object StreamProbe {
     // holds ≤ k counters per window in ONE state row, where the exact
     // count's state grows with distinct keys — the bounded-state claim,
     // measured from the same feed.
-    locally {
+    if (want("stream_heavy_hitters")) locally {
       val mem = MemoryStream[streaming.Ev]
       val asItems = mem.toDF()
         .selectExpr("ts", "cast(user_id AS string) AS event_type")
@@ -100,7 +105,7 @@ object StreamProbe {
       report("stream_heavy_hitters", q, total)
       q.stop()
     }
-    locally {
+    if (want("stream_exact_counts")) locally {
       val mem = MemoryStream[streaming.Ev]
       val exact = mem.toDF()
         .withWatermark("ts", "1 hour")
@@ -117,7 +122,7 @@ object StreamProbe {
     // Continuous ingest + rollup maintenance: per-trigger cost of the
     // content-hash dedup append + delta-only rollup merge (foreachBatch —
     // no state operator; the "state" is the on-disk store + rollup).
-    locally {
+    if (want("stream_rollup_ingest")) locally {
       val root = java.nio.file.Files.createTempDirectory("graft_sprobe_").toString
       val store = s"$root/store"; val rollup = s"$root/rollup"
       new java.io.File(store).mkdirs()
@@ -144,7 +149,7 @@ object StreamProbe {
     // ratio (median trigger time of the last third vs the first third)
     // is the committed number — ~1 means O(batch), growth means the
     // index leaked into per-trigger cost.
-    locally {
+    if (want("stream_dedup_gate")) locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sprobe_gate_").toString
       val store = s"$root/store"
@@ -187,7 +192,7 @@ object StreamProbe {
     // growth means the store leaked into per-trigger cost.
 
     // SEGMENT gate: keeper index grows by each batch's novel segments.
-    locally {
+    if (want("stream_segment_gate")) locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sprobe_seg_").toString
       val store = s"$root/store"
@@ -223,7 +228,7 @@ object StreamProbe {
     }
 
     // SUBSTRING gate: gram index grows by each batch's original text.
-    locally {
+    if (want("stream_substring_gate")) locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sprobe_sub_").toString
       val store = s"$root/store"
@@ -256,7 +261,7 @@ object StreamProbe {
     }
 
     // SEMANTIC gate: bucket-partitioned vector index grows map-only.
-    locally {
+    if (want("stream_semantic_gate")) locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft_sprobe_sem_").toString
       val store = s"$root/store"

@@ -59,6 +59,34 @@ object StreamingOps {
     fs.create(p, true).close()
   }
 
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hadoopPath(spark, path)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** The pending buffer's batch files (parquet dirs under `dir`) —
+    * empty when the buffer doesn't exist or was just folded.
+    */
+  private def pendingFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = hadoopPath(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
+  /** Env-gated per-step gate timing (GRAFT_GATE_TIMING) — the probe-side
+    * decomposition StreamProbe's per-trigger wall can't see.
+    */
+  private def timed[T](name: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_GATE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[gate] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    } else f
+
   /** Watermarked tumbling-window aggregation — streaming form of
     * Events.windowAgg. State is bounded by the watermark horizon.
     */
@@ -157,17 +185,33 @@ object StreamingOps {
     * batch, not the corpus.
     *
     * Idempotence: the store append is content-hash deduped (replays
-    * ingest 0 rows), and index growth is marker-guarded per batch id —
-    * a replayed epoch whose marker exists skips the append; a replay
-    * after a partial failure re-appends, which at worst leaves duplicate
-    * index rows that dedupDelta collapses. Probe-before-grow also means
-    * a replayed batch's docs match THEMSELVES in the index and are
+    * ingest 0 rows); index growth runs at-least-once (duplicate index
+    * rows from a partial-failure replay collapse in dedupDelta).
+    * Probe-before-grow also means a replayed batch's docs match
+    * THEMSELVES — in the index or in their own pending file — and are
     * gated, never double-kept.
+    */
+  /** Index growth is DEFERRED (r16, VERDICT r15 #6): survivors' shingle
+    * rows land in a small per-batch PENDING parquet buffer
+    * (`<storeDir>_idx_pending/<bid>.parquet`, one coalesced file) and
+    * fold into the bucketed index tables only once `growEvery` pending
+    * batches accumulate — the two bucketed saveAsTable appends were the
+    * per-trigger commit-surface tax §7.14 measured. The gate verdict is
+    * unchanged: every probe reads stored index ∪ pending buffer, so
+    * batch N+1 still dedups against batch N inside the fold window.
+    * Replay idempotence: ingest lands BEFORE the pending write, a
+    * replayed batch's docs match themselves in the index or in their
+    * own pending file (kept = ∅ → nothing rewritten), the fold is
+    * at-least-once (append → delete; duplicate index rows from a crash
+    * between the two collapse in dedupDelta), and a stopped stream's
+    * unfolded pending is simply probed again after restart.
     */
   def dedupStream(docs: DataFrame, indexTable: String, storeDir: String,
       minJaccard: Double = 0.5,
       queryName: String = "graft_dedup_gate",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      growEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pendingDir = s"${storeDir}_idx_pending"
     val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
@@ -179,14 +223,42 @@ object StreamingOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (dd, ddCaches) = graft.operators.Dedup
           .dedupDeltaHandle(spark, indexTable, b, minJaccard = minJaccard)
-        val dupIds = dd.select($"new_id".as("doc_id")).distinct()
-        val kept = b.join(dupIds, Seq("doc_id"), "left_anti")
-        graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
-        val marker = s"${storeDir}_idx_marked/$bid"
-        if (!pathExists(spark, marker) && !kept.isEmpty) {
-          graft.operators.Dedup.appendDedupIndex(
-            kept.select($"doc_id", $"text"), indexTable)
-          touchMarker(spark, marker)
+        val dsh = ddCaches.head // the batch's (doc_id, sh) frame
+        val pendDup = {
+          val files = pendingFiles(spark, pendingDir)
+          if (files.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
+          else {
+            val pend = spark.read.parquet(files: _*)
+            graft.operators.Dedup.dedupProbeFrames(
+                graft.operators.Dedup.bandingRowsOf(pend, 16, 4), pend,
+                dsh, 16, 4, minJaccard)
+              .select($"new_id".as("doc_id"))
+          }
+        }
+        val dupIds = dd.select($"new_id".as("doc_id"))
+          .unionByName(pendDup).distinct()
+        // ONE probe execution per trigger: localCheckpoint collapses the
+        // band-join + verify lineage, so the downstream actions (ingest
+        // count + write, emptiness test, pending write) read a
+        // materialized batch-sized verdict instead of each replaying the
+        // stored-table joins (formerly up to 4 probe executions/trigger).
+        val kept = timed("probe") {
+          b.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+        }
+        timed("ingest_append") {
+          graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
+        }
+        if (!kept.isEmpty) timed("pending_write") {
+          dsh.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$pendingDir/$bid.parquet")
+        }
+        val toFold = pendingFiles(spark, pendingDir)
+        if (toFold.size >= growEvery) timed("index_fold") {
+          graft.operators.Dedup.appendDedupIndexFromShingles(
+            spark.read.parquet(toFold: _*), indexTable, 8, 16, 4)
+          deletePath(spark, pendingDir)
         }
         // Self-cleaning (ADVICE r13): unpersist exactly the frames THIS
         // operator persisted (the batch + dedupDelta's shingle cache via
@@ -212,15 +284,28 @@ object StreamingOps {
     * is gated by batch N's keepers.
     *
     * Same idempotence story as dedupStream: probe-before-grow (a
-    * replayed batch's segments match themselves in the index → replayed
-    * docs gate out, never double-keep), marker-guarded index growth,
-    * at-least-once appends whose duplicate rows segmentDelta tolerates.
+    * replayed batch's segments match themselves in the index or pending
+    * buffer → replayed docs gate out, never double-keep) and
+    * at-least-once growth whose duplicate rows segmentDelta tolerates.
+    */
+  /** Index growth is DEFERRED exactly as in [[dedupStream]] (r16): kept
+    * docs' fused meta rows (ord, h, h2, sh — the same one-tokenization
+    * frame the probe used) buffer in
+    * `<storeDir>_idx_pending/<bid>.parquet` and fold into the three
+    * bucketed segment-index tables once `growEvery` batches accumulate;
+    * each probe unions the stored-index verdict with an exact(h,h2) +
+    * banded-fuzzy probe of the pending buffer, so the kept_ratio a doc
+    * gates on still sees every earlier batch inside the fold window.
+    * Same replay story: ingest before pending write, self-match on
+    * replay → kept = ∅ → nothing rewritten, fold at-least-once.
     */
   def segmentDedupStream(docs: DataFrame, indexTable: String,
       storeDir: String, width: Int = 10, segKeptRatioMin: Double = 0.5,
       minJaccard: Double = 0.5,
       queryName: String = "graft_segment_gate",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      growEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pendingDir = s"${storeDir}_idx_pending"
     val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
@@ -234,19 +319,54 @@ object StreamingOps {
         // rollup AND index growth (VERDICT r14 #8): the meta frame the
         // probe persisted is filtered to kept docs for the append —
         // formerly the batch was segmented + tokenized three times.
-        val (rollup, meta) = graft.operators.Dedup
-          .segmentDeltaMetaHandle(spark, indexTable, b, width,
-            minJaccard = minJaccard)
-        val gated = rollup
-          .filter($"kept_ratio" < segKeptRatioMin)
-          .select($"doc_id")
+        val meta = graft.operators.Dedup
+          .segmentHashFrame(b.select($"doc_id", $"text"), width)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val storedOrds = graft.operators.Dedup
+          .segmentDeltaOrdsFromMeta(spark, indexTable, meta, 16, 4,
+            minJaccard)
+        val pendOrds = {
+          val files = pendingFiles(spark, pendingDir)
+          if (files.isEmpty) spark.emptyDataset[Long].toDF("ord")
+          else {
+            val pend = spark.read.parquet(files: _*)
+            val exact = meta
+              .join(pend.select($"h", $"h2"), Seq("h", "h2"), "left_semi")
+              .select($"ord")
+            val pendSh = pend.select($"ord".as("doc_id"), $"sh")
+            val fuzzy = graft.operators.Dedup.dedupProbeFrames(
+                graft.operators.Dedup.bandingRowsOf(pendSh, 16, 4), pendSh,
+                meta.select($"ord".as("doc_id"), $"sh"), 16, 4, minJaccard)
+              .select($"new_id".as("ord"))
+            exact.unionByName(fuzzy)
+          }
+        }
+        val rollup = graft.operators.Dedup.segmentNeardupRollup(
+          meta.select($"doc_id", $"ord"),
+          storedOrds.unionByName(pendOrds).distinct())
+        // ONE probe execution per trigger (see dedupStream): the gated
+        // verdict is doc_id-sized; checkpointing it keeps the ingest
+        // actions and the pending write from each replaying the
+        // stored-table exact+fuzzy probe joins.
+        val gated = timed("probe") {
+          rollup.filter($"kept_ratio" < segKeptRatioMin)
+            .select($"doc_id").localCheckpoint()
+        }
         val kept = b.join(gated, Seq("doc_id"), "left_anti")
-        graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
-        val marker = s"${storeDir}_idx_marked/$bid"
-        if (!pathExists(spark, marker) && !kept.isEmpty) {
+        timed("ingest_append") {
+          graft.sources.IncrementalIngest.appendBatch(kept, storeDir, bid)
+        }
+        if (!kept.select($"doc_id").isEmpty) timed("pending_write") {
+          meta.join(gated, Seq("doc_id"), "left_anti")
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$pendingDir/$bid.parquet")
+        }
+        val toFold = pendingFiles(spark, pendingDir)
+        if (toFold.size >= growEvery) timed("index_fold") {
           graft.operators.Dedup.appendSegmentIndexFromMeta(
-            meta.join(gated, Seq("doc_id"), "left_anti"), indexTable)
-          touchMarker(spark, marker)
+            spark.read.parquet(toFold: _*), indexTable)
+          deletePath(spark, pendingDir)
         }
         // Self-cleaning via the handle (the fused meta frame), not
         // session-wide clearCache — see dedupStream.

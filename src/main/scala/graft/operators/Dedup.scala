@@ -568,29 +568,50 @@ object Dedup {
       minDf: Int = 2): DataFrame =
     hotNgramMaskOf(Tables.documents(s, dir), n, minDf)
 
-  /** Core of d10 over any (doc_id, text) frame. */
+  /** Core of d10 over any (doc_id, text) frame.
+    *
+    * Scale shape (r16): positional gram fingerprints come from ONE
+    * rolling-hash pass ([[org.apache.spark.sql.graft
+    * .RollingKgramHashes]] — O(n_tokens) hashing) instead of a
+    * slice+concat STRING build per position (each token copied n times,
+    * the allocate-to-count disease at corpus scale); the gram hash is
+    * operator-internal (the oracle compares the masked-coverage output,
+    * and the SQL twin joins raw gram strings), so the 64-bit family is
+    * free to differ. Masked coverage is an interval union: hot grams at
+    * positions i cover [i, i+n), and with per-doc positions sorted the
+    * union length is Σ min(i − prev_i, n) — one window pass over the
+    * hot rows, replacing the n× position explode + countDistinct (which
+    * also buffered a monster doc's full position set). Value-identical
+    * to counting distinct covered positions.
+    */
   def hotNgramMaskOf(documents: DataFrame, n: Int = 8,
       minDf: Int = 2): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     val t = documents
-      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .rolling_kgram_hashes($"text", n, 42L).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = t
-      .filter(size($"toks") >= n)
-      .select($"doc_id", explode(sequence(lit(0), size($"toks") - n)).as("i"),
-        $"toks")
-      .select($"doc_id", $"i",
-        xxhash64(concat_ws(" ", slice($"toks", $"i" + 1, lit(n)))).as("gram"))
+      .filter(size($"gh") > 0)
+      .select($"doc_id", posexplode($"gh"))
+      .toDF("doc_id", "i", "gram")
     val hot = grams.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= minDf)
       .select($"gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
     val masked = grams.join(hot, Seq("gram"))
-      .select($"doc_id", explode(sequence($"i", $"i" + (n - 1))).as("pos"))
+      .select($"doc_id", $"i")
+      .withColumn("_prev", lag($"i", 1).over(w))
+      .select($"doc_id",
+        when($"_prev".isNull, lit(n.toLong))
+          .otherwise(least($"i" - $"_prev", lit(n.toLong))).as("_cov"))
       .groupBy($"doc_id")
-      .agg(countDistinct($"pos").as("n_masked"))
-    t.select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+      .agg(sum($"_cov").as("n_masked"))
+    t.select($"doc_id", $"n_tokens")
       .join(masked, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"n_masked", lit(0L)).as("n_masked"),

@@ -104,7 +104,8 @@ object TextFunctions {
     when(whitespaceDensity(text) < wsThresh,
       length(text) - org.apache.spark.sql.graft.GraftFunctions
         .whitespace_count(text))
-      .otherwise(size(split(text, " ")))
+      .otherwise(org.apache.spark.sql.graft.GraftFunctions
+        .space_token_count(text))
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the standard GPT-2-style pre-split shape. The

@@ -54,7 +54,8 @@ object Bpe {
     val docs = Tables.documents(s, dir)
     val merges = trainMerges(docs, nMerges, sampleDocs)
     docs.select($"doc_id",
-        size(split(coalesce($"text", lit("")), " ")).cast("long")
+        org.apache.spark.sql.graft.GraftFunctions
+          .space_token_count(coalesce($"text", lit(""))).cast("long")
           .as("n_ws_tokens"),
         org.apache.spark.sql.graft.GraftFunctions
           .bpe_token_count(coalesce($"text", lit("")), merges)

@@ -589,7 +589,8 @@ object Dedup {
     val s = documents.sparkSession
     import s.implicits._
     val t = documents
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+      .select($"doc_id", org.apache.spark.sql.graft.GraftFunctions
+        .space_token_count($"text").cast("long").as("n_tokens"),
         org.apache.spark.sql.graft.GraftFunctions
           .rolling_kgram_hashes($"text", n, 42L).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

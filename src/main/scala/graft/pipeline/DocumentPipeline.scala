@@ -189,7 +189,8 @@ object DocumentPipeline {
   def sequencePackOf(documents: DataFrame, budget: Int = 512,
       shards: Int = 8,
       tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => size(split(c, " "))): DataFrame = {
+        c => org.apache.spark.sql.graft.GraftFunctions
+          .space_token_count(c)): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -325,7 +326,8 @@ object DocumentPipeline {
       .cast("long") // uniform in [0, 65536)
     Tables.documents(s, dir)
       .select($"doc_id", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .space_token_count($"text").cast("long").as("n_tokens"),
         when(u < lit((65536 * 0.90).toInt), "train")
           .when(u < lit((65536 * 0.95).toInt), "val")
           .otherwise("test").as("split"))
@@ -796,7 +798,8 @@ object DocumentPipeline {
     docs.select((Seq($"doc_id", han.as("n_han"), kana.as("n_kana"),
         hangul.as("n_hangul"), wsDens.as("ws_density"),
         length($"text").as("n_cp"),
-        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        org.apache.spark.sql.graft.GraftFunctions
+          .space_token_count($"text").cast("long").as("n_ws_tokens"),
         (length($"text") - org.apache.spark.sql.graft.GraftFunctions
           .whitespace_count($"text")).cast("long")
           .as("n_nonspace")) ++

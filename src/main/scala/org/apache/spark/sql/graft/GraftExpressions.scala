@@ -804,6 +804,24 @@ object hashing {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Value-identical to `size(split(text, ' '))`: split on the single
+    * space char yields exactly (#0x20 bytes + 1) elements, empties
+    * included — one byte scan, no token-string array (the sibling of
+    * [[wsTokenCount]] for the space-only convention the pack/budget
+    * family uses). 0x20 never occurs inside a multi-byte UTF-8
+    * sequence, so the byte count is exact on any input.
+    */
+  def spaceTokenCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var i = 0
+    var c = 1
+    while (i < n) {
+      if (text.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** t20's hashed-unigram classifier sums in ONE map-side pass —
     * struct<s: long, n: long> with s = Σ_tokens wgt(token) and
     * n = token count, where wgt = +1 iff the token's first md5 nibble
@@ -1698,6 +1716,21 @@ case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Space-token count (see hashing.spaceTokenCount) — value-identical
+  * to `size(split(text, ' '))` without the token-string array.
+  */
+case class SpaceTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    hashing.spaceTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.spaceTokenCount($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** t20 classifier sums (see hashing.classifierTokenScore) —
   * struct<s, n> per document, one map-side pass.
   */
@@ -1786,6 +1819,8 @@ object GraftFunctions {
     col(SegmentShingleHashesAdaptive(e(text), width, n, k, wsThresh))
   def classifier_token_score(text: Column): Column =
     col(ClassifierTokenScore(e(text)))
+  def space_token_count(text: Column): Column =
+    col(SpaceTokenCount(e(text)))
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCount(e(text), merges))
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =

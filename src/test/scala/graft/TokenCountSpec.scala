@@ -69,6 +69,21 @@ class TokenCountSpec extends SparkSpec {
     assert(k("a\u00A0b") == 3)        // nbsp: other (not \s), splits runs
   }
 
+  test("space_token_count ≡ size(split(text, ' ')) on every shape") {
+    // the r16 byte-scan swap behind d10/t25/t26/p02/p03: split on the
+    // single space char yields (#spaces + 1) elements, empties included
+    val rows = Seq("", " ", "  ", "a", "a b", "a  b", " a b ",
+      "tabs\tstay inside tokens", "中文 mixed 内容", "trailing ")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .unionByName(Tables.documents(spark, sf).select($"doc_id", $"text"))
+    val bad = rows.select(
+        GraftFunctions.space_token_count($"text").as("a"),
+        size(split($"text", " ")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(bad == 0L)
+  }
+
   test("null text null-propagates through both counters (pinned intent)") {
     // The regex forms they replaced return -1 for null text under the
     // legacy sizeOfNull flag; the byte-scan expressions null-propagate

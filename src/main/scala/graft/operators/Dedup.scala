@@ -2157,12 +2157,27 @@ object Dedup {
     segmentNeardupFullOf(Tables.documents(s, dir), width, bands, rows,
       maxBucket, minJaccard)
 
-  /** Core of [[segmentNeardupFull]] over any (doc_id, text) frame. */
+  /** Core of [[segmentNeardupFull]] over any (doc_id, text) frame.
+    *
+    * Self-cleaning (the minhashPairsAdaptive contract, r16): the per-doc
+    * rollup is doc-count-sized — materialize it eagerly and release the
+    * two segment-sized caches (meta + keeper aggregate) immediately,
+    * instead of leaving them to the caller's session hygiene. Without
+    * this, back-to-back runs (bench reps, notebook re-evaluation) stack
+    * corpus-sized cache generations and the later runs time eviction
+    * churn, not the operator (the r15 d19b lesson — isolated 13 s vs
+    * 50 s on the third stacked rep). Composed pipelines that want the
+    * lazy form use [[segmentNeardupFullHandle]] and own the lifecycle.
+    */
   def segmentNeardupFullOf(documents: DataFrame, width: Int = 10,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 64,
-      minJaccard: Double = 0.5): DataFrame =
-    segmentNeardupFullHandle(documents, width, bands, rows, maxBucket,
-      minJaccard)._1
+      minJaccard: Double = 0.5): DataFrame = {
+    val (rollup, caches) = segmentNeardupFullHandle(documents, width,
+      bands, rows, maxBucket, minJaccard)
+    val out = rollup.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
 
   /** [[segmentNeardupFullOf]] plus its persisted internals (digest meta
     * frame + the keeper-segment shingle cache) — the minhashPairsHandle
@@ -2279,14 +2294,21 @@ object Dedup {
       width: Int = 10, bands: Int = 16, rows: Int = 4,
       maxBucket: Int = 64): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    val segs = segmentFrame(docs, width)
-    val keeperOrds = segs.select($"ord", md5($"seg").as("h"))
-      .groupBy($"h").agg(min($"ord").as("ord")).select($"ord")
-    minhashDroppedBuckets(
-      segmentFrame(docs, width).join(keeperOrds, Seq("ord"))
-        .select($"ord".as("doc_id"), $"seg".as("text")),
-      bands, rows, maxBucket)
+    // Diagnose the PRODUCTION frame (r16): the former form re-segmented
+    // via the word-only text frame + md5 digests — honest before the
+    // adaptive swap, but it would report buckets for a segmentation the
+    // d18b path no longer runs on CJK corpora. One fused pass, same
+    // keeper selection, same banding family as the stage itself.
+    val meta = segmentHashFrame(
+      Tables.documents(s, dir).select($"doc_id", $"text"), width)
+    val keepers = meta.groupBy($"h", $"h2")
+      .agg(min($"ord").as("doc_id"), min_by($"sh", $"ord").as("sh"))
+      .select($"doc_id", $"sh")
+    bandingRowsOf(keepers, bands, rows)
+      .groupBy($"band", $"band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter($"bucket_n" > maxBucket)
+      .orderBy($"band", $"band_hash")
   }
 
   def segmentNeardupSql(width: Int = 10, idBound: Long = 150, k: Int = 16,

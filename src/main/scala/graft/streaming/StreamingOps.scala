@@ -65,14 +65,19 @@ object StreamingOps {
     ()
   }
 
-  /** The pending buffer's batch files (parquet dirs under `dir`) —
-    * empty when the buffer doesn't exist or was just folded.
+  /** The pending buffer's COMMITTED batch files (parquet dirs under
+    * `dir` whose _SUCCESS landed) — empty when the buffer doesn't exist
+    * or was just folded. A crash mid-write leaves a dir without
+    * _SUCCESS; excluding it is correct, not lossy: that batch's
+    * checkpoint never committed, so its replay rewrites the file
+    * (Overwrite) before anything probes it.
     */
   private def pendingFiles(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = hadoopPath(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
   }
 

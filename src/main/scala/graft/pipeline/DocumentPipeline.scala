@@ -576,30 +576,45 @@ object DocumentPipeline {
       keepFrac: Double = 0.1): DataFrame =
     importanceResampleOf(Tables.documents(s, dir), target, buckets, keepFrac)
 
-  /** Core of [[importanceResample]] over any (doc_id, source, text) frame. */
+  /** Core of [[importanceResample]] over any (doc_id, source, text) frame.
+    *
+    * Scale shape (r16): the per-token hashing is ONE codegen'd pass
+    * ([[org.apache.spark.sql.graft.Md5BucketCounts]] — a per-doc
+    * (bucket, n) histogram, exactly the md5-prefix family the oracle
+    * replays), persisted once; both the LM count pass and the scoring
+    * pass explode the bounded histogram (≤ min(tokens, buckets) rows
+    * per doc) instead of re-running a corpus token explode whose
+    * per-occurrence md5 went through substring→conv→pmod string
+    * expressions — p05's 9.4 s sf10 min-rep was ~pure map-side compute
+    * (28 MB shuffle). Counts are exact longs; logw now sums n·lr per
+    * distinct (doc, bucket) instead of lr per token — the SQL twin
+    * groups identically so both engines round the same sums.
+    */
   def importanceResampleOf(documents: DataFrame, target: String = "src0",
       buckets: Int = 1024, keepFrac: Double = 0.1): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val toks = documents
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+    val hist = documents
       .select($"doc_id", $"source",
-        pmod(conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bkt"))
+        org.apache.spark.sql.graft.GraftFunctions
+          .md5_bucket_counts($"text", buckets).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = hist.select($"doc_id", $"source", explode($"bc").as("x"))
+      .select($"doc_id", $"source", $"x.bkt".as("bkt"), $"x.n".as("n"))
     // ≤`buckets` rows; persisted so the normalizer and log-ratio branches
     // read the cache instead of re-running the corpus count pipeline
     // (without this the plan scans the corpus once per derived branch).
-    val cc = toks.groupBy($"bkt").agg(count(lit(1)).as("n_c"),
-      sum(when($"source" === target, 1L).otherwise(0L)).as("n_t"))
+    val cc = ex.groupBy($"bkt").agg(sum($"n").as("n_c"),
+      sum(when($"source" === target, $"n").otherwise(0L)).as("n_t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cc.agg(sum($"n_c").as("nc"), sum($"n_t").as("nt"))
     val lr = cc.crossJoin(tot).select($"bkt",
       (log(($"n_t" + 1.0) / ($"nt" + buckets.toDouble)) -
         log(($"n_c" + 1.0) / ($"nc" + buckets.toDouble))).as("lr"))
-    val scored = toks.join(broadcast(lr), Seq("bkt"))
+    val scored = ex.join(broadcast(lr), Seq("bkt"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum($"lr") + lit(1e-9), 6).as("logw"))
+      .agg(sum($"n").as("n_tokens"),
+        round(sum($"n" * $"lr") + lit(1e-9), 6).as("logw"))
     val u = (pmod(conv(substring(md5($"doc_id".cast("string")), 1, 15),
       16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) / 1000000.0
     // per-doc narrow frame (id + 3 numbers); persisted so the threshold
@@ -623,10 +638,13 @@ object DocumentPipeline {
       |    (('0x' || substring(md5(w), 1, 15))::BIGINT % 1024) AS bkt
       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
       |        FROM documents)),
+      |db AS (
+      |  SELECT doc_id, source, bkt, count(*) AS n
+      |  FROM toks GROUP BY doc_id, source, bkt),
       |cc AS (
-      |  SELECT bkt, count(*) AS n_c,
-      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t
-      |  FROM toks GROUP BY bkt),
+      |  SELECT bkt, sum(n) AS n_c,
+      |    sum(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS n_t
+      |  FROM db GROUP BY bkt),
       |tot AS (SELECT sum(n_c) AS nc, sum(n_t) AS nt FROM cc),
       |lr AS (
       |  SELECT bkt,
@@ -634,9 +652,9 @@ object DocumentPipeline {
       |    ln((n_c + 1.0) / (tot.nc + 1024.0)) AS lr
       |  FROM cc CROSS JOIN tot),
       |scored AS (
-      |  SELECT doc_id, count(*) AS n_tokens,
-      |    round(sum(lr) + 1e-9, 6) AS logw
-      |  FROM toks JOIN lr USING (bkt) GROUP BY doc_id),
+      |  SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+      |    round(sum(n * lr) + 1e-9, 6) AS logw
+      |  FROM db JOIN lr USING (bkt) GROUP BY doc_id),
       |keyed AS (
       |  SELECT doc_id, n_tokens, logw,
       |    round(logw - ln(-ln(((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT

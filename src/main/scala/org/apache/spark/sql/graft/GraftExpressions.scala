@@ -822,6 +822,72 @@ object hashing {
     c
   }
 
+  private val bucketCountsBuf = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = Array.emptyLongArray
+  }
+  private val bucketTouchedBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array.emptyIntArray
+  }
+
+  /** p05's per-document hashed-LM bucket histogram in ONE map-side pass
+    * — array<struct<bkt: int, n: long>> in ascending-bucket order, where
+    * bkt = (first 15 md5 hex digits as a 60-bit value) mod `buckets` of
+    * each `split(text, ' ')` token (empties included), exactly the
+    * `pmod(conv(substring(md5(w),1,15),16,10), buckets)` family the
+    * cross-engine oracle replays. Replaces TWO corpus token explodes
+    * whose per-token md5 ran through string-building SQL expressions
+    * (substring → conv → pmod per occurrence): counts per (doc, bucket)
+    * are exact longs, so every downstream aggregate sees the same
+    * integers, and the one FP consequence (logw sums n·lr per distinct
+    * bucket instead of lr per token) is mirrored in the oracle SQL.
+    * Scratch buffers are thread-local; the emitted array is bounded by
+    * min(tokens, buckets).
+    */
+  def md5BucketCounts(text: UTF8String, buckets: Int): ArrayData = {
+    var counts = bucketCountsBuf.get()
+    if (counts.length < buckets) {
+      counts = new Array[Long](buckets)
+      bucketCountsBuf.set(counts)
+    }
+    var touched = bucketTouchedBuf.get()
+    if (touched.length < buckets) {
+      touched = new Array[Int](buckets)
+      bucketTouchedBuf.set(touched)
+    }
+    val bytes = text.getBytes
+    val len = bytes.length
+    val md = md5Local.get()
+    var nTouched = 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL) // 60 bits, always >= 0
+        val b = (v % buckets).toInt
+        if (counts(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
+        counts(b) += 1L
+        start = i + 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val out = new Array[Any](nTouched)
+    i = 0
+    while (i < nTouched) {
+      val b = touched(i)
+      out(i) = new GenericInternalRow(Array[Any](b, counts(b)))
+      counts(b) = 0L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** t20's hashed-unigram classifier sums in ONE map-side pass —
     * struct<s: long, n: long> with s = Σ_tokens wgt(token) and
     * n = token count, where wgt = +1 iff the token's first md5 nibble
@@ -1716,6 +1782,24 @@ case class SegmentShingleHashes(child: Expression, width: Int, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-doc md5-bucket histogram (see hashing.md5BucketCounts) —
+  * array<struct<bkt, n>> ascending by bucket, one map-side pass.
+  */
+case class Md5BucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bkt", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    hashing.md5BucketCounts(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.hashing.md5BucketCounts($a, $buckets);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Space-token count (see hashing.spaceTokenCount) — value-identical
   * to `size(split(text, ' '))` without the token-string array.
   */
@@ -1821,6 +1905,8 @@ object GraftFunctions {
     col(ClassifierTokenScore(e(text)))
   def space_token_count(text: Column): Column =
     col(SpaceTokenCount(e(text)))
+  def md5_bucket_counts(text: Column, buckets: Int): Column =
+    col(Md5BucketCounts(e(text), buckets))
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCount(e(text), merges))
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =

@@ -88,6 +88,60 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gate pending buffer gates inside the fold window, folds at growEvery, and empties") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pend_").toString
+    def text(i: Long): String =
+      (0 until 40).map(j => s"p${i}_$j").mkString(" ")
+    val seed = (0L until 5L).map(i => i -> text(i)).toDF("doc_id", "text")
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS pend_idx$t"))
+    graft.operators.Dedup.writeDedupIndex(seed, "pend_idx")
+    val bandsBefore = spark.table("pend_idx_bands").count()
+    def pendingCount(): Int = {
+      val d = new java.io.File(s"$dir/store_idx_pending")
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupStream(
+      mem.toDF().toDF("doc_id", "text"), "pend_idx", s"$dir/store",
+      growEvery = 2)
+    // batch 1: two fresh docs → kept, buffered in pending (1 file),
+    // NOT yet folded into the bucketed tables
+    mem.addData((100L, text(100)), (101L, text(101)))
+    q.processAllAvailable()
+    assert(pendingCount() == 1, "one pending batch file before the fold")
+    assert(spark.table("pend_idx_bands").count() == bandsBefore,
+      "bucketed index must not grow before the fold")
+    // batch 2: a near-dup of PENDING doc 100 must be gated by the
+    // pending probe (the fold hasn't happened when the probe runs),
+    // plus a fresh doc; after this batch pending reaches growEvery=2
+    // and folds: dir empties, bucketed tables absorb both batches
+    mem.addData((200L, text(100).replaceFirst("^\\S+", "Z")),
+      (201L, text(201)))
+    q.processAllAvailable()
+    assert(pendingCount() == 0, "fold at growEvery must empty the buffer")
+    // this session counted the table pre-fold, so its relation cache
+    // holds the old file list; the fold appended through the stream's
+    // cloned session — refresh before recounting (readers of an
+    // externally-appended table always must)
+    spark.catalog.refreshTable("pend_idx_bands")
+    assert(spark.table("pend_idx_bands").count() > bandsBefore,
+      "fold must land the buffered batches in the bucketed index")
+    // batch 3: a near-dup of batch-1's doc 101 — now only the FOLDED
+    // index can gate it (pending is empty)
+    mem.addData((300L, text(101).replaceFirst("^\\S+", "W")))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(100L, 101L, 201L),
+      s"kept $keptIds: 200 gated by pending, 300 by the folded index")
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS pend_idx$t"))
+    spark.catalog.clearCache()
+  }
+
   test("streaming segment gate drops mostly-boilerplate docs via the growing keeper index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_segstream_").toString

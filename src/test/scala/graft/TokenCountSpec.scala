@@ -84,6 +84,32 @@ class TokenCountSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("md5_bucket_counts ≡ the per-token conv/substring/pmod family") {
+    // the r16 p05 rewrite contract: the one-pass histogram must carry
+    // exactly the buckets and counts of exploding split(text, ' ') and
+    // hashing each occurrence through pmod(conv(substring(md5(w),1,15),
+    // 16,10), buckets) — empties included ("" hashes to its bucket)
+    val rows = Seq("", "a", "a a b", "multi  space", "trailing ",
+      "中文 tokens here").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .unionByName(Tables.documents(spark, sf)
+        .select($"doc_id" + 1000L, $"text").toDF("doc_id", "text")
+        .filter($"doc_id" < 1100L))
+    val fused = rows.select($"doc_id",
+        explode(GraftFunctions.md5_bucket_counts($"text", 1024)).as("x"))
+      .select($"doc_id", $"x.bkt".as("bkt"), $"x.n".as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val old = rows
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"),
+          lit(1024L)).cast("int").as("bkt"))
+      .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fused == old,
+      s"diff: ${fused.toSet.diff(old.toSet).take(5)} / ${old.toSet.diff(fused.toSet).take(5)}")
+  }
+
   test("null text null-propagates through both counters (pinned intent)") {
     // The regex forms they replaced return -1 for null text under the
     // legacy sizeOfNull flag; the byte-scan expressions null-propagate

@@ -190,6 +190,57 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("segment gate pending fold lands keeper segments and keeps gating past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_segpend_").toString
+    Seq("bands", "shingles", "segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS segpend_idx_$t"))
+    def seg(tag: String): Seq[String] = (0 until 10).map(j => s"$tag$j")
+    def edit(s: Seq[String], repl: String): Seq[String] = s.init :+ repl
+    def doc(segs: Seq[Seq[String]]): String = segs.flatten.mkString(" ")
+    val seed = Seq(0L -> doc(Seq(seg("sa"), seg("sb"), seg("sc"), seg("sd"))))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSegmentIndex(seed, "segpend_idx")
+    val digBefore = spark.table("segpend_idx_segdigests").count()
+    def pendingCount(): Int = {
+      val d = new java.io.File(s"$dir/store_idx_pending")
+      Option(d.listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.segmentDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "segpend_idx", s"$dir/store",
+      growEvery = 2)
+    // batch 1: one novel doc → kept; its meta rows buffer (no fold yet)
+    mem.addData((100L, doc(Seq(seg("c1"), seg("c2"), seg("c3"), seg("c4")))))
+    q.processAllAvailable()
+    assert(pendingCount() == 1)
+    // batch 2: doc 200 = edited copies of PENDING doc 100's segments →
+    // gated by the pending probe before any fold; doc 201 novel → kept;
+    // pending then reaches growEvery=2 and folds into all three tables
+    mem.addData(
+      (200L, doc(Seq(edit(seg("c1"), "za"), edit(seg("c2"), "zb"),
+        edit(seg("c3"), "zc"), seg("n200")))),
+      (201L, doc(Seq(seg("e1"), seg("e2"), seg("e3"), seg("e4")))))
+    q.processAllAvailable()
+    assert(pendingCount() == 0, "fold at growEvery must empty the buffer")
+    spark.catalog.refreshTable("segpend_idx_segdigests")
+    assert(spark.table("segpend_idx_segdigests").count() > digBefore,
+      "fold must land the buffered keeper digests")
+    // batch 3: edited copies of batch-1 doc 100's segments again — the
+    // pending buffer is empty, so only the FOLDED index can gate it
+    mem.addData((300L, doc(Seq(edit(seg("c1"), "wa"), edit(seg("c2"), "wb"),
+      edit(seg("c3"), "wc"), seg("n300")))))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(100L, 201L),
+      s"kept $keptIds: 200 gated by pending, 300 by the folded index")
+    Seq("bands", "shingles", "segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS segpend_idx_$t"))
+    spark.catalog.clearCache()
+  }
+
   test("streaming substring rewrite strips stored runs and grows the gram index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_substream_").toString

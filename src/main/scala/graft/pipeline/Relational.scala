@@ -181,7 +181,9 @@ object Relational {
   def dupAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(md5($"text").as("h"))
+      // 16-byte binary digest: `h` only feeds countDistinct's shuffle
+      // (never the output), so the hex doubling buys nothing.
+      .select(unhex(md5($"text")).as("h"))
       .agg(
         count(lit(1)).as("total_hashes"),
         countDistinct($"h").as("unique_hashes"),

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial oracle corpus: a deliberately nasty `documents` +
+  * `embeddings` directory the FULL 106-query DuckDB differential gate
+  * runs over — not just the driver's clean synthetic testdata.
+  *
+  * Rationale: the per-query oracles prove cross-engine equality on the
+  * corpus they're run against; every null-semantics, empty-token,
+  * Unicode-width, or regex-metacharacter divergence between Spark and
+  * DuckDB that the clean corpus never exercises is invisible to the
+  * gate. This generator plants exactly those shapes, each family tagged
+  * in `source` so a failure names its trigger:
+  *
+  *  - `adv_null` / `adv_empty` / `adv_space`: NULL text, "" text, and
+  *    whitespace-only text (spaces, tabs, newlines) — the split/regex/
+  *    count null-propagation surface (TokenCountSpec's pins, corpus-wide).
+  *  - `adv_single`: one-token docs (no bigrams/shingles/windows exist).
+  *  - `adv_exact`: 40 byte-identical copies of one text (hot exact mass
+  *    through every digest/groupBy path).
+  *  - `adv_runs`: interior runs of 2–4 spaces — Spark `split(text, " ")`
+  *    and DuckDB `string_split(text, ' ')` BOTH emit empty-string
+  *    tokens; any operator that disagrees about them diverges here.
+  *  - `adv_cjk`: unsegmented CJK incl. a near-dup pair (±1 char) and
+  *    mixed CJK/ASCII — byte-length vs char-length and the script-
+  *    adaptive paths.
+  *  - `adv_meta`: regex/SQL metacharacters, quotes, backslashes — the
+  *    regexp/LIKE/JSON-ish extraction surface.
+  *  - `adv_unicode`: emoji (4-byte UTF-8), combining marks (café composed
+  *    vs decomposed), U+FFFD, fullwidth forms, RTL text.
+  *  - `adv_long`: a 5000-token and a 2000-token doc (window/collect paths
+  *    at per-doc extremes).
+  *  - `adv_digits` / `adv_json`: numeric-only tokens; valid and broken
+  *    JSON-shaped text.
+  *  - `adv_nullcol`: NULL `lang` / NULL `source` with normal text — null
+  *    GROUP BY keys and null window-partition keys (engines agree on the
+  *    null group itself; orderings inside windows are where they split).
+  *
+  * Embeddings: 200 clustered vectors (GenCorpus) plus the degenerate
+  * ones — the all-zero vector (cosine denominator 0), an identical
+  * pair, an exact negation, 1e-30 and 1e30 magnitudes, a one-hot, and
+  * an alternating ±1 — tagged by label = 99.
+  *
+  * Relational + events tables are copied from a clean sf dir (their
+  * adversarial shapes are GenScale/SkewProbe territory); this corpus
+  * attacks the text/embedding surface.
+  *
+  * Everything is literal or hash-derived — no RNG, no clock — so the
+  * corpus is byte-stable across runs and machines.
+  *
+  * Usage: runMain graft.GenAdversarial [outDir] [srcSfDir]
+  * Default: /tmp/graftdata/adv /root/testdata/sf0.001
+  */
+object GenAdversarial {
+
+  /** One adversarial family: rows (doc_id, text, lang, source) with
+    * n_chars derived like the testdata (= length(text), null for null).
+    */
+  private def fam(spark: SparkSession, startId: Long, tag: String,
+      lang: String, texts: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (startId + i, Option(t), Option(lang), tag)
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+  }
+
+  def adversarialDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // 360 base + 40 planted near-dups, ids 0..399 — the clean substrate
+    // so corpus-level statistics (df, percentiles, LM counts) stay
+    // non-degenerate and the families below are minority mass.
+    val base = GenCorpus.generate(spark, 360, 10)
+
+    val exactText = ("the quick brown fox jumps over the lazy dog and " +
+      "then the fox jumps again over the very same lazy dog today").trim
+    val longDoc = (0 until 5000).map(i => "w" + (i % 97)).mkString(" ")
+    val midDoc = (0 until 2000).map(i => "v" + (i % 53)).mkString(" ")
+
+    val families = Seq(
+      fam(spark, 1000L, "adv_null", "en", Seq(null, null, null)),
+      fam(spark, 1100L, "adv_empty", "en", Seq("", "", "")),
+      fam(spark, 1200L, "adv_space", "en",
+        Seq(" ", "   ", "\t\t", "\n\n", " \t\n ")),
+      fam(spark, 1300L, "adv_single", "en",
+        Seq("hello", "the", "r42", "字")),
+      fam(spark, 1400L, "adv_exact", "en",
+        Seq.fill(40)(exactText)),
+      fam(spark, 1500L, "adv_runs", "en", Seq(
+        "one  two   three    four",
+        "lead and trail ",
+        " lead and trail",
+        "a  b  a  b  a  b")),
+      fam(spark, 1600L, "adv_cjk", "zh", Seq(
+        "机器学习模型需要大量高质量的训练数据才能取得良好效果",
+        "机器学习模型需要大量高质量的训练数据才能取得优良效果",
+        "深度学习是机器学习的一个分支领域",
+        "データ処理パイプラインは大規模になるほど重要です",
+        "한국어 텍스트 처리도 동일한 방식으로 작동합니다",
+        "mixed 中文 and english 文本 in one document here",
+        "标点，符号。也：要；覆盖！吗？（括号）《书名》")),
+      fam(spark, 1700L, "adv_meta", "en", Seq(
+        "a .* b [c] (d) {e} | ^ $ ? + \\ pattern",
+        "don't \"quote\" me on 'this' `ever`",
+        "back\\slash and \\n literal not newline",
+        "100% _done_ | pipe; DROP TABLE documents; --",
+        "tab\there and semi;colon and comma,comma")),
+      fam(spark, 1800L, "adv_unicode", "en", Seq(
+        "🚀🚀 rocket to the 🌙 moon",
+        "café versus café composed",
+        "� broken � replacement chars",
+        "ＡＢＣ fullwidth forms here",
+        "مرحبا بالعالم rtl text",
+        "Ω≈ç√∫˜µ math soup")),
+      fam(spark, 1900L, "adv_long", "en", Seq(longDoc, midDoc)),
+      fam(spark, 2000L, "adv_digits", "en", Seq(
+        "1 2 3 4 5 6 7 8 9 10",
+        "3.14159 2.71828 1.41421 0.57721",
+        "0 0 0 0 0 0 0 0 0 0 0 0")),
+      fam(spark, 2100L, "adv_json", "en", Seq(
+        "{\"a\": 1, \"b\": {\"c\": [1, 2, 3]}}",
+        "not json { at all ] here",
+        "[{\"k\": \"v\"}, {\"k\": \"w\"}]")))
+
+    // null GROUP BY / window-partition keys with otherwise-normal text
+    val nullCols = Seq(
+      (2200L, Option("normal text with a null lang value present"),
+        Option.empty[String], Option("adv_nullcol")),
+      (2201L, Option("normal text with a null source value present"),
+        Option("en"), Option.empty[String]))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+
+    (base +: families :+ nullCols).reduce(_ unionByName _)
+  }
+
+  def adversarialEmbeddings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = GenCorpus.generateEmbeddings(spark, 200)
+    def vec(f: Int => Float): Seq[Float] = (0 until 64).map(f)
+    val degenerate = Seq(
+      (1000L, vec(_ => 0.0f), 99),                       // zero vector
+      (1001L, vec(j => ((j % 7) - 3) / 3.0f), 99),       // identical pair a
+      (1002L, vec(j => ((j % 7) - 3) / 3.0f), 99),       // identical pair b
+      (1003L, vec(j => -((j % 7) - 3) / 3.0f), 99),      // exact negation
+      (1004L, vec(_ => 1e-30f), 99),                     // tiny magnitude
+      (1005L, vec(_ => 1e30f), 99),                      // huge magnitude
+      (1006L, vec(j => if (j == 0) 1.0f else 0.0f), 99), // one-hot
+      (1007L, vec(j => if (j % 2 == 0) 1.0f else -1.0f), 99)) // alternating
+      .toDF("vec_id", "embedding", "label")
+    base.unionByName(degenerate)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val outDir = args.headOption.getOrElse("/tmp/graftdata/adv")
+    val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.local(cpus)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      counts(t) = spark.read.parquet(s"$outDir/$t.parquet").count()
+    }
+    adversarialDocs(spark).repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    counts("documents") =
+      spark.read.parquet(s"$outDir/documents.parquet").count()
+    adversarialEmbeddings(spark).repartition(2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    counts("embeddings") =
+      spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(counts.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", s""","dir":"$outDir"}"""))
+    spark.stop()
+  }
+}

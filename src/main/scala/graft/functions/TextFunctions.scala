@@ -21,9 +21,12 @@ object TextFunctions {
     "es" -> "\\b(el|los|y|que|una)\\b",
     "de" -> "\\b(der|die|und|das|ein)\\b")
 
-  /** Number of regex matches in a string column. */
+  /** Number of regex matches in a string column; NULL input → NULL
+    * count (the TokenCountSpec null contract — size() alone would
+    * emit its -1 sentinel, which no SQL engine's len() agrees with).
+    */
   def matchCount(c: Column, pattern: String): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0)))
+    when(c.isNotNull, size(regexp_extract_all(c, lit(pattern), lit(0))))
 
   private val profileWords: Seq[Seq[String]] =
     langProfiles.map(_._2.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq)

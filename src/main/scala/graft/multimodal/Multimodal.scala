@@ -253,7 +253,12 @@ object Multimodal {
   def mediaTableOf(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    documents.select(
+    // A doc with NULL content has no media record (the object store has
+    // nothing to fetch) — without this, the typed decode path's
+    // non-nullable payload field turns one scraped null row into a
+    // stage-level crash for the whole m-family (found by the
+    // GenAdversarial corpus gate).
+    documents.filter($"text".isNotNull).select(
       $"doc_id",
       when($"doc_id" % 3 === 0, "image")
         .when($"doc_id" % 3 === 1, "audio")
@@ -378,6 +383,7 @@ object Multimodal {
       |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
       |  count(DISTINCT sha256(text)) AS n_distinct_payloads
       |FROM documents
+      |WHERE text IS NOT NULL
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
@@ -416,7 +422,7 @@ object Multimodal {
       |              ELSE 'video' END AS kind,
       |    sha256(text) AS content_hash,
       |    octet_length(encode(text))::BIGINT AS n_bytes
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |g AS (
       |  SELECT kind, content_hash, count(*) AS n, max(n_bytes) AS bytes
       |  FROM m GROUP BY kind, content_hash)
@@ -482,7 +488,7 @@ object Multimodal {
       |         ELSE 'video' END AS kind,
       |    octet_length(encode(text))::BIGINT AS n_bytes,
       |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8)::INT AS shard
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |c AS (
       |  SELECT *, coalesce(sum(n_bytes) OVER (
       |    PARTITION BY kind, shard ORDER BY doc_id

@@ -1983,7 +1983,8 @@ object Dedup {
   }
 
   def substringDedupSql(k: Int = 20): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+       |  FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(range(len(toks) - $k + 1)) AS pos, toks
        |  FROM d WHERE len(toks) >= $k),

@@ -393,7 +393,12 @@ object Analytics {
     */
   def weightedMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // rates: even sources 75% (cutoff 0xC0), odd sources 25% (cutoff 0x40)
+    // rates: even sources 75% (cutoff 0xC0), odd sources 25% (cutoff
+    // 0x40). A source whose suffix isn't an int (or a NULL source)
+    // takes the odd cutoff: Spark's lenient cast NULLs it into the
+    // otherwise-branch, and the oracle's try_cast does the same —
+    // strict ::INT would abort the whole oracle query on one such row
+    // (GenAdversarial).
     val coin = substring(md5($"doc_id".cast("string")), 1, 2)
     Tables.documents(s, dir)
       .withColumn("cutoff",
@@ -408,7 +413,8 @@ object Analytics {
     """SELECT doc_id, source
       |FROM documents
       |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
-      |  CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 'c0' ELSE '40' END
+      |  CASE WHEN try_cast(substr(source, 4) AS INT) % 2 = 0
+      |    THEN 'c0' ELSE '40' END
       |ORDER BY doc_id""".stripMargin
 
   /** q31: percent_rank of customer spend within nation — the relative-

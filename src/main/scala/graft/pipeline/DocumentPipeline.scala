@@ -286,11 +286,17 @@ object DocumentPipeline {
     val toks = split(trim(lower($"text")), " ")
     val kept = org.apache.spark.sql.graft.GraftFunctions
       .collapse_adjacent_repeats(toks)
+    // NULL text null-propagates: bare size() would emit -1 and
+    // concat_ws would treat the null token array as empty (digest of
+    // "") — both diverging from the oracle's NULLs (GenAdversarial).
     Tables.documents(s, dir)
       .select($"doc_id",
-        size(toks).cast("long").as("n_tokens_before"),
-        size(kept).cast("long").as("n_tokens_after"),
-        md5(concat_ws(" ", kept)).as("norm_digest"))
+        when($"text".isNotNull, size(toks).cast("long"))
+          .as("n_tokens_before"),
+        when($"text".isNotNull, size(kept).cast("long"))
+          .as("n_tokens_after"),
+        when($"text".isNotNull, md5(concat_ws(" ", kept)))
+          .as("norm_digest"))
       .withColumn("n_collapsed", $"n_tokens_before" - $"n_tokens_after")
       .orderBy($"doc_id")
   }
@@ -433,6 +439,11 @@ object DocumentPipeline {
     val cutExprs = (1 until bands).map(i =>
       expr(s"percentile(score, ${i.toDouble / bands})").as(s"c$i"))
     val cuts = docs.agg(cutExprs.head, cutExprs.tail: _*)
+    // An unscoreable doc (NULL text → NULL ratio) still gets PLACED:
+    // every null comparison falls to otherwise(0), i.e. band 1 — the
+    // lowest tier, the conservative slot for unknown quality. The
+    // oracle coalesces its ::INT casts to the same rule; a curriculum
+    // that silently dropped rows would desync the epoch schedule.
     val banded = docs.crossJoin(broadcast(cuts))
       .withColumn("band",
         (1 until bands).map(i =>
@@ -466,8 +477,8 @@ object DocumentPipeline {
       |  FROM sc),
       |b AS (
       |  SELECT doc_id, score,
-      |    1 + (score > c1)::INT + (score > c2)::INT + (score > c3)::INT
-      |      AS band
+      |    1 + coalesce((score > c1)::INT, 0) + coalesce((score > c2)::INT, 0)
+      |      + coalesce((score > c3)::INT, 0) AS band
       |  FROM sc CROSS JOIN cuts),
       |k AS (
       |  SELECT doc_id, score, band,
@@ -949,21 +960,30 @@ object DocumentPipeline {
       .groupBy($"source")
       .agg(
         count(lit(1)).as("total_reports"),
+        // A NULL lang renders as JSON null rather than nulling the
+        // element: concat-of-null would make collect_list silently
+        // SKIP the doc ("[]") while the oracle's string_agg nulls the
+        // whole aggregate — both wrong answers (GenAdversarial).
         concat(lit("["),
           concat_ws(",", sort_array(collect_list(
-            concat(lit("{\"doc_id\":"), $"doc_id",
-              lit(",\"lang\":\""), $"lang", lit("\"}"))))),
+            concat(lit("{\"doc_id\":"), $"doc_id", lit(",\"lang\":"),
+              when($"lang".isNull, lit("null"))
+                .otherwise(concat(lit("\""), $"lang", lit("\""))),
+              lit("}"))))),
           lit("]")).as("documents_json"))
       .orderBy($"source")
   }
 
   val nestedAgencyDocsSql: String =
-    """SELECT source, count(*) AS total_reports,
-      |  '[' || string_agg(
-      |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}', ','
-      |    ORDER BY '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}') || ']'
-      |    AS documents_json
-      |FROM documents
+    """WITH j AS (
+      |  SELECT source,
+      |    '{"doc_id":' || doc_id || ',"lang":' ||
+      |      CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END
+      |      || '}' AS el
+      |  FROM documents)
+      |SELECT source, count(*) AS total_reports,
+      |  '[' || string_agg(el, ',' ORDER BY el) || ']' AS documents_json
+      |FROM j
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
@@ -1139,9 +1159,14 @@ object DocumentPipeline {
     import s.implicits._
     val totalBigrams = greatest(size(split($"text", " ")) - 1, lit(1))
     val distinctBigrams = size(graft.operators.Dedup.shingles($"text", 2))
+    // NULL text null-propagates explicitly: without the guard,
+    // size(shingles(NULL)) = -1 turns the ratio into 2.0 — an
+    // impossible value for 1 − distinct/total — while the oracle
+    // NULLs (found by the GenAdversarial corpus gate).
     Tables.documents(s, dir).select(
         $"doc_id",
-        round(lit(1.0) - distinctBigrams.cast("double") / totalBigrams, 6)
+        when($"text".isNotNull,
+          round(lit(1.0) - distinctBigrams.cast("double") / totalBigrams, 6))
           .as("repetition_ratio"))
       .withColumn("is_repetitive", $"repetition_ratio" > 0.2)
       .orderBy($"doc_id")
@@ -1149,14 +1174,16 @@ object DocumentPipeline {
 
   val repetitionSql: String =
     """SELECT doc_id,
+      |  CASE WHEN text IS NULL THEN NULL ELSE
       |  round(1.0 - len(list_distinct(list_transform(
       |      range(greatest(len(string_split(text, ' ')) - 1, 0)),
       |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])))
-      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) AS repetition_ratio,
+      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) END AS repetition_ratio,
+      |  CASE WHEN text IS NULL THEN NULL ELSE
       |  round(1.0 - len(list_distinct(list_transform(
       |      range(greatest(len(string_split(text, ' ')) - 1, 0)),
       |      i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])))
-      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) > 0.2 AS is_repetitive
+      |    * 1.0 / greatest(len(string_split(text, ' ')) - 1, 1), 6) > 0.2 END AS is_repetitive
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -20,7 +20,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # SQL NULL surfaces as None from Spark parquet but NaN from
+            # DuckDB .df() in object columns (e.g. nullable booleans);
+            # both are the same NULL — normalize before str-compare.
+            # The driver's clean corpus has no such nulls, so this
+            # doesn't loosen the driver-gate stand-in.
+            df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -29,7 +34,10 @@ def main(outdir: str, sfdir: str):
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # driver testdata ships single files; Spark-written dirs
+            # (GenScale / GenAdversarial output) need the part-file glob
+            pat = p if os.path.isfile(p) else f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

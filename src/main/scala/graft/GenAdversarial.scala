@@ -156,6 +156,56 @@ object GenAdversarial {
     base.unionByName(degenerate)
   }
 
+  /** Clean sf events plus the hostile rows: NULL ts (unorderable —
+    * Spark windows sort NULLS FIRST, DuckDB NULLS LAST, so any window
+    * that admits them diverges by construction), NULL event_type /
+    * user_id / value / props (group keys, window partitions, agg
+    * inputs, regex subjects), an exact (user, ts, type) tie pair (the
+    * tie-break discipline's probe), ±1e6 values (large-magnitude outliers through sum/avg/variance —
+    * 1e300 was probed first and DuckDB's VARSAMP/STDDEV raise
+    * out-of-range on its square where Spark silently saturates, so
+    * magnitudes whose squares overflow double are outside the
+    * cross-engine-checkable domain by construction), and an epoch-0 timestamp (calendar-range lower
+    * extreme).
+    */
+  def adversarialEvents(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    def ts(v: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(v)
+    val planted = Seq(
+      (1000001L, Option.empty[java.sql.Timestamp], Option(7001L),
+        Option("click"), Option(1.5), Option("{\"k\": 42}")),
+      (1000002L, Option.empty[java.sql.Timestamp], Option(7001L),
+        Option("view"), Option(2.5), Option("{\"k\": 43}")),
+      (1000003L, Option(ts("2026-01-05 10:00:00")), Option(7002L),
+        Option.empty[String], Option(3.5), Option("{\"k\": 44}")),
+      (1000004L, Option(ts("2026-01-05 10:05:00")), Option.empty[Long],
+        Option("click"), Option(4.5), Option("{\"k\": 45}")),
+      (1000005L, Option(ts("2026-01-05 10:10:00")), Option.empty[Long],
+        Option("view"), Option(5.5), Option("{\"k\": 46}")),
+      (1000006L, Option(ts("2026-01-05 10:15:00")), Option(7003L),
+        Option("click"), Option.empty[Double], Option("{\"k\": 47}")),
+      (1000007L, Option(ts("2026-01-05 10:20:00")), Option(7003L),
+        Option("view"), Option(6.5), Option.empty[String]),
+      (1000008L, Option(ts("2026-01-05 10:25:00")), Option(7003L),
+        Option("click"), Option(7.5), Option("not json")),
+      // exact (user, ts, type) tie — only event_id breaks it
+      (1000009L, Option(ts("2026-01-05 11:00:00")), Option(7004L),
+        Option("view"), Option(8.5), Option("{\"k\": 48}")),
+      (1000010L, Option(ts("2026-01-05 11:00:00")), Option(7004L),
+        Option("view"), Option(9.5), Option("{\"k\": 49}")),
+      (1000011L, Option(ts("2026-01-05 12:00:00")), Option(7005L),
+        Option("click"), Option(1e6), Option("{\"k\": 50}")),
+      (1000012L, Option(ts("2026-01-05 12:01:00")), Option(7005L),
+        Option("click"), Option(-1e6), Option("{\"k\": 51}")),
+      (1000013L, Option(ts("1970-01-01 00:00:00")), Option(7006L),
+        Option("scroll"), Option(0.0), Option("{\"k\": 52}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    spark.read.parquet(s"$srcDir/events.parquet")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .unionByName(planted)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outDir = args.headOption.getOrElse("/tmp/graftdata/adv")
@@ -164,11 +214,14 @@ object GenAdversarial {
     val spark = GraftSession.local(cpus)
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       counts(t) = spark.read.parquet(s"$outDir/$t.parquet").count()
     }
+    adversarialEvents(spark, srcDir).repartition(2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+    counts("events") = spark.read.parquet(s"$outDir/events.parquet").count()
     adversarialDocs(spark).repartition(4)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
     counts("documents") =

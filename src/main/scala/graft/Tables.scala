@@ -39,8 +39,19 @@ object Tables {
     * Downstream consumers (unix_micros, window(), date_trunc) may then
     * assume TimestampType; EventsTypeToleranceSpec pins this contract.
     */
+  /** Events with the LOAD CONTRACT applied: rows with no event time are
+    * dead-lettered here, once, rather than leaking into every operator.
+    * A NULL ts is unorderable — inside a window Spark sorts it NULLS
+    * FIRST where DuckDB sorts NULLS LAST, so any two engines disagree
+    * about every downstream sessionization/CUSUM/window state the row
+    * touches (GenAdversarial reproduced exactly that on e10/e14, and
+    * e02's agreement was luck). Every events oracle carries the matching
+    * `WHERE ts IS NOT NULL`; a production pipeline routes these rows to
+    * a dead-letter table at ingest.
+    */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
 
   /** Normalize an events-shaped frame's `ts` column to TimestampType.
     * Shared by the batch loader and streaming sources so both inherit the

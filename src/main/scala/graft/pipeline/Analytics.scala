@@ -162,7 +162,7 @@ object Analytics {
   val rangeJoinCampaignsSql: String =
     """WITH b AS (
       |  SELECT min((ts::TIMESTAMP)::DATE) AS d0, max((ts::TIMESTAMP)::DATE) AS d1
-      |  FROM events),
+      |  FROM (FROM events WHERE ts IS NOT NULL) events),
       |iv AS (
       |  SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 7 DAY))::DATE
       |    AS campaign_start FROM b),
@@ -222,10 +222,10 @@ object Analytics {
   val zscoreOutliersSql: String =
     """WITH st AS (
       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-      |  FROM events GROUP BY 1)
+      |  FROM (FROM events WHERE ts IS NOT NULL) events GROUP BY 1)
       |SELECT e.event_id, e.event_type, e.value,
       |  round((e.value - st.mu) / st.sd + 1e-9, 4) AS z
-      |FROM events e JOIN st USING (event_type)
+      |FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN st USING (event_type)
       |WHERE abs(round((e.value - st.mu) / st.sd + 1e-9, 4)) > 2.5
       |ORDER BY e.event_id""".stripMargin
 
@@ -254,7 +254,7 @@ object Analytics {
 
   val retentionSql: String =
     """WITH act AS (
-      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM events),
+      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM (FROM events WHERE ts IS NOT NULL) events),
       |daily AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
       |ret AS (
       |  SELECT a.day, count(*) AS n_retained
@@ -288,15 +288,15 @@ object Analytics {
 
   val funnelSql: String =
     """WITH v AS (
-      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM events
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM (FROM events WHERE ts IS NOT NULL) events
       |  WHERE event_type = 'view' GROUP BY 1),
       |c AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
-      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN v ON e.user_id = v.user_id
       |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1),
       |p AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
-      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN c ON e.user_id = c.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1)
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |  (SELECT count(*) FROM c) AS n_view_click,

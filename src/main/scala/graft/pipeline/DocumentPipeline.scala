@@ -83,10 +83,10 @@ object DocumentPipeline {
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) + 1e-9, 4) AS avg_k,
-      |  min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
-      |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
-      |FROM events
+      |  round(avg(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) + 1e-9, 4) AS avg_k,
+      |  min(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
+      |  max(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
+      |FROM (FROM events WHERE ts IS NOT NULL) events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 

@@ -18,7 +18,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize dtypes: timestamps -> iso strings, floats -> repr
     for c in df.columns:
         if np.issubdtype(df[c].dtype, np.datetime64):
+            # null timestamps render 'NaT'; object-column nulls render
+            # 'None' — same SQL NULL, one spelling
             df[c] = df[c].astype("datetime64[us]").astype(str)
+            df[c] = df[c].replace("NaT", "None")
         elif df[c].dtype == object:
             # SQL NULL surfaces as None from Spark parquet but NaN from
             # DuckDB .df() in object columns (e.g. nullable booleans);

@@ -88,6 +88,40 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("near-dup gate passes contentless docs through without poisoning the index") {
+    // Contract (GenAdversarial discipline, streaming side): a NULL or
+    // empty text yields no shingles, so the near-dup gate has nothing
+    // to compare — the doc PASSES (the quality gate is the stage that
+    // kills contentless docs), nothing crashes, and index growth from
+    // the same batch still gates later near-dups normally.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullstream_").toString
+    def text(i: Long): String =
+      (0 until 40).map(j => s"n${i}_$j").mkString(" ")
+    spark.sql("DROP TABLE IF EXISTS nstream_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS nstream_idx_shingles")
+    graft.operators.Dedup.writeDedupIndex(
+      Seq(0L -> text(0)).toDF("doc_id", "text"), "nstream_idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupStream(
+      mem.toDF().toDF("doc_id", "text"), "nstream_idx", s"$dir/store",
+      growEvery = 1)
+    mem.addData((300L, null: String), (301L, ""), (302L, text(302)))
+    q.processAllAvailable()
+    // second batch: near-dup of 302 must be gated by the grown index —
+    // growth wasn't derailed by the contentless rows in the same fold
+    mem.addData((400L, text(302).replaceFirst("^\\S+", "Z")),
+      (401L, null: String))
+    q.processAllAvailable(); q.stop()
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(300L, 301L, 302L, 401L),
+      s"kept $keptIds: contentless docs pass, 400 gated by grown index")
+    spark.sql("DROP TABLE IF EXISTS nstream_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS nstream_idx_shingles")
+    spark.catalog.clearCache()
+  }
+
   test("gate pending buffer gates inside the fold window, folds at growEvery, and empties") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_pend_").toString

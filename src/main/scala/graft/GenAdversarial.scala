@@ -43,9 +43,20 @@ import org.apache.spark.sql.functions._
   * pair, an exact negation, 1e-30 and 1e30 magnitudes, a one-hot, and
   * an alternating ±1 — tagged by label = 99.
   *
-  * Relational + events tables are copied from a clean sf dir (their
-  * adversarial shapes are GenScale/SkewProbe territory); this corpus
-  * attacks the text/embedding surface.
+  * Relational tables (customer/orders/lineitem/part/supplier) carry
+  * their own hostile rows on top of the clean sf base: NULL group keys
+  * (mktsegment/orderstatus/returnflag/p_type), NULL join keys and
+  * dangling foreign keys (a custkey no customer has, a partkey no part
+  * has — inner joins drop them in both engines, and any operator that
+  * outer-joins or builds graph edges from them must agree about it),
+  * NULL window-order keys (o_orderdate, c_acctbal — ascending-order
+  * windows place NULLs FIRST on Spark and LAST on DuckDB, so every
+  * rank/ntile/percent_rank over a nullable column must pin NULLS
+  * placement explicitly), duplicate primary keys (the q07-family audit
+  * shape on the relational side), boundary numerics (discount exactly
+  * 0 and 1, negative quantity/price, ±1e6 magnitudes, epoch-0 and
+  * far-future dates), and metacharacter strings in name columns.
+  * nation/region stay clean (fixed dims, every key referenced).
   *
   * Everything is literal or hash-derived — no RNG, no clock — so the
   * corpus is byte-stable across runs and machines.
@@ -206,6 +217,132 @@ object GenAdversarial {
       .unionByName(planted)
   }
 
+  /** Hostile relational rows on top of the clean sf base tables.
+    * Planted keys start at 900000 — far above any sf0.001 key — so the
+    * clean mass is untouched and a failure's row set names its family.
+    * Dangling FK values (888888 / 777777 / 666666 / 555 / 999) exist in
+    * NO parent table by construction.
+    */
+  def adversarialCustomer(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      // NULL group key (mktsegment drives q17/q21/q27/q38-family groupings)
+      (900001L, Option("Customer#null-segment"), Option(3), Option(512.5), Option.empty[String]),
+      // NULL window-order key (acctbal orders ntile/percent_rank windows)
+      (900002L, Option("Customer#null-acctbal"), Option(4), Option.empty[Double], Option("BUILDING")),
+      // NULL join key (nationkey) and a dangling one (no nation 999)
+      (900003L, Option("Customer#null-nation"), Option.empty[Int], Option(100.0), Option("MACHINERY")),
+      (900004L, Option("Customer#dangling-nation"), Option(999), Option(200.0), Option("MACHINERY")),
+      // metacharacters through every name-string path
+      (900005L, Option("O'Brien \"Quote\"; DROP TABLE--"), Option(1), Option(300.0), Option("FURNITURE")),
+      // duplicate primary key — the relational q07 audit shape
+      (900006L, Option("Customer#dup-a"), Option(2), Option(400.0), Option("HOUSEHOLD")),
+      (900006L, Option("Customer#dup-b"), Option(2), Option(401.0), Option("HOUSEHOLD")),
+      // balance extremes (sum/variance/histogram boundaries)
+      (900007L, Option("Customer#neg-extreme"), Option(0), Option(-1000000.0), Option("AUTOMOBILE")),
+      (900008L, Option("Customer#pos-extreme"), Option(0), Option(1000000.0), Option("AUTOMOBILE")),
+      // this customer's ONLY orders carry NULL o_totalprice → NULL spend
+      // reaches the q27/q31 rank windows (the ASC null-placement probe)
+      (900009L, Option("Customer#null-spend"), Option(7), Option(50.0), Option("BUILDING")))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    spark.read.parquet(s"$srcDir/customer.parquet").unionByName(planted)
+  }
+
+  def adversarialOrders(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    def ts(v: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(v)
+    val planted = Seq(
+      // NULL join key / dangling FK (customer 888888 does not exist)
+      (910001L, Option.empty[Long], Option("O"), Option(111.0), Option(ts("1998-03-01 00:00:00")), Option("1-URGENT")),
+      (910002L, Option(888888L), Option("O"), Option(222.0), Option(ts("1998-03-02 00:00:00")), Option("2-HIGH")),
+      // NULL window-order key (o_orderdate drives q03/q29-family windows)
+      (910003L, Option(12L), Option("F"), Option(333.0), Option.empty[java.sql.Timestamp], Option("3-MEDIUM")),
+      // NULL group keys and NULL agg input
+      (910004L, Option(13L), Option.empty[String], Option(444.0), Option(ts("1998-03-04 00:00:00")), Option("4-NOT SPECIFIED")),
+      (910005L, Option(14L), Option("O"), Option(555.0), Option(ts("1998-03-05 00:00:00")), Option.empty[String]),
+      (910006L, Option(15L), Option("O"), Option.empty[Double], Option(ts("1998-03-06 00:00:00")), Option("5-LOW")),
+      // duplicate primary key
+      (910007L, Option(16L), Option("O"), Option(666.0), Option(ts("1998-03-07 00:00:00")), Option("1-URGENT")),
+      (910007L, Option(16L), Option("O"), Option(667.0), Option(ts("1998-03-07 00:00:00")), Option("1-URGENT")),
+      // date extremes (epoch 0, far future) and price boundaries
+      (910008L, Option(17L), Option("F"), Option(0.0), Option(ts("1970-01-01 00:00:00")), Option("2-HIGH")),
+      (910009L, Option(18L), Option("O"), Option(-500.0), Option(ts("2099-12-31 00:00:00")), Option("3-MEDIUM")),
+      // exact (custkey, orderdate) tie — only orderkey breaks the window
+      (910010L, Option(77L), Option("O"), Option(777.0), Option(ts("1998-06-15 00:00:00")), Option("4-NOT SPECIFIED")),
+      (910011L, Option(77L), Option("O"), Option(778.0), Option(ts("1998-06-15 00:00:00")), Option("4-NOT SPECIFIED")),
+      // customer 900009's complete order history: all NULL totalprice, so
+      // its aggregated spend is NULL inside the q27/q31 windows
+      (910012L, Option(900009L), Option("O"), Option.empty[Double], Option(ts("1998-07-01 00:00:00")), Option("5-LOW")),
+      (910013L, Option(900009L), Option("F"), Option.empty[Double], Option(ts("1998-07-02 00:00:00")), Option("5-LOW")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    spark.read.parquet(s"$srcDir/orders.parquet").unionByName(planted)
+  }
+
+  def adversarialLineitem(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    def ts(v: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(v)
+    val d = ts("1997-06-01 00:00:00")
+    val planted = Seq(
+      // NULL agg inputs, one per measure column
+      (920001L, Option(10L), Option(1), Option(1), Option.empty[Double], Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
+      (920002L, Option(11L), Option(2), Option(1), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
+      (920003L, Option(12L), Option(3), Option(1), Option(5.0), Option(100.0), Option.empty[Double], Option(0.02), Option("N"), Option("O"), Option(d)),
+      (920004L, Option(13L), Option(4), Option(1), Option(5.0), Option(100.0), Option(0.05), Option.empty[Double], Option("N"), Option("O"), Option(d)),
+      // NULL group keys and NULL date
+      (920005L, Option(14L), Option(5), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option.empty[String], Option("O"), Option(d)),
+      (920006L, Option(15L), Option(6), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option.empty[String], Option(d)),
+      (920007L, Option(16L), Option(7), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option.empty[java.sql.Timestamp]),
+      // discount boundaries (0 and exactly 1 → zero revenue), negative/zero quantity
+      (920008L, Option(17L), Option(8), Option(1), Option(5.0), Option(100.0), Option(0.0), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (920009L, Option(18L), Option(9), Option(1), Option(5.0), Option(100.0), Option(1.0), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (920010L, Option(19L), Option(10), Option(1), Option(-5.0), Option(-100.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (920011L, Option(20L), Option(11), Option(1), Option(0.0), Option(0.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
+      // dangling FKs: order 777777, part 666666, supplier 555 exist nowhere
+      (777777L, Option(21L), Option(1), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      (920012L, Option(666666L), Option(2), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      (920013L, Option(22L), Option(555), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      // duplicate (orderkey, linenumber) — the composite-PK audit shape
+      (920014L, Option(23L), Option(3), Option(2), Option(6.0), Option(101.0), Option(0.06), Option(0.03), Option("N"), Option("O"), Option(d)),
+      (920014L, Option(23L), Option(3), Option(2), Option(7.0), Option(102.0), Option(0.07), Option(0.04), Option("N"), Option("O"), Option(d)),
+      // part 930008's complete lineitem history: NULL extendedprice →
+      // NULL revenue in the q23 rank window
+      (920015L, Option(930008L), Option(4), Option(1), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    spark.read.parquet(s"$srcDir/lineitem.parquet").unionByName(planted)
+  }
+
+  def adversarialPart(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (930001L, Option("part null type"), Option("Brand#1"), Option.empty[String], Option(10), Option(50.0)),
+      (930002L, Option("part null brand"), Option.empty[String], Option("STANDARD BRUSHED TIN"), Option(10), Option(50.0)),
+      (930003L, Option("part null size"), Option("Brand#2"), Option("LARGE POLISHED STEEL"), Option.empty[Int], Option(50.0)),
+      (930004L, Option("part null price"), Option("Brand#2"), Option("LARGE POLISHED STEEL"), Option(20), Option.empty[Double]),
+      (930005L, Option("pa.rt [meta] (name) 100%"), Option("Brand#3"), Option("SMALL PLATED BRASS"), Option(30), Option(60.0)),
+      (930006L, Option("part dup key a"), Option("Brand#4"), Option("MEDIUM ANODIZED NICKEL"), Option(40), Option(70.0)),
+      (930006L, Option("part dup key b"), Option("Brand#4"), Option("MEDIUM ANODIZED NICKEL"), Option(40), Option(71.0)),
+      (930007L, Option("part size zero neg price"), Option("Brand#5"), Option("ECONOMY BURNISHED COPPER"), Option(0), Option(-10.0)),
+      // this part's ONLY lineitem carries NULL extendedprice → NULL
+      // revenue reaches the q23 rank window
+      (930008L, Option("part null revenue"), Option("Brand#1"), Option("PROMO POLISHED ZINC"), Option(15), Option(55.0)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    spark.read.parquet(s"$srcDir/part.parquet").unionByName(planted)
+  }
+
+  def adversarialSupplier(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (940001L, Option("Supplier#null-nation"), Option.empty[Int], Option(100.0)),
+      (940002L, Option("Supplier#dangling-nation"), Option(999), Option(200.0)),
+      (940003L, Option("Supplier#null-acctbal"), Option(5), Option.empty[Double]),
+      (940004L, Option("Supplier#dup a"), Option(6), Option(300.0)),
+      (940004L, Option("Supplier#dup b"), Option(6), Option(301.0)))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    spark.read.parquet(s"$srcDir/supplier.parquet").unionByName(planted)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outDir = args.headOption.getOrElse("/tmp/graftdata/adv")
@@ -213,10 +350,19 @@ object GenAdversarial {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      counts(t) = spark.read.parquet(s"$outDir/$t.parquet").count()
+    }
+    val relational: Seq[(String, DataFrame)] = Seq(
+      "customer" -> adversarialCustomer(spark, srcDir),
+      "supplier" -> adversarialSupplier(spark, srcDir),
+      "part" -> adversarialPart(spark, srcDir),
+      "orders" -> adversarialOrders(spark, srcDir),
+      "lineitem" -> adversarialLineitem(spark, srcDir))
+    relational.foreach { case (t, df) =>
+      df.repartition(2).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
       counts(t) = spark.read.parquet(s"$outDir/$t.parquet").count()
     }
     adversarialEvents(spark, srcDir).repartition(2)

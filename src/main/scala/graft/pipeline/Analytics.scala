@@ -114,8 +114,11 @@ object Analytics {
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_partkey")
       .agg(round(sum($"l_extendedprice"), 2).as("revenue"))
+    // NULLS LAST explicit: a part whose lineitems all carry NULL price
+    // has unknown revenue and must never outrank a known one (both
+    // engines' DESC defaults agree, but the q29 lesson says pin it).
     val w = Window.partitionBy($"p_brand")
-      .orderBy($"revenue".desc, $"p_partkey")
+      .orderBy($"revenue".desc_nulls_last, $"p_partkey")
     rev.withColumn("rnk", rank().over(w))
       .filter($"rnk" <= 3)
       .select($"p_brand", $"rnk", $"p_partkey", $"revenue")
@@ -131,7 +134,7 @@ object Analytics {
       |SELECT p_brand, rnk, p_partkey, revenue
       |FROM (
       |  SELECT p_brand, p_partkey, revenue, rank() OVER (
-      |    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+      |    PARTITION BY p_brand ORDER BY revenue DESC NULLS LAST, p_partkey) AS rnk
       |  FROM rev)
       |WHERE rnk <= 3
       |ORDER BY p_brand, rnk""".stripMargin
@@ -313,8 +316,10 @@ object Analytics {
       .agg(round(sum($"o_totalprice"), 2).as("spend"))
       .join(Tables.customer(s, dir)
         .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+    // NULLS LAST explicit: unknown spend segments into the bottom
+    // quartile, never the top (see q31 for the matching ASC pin).
     val w = Window.partitionBy($"c_nationkey")
-      .orderBy($"spend".desc, $"o_custkey")
+      .orderBy($"spend".desc_nulls_last, $"o_custkey")
     spend.withColumn("quartile", ntile(4).over(w))
       .groupBy($"c_nationkey", $"quartile")
       .agg(count(lit(1)).as("n_customers"),
@@ -329,7 +334,7 @@ object Analytics {
       |  GROUP BY 1, 2),
       |seg AS (
       |  SELECT c_nationkey, spend, ntile(4) OVER (
-      |    PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey) AS quartile
+      |    PARTITION BY c_nationkey ORDER BY spend DESC NULLS LAST, o_custkey) AS quartile
       |  FROM spend)
       |SELECT c_nationkey, quartile, count(*) AS n_customers,
       |  round(sum(spend), 2) AS quartile_spend
@@ -361,6 +366,14 @@ object Analytics {
     * validity intervals [valid_from, valid_to) via lead() (NULL = current).
     * One shuffle on the key, ordered window within partition — the
     * standard change-capture shape for a slowly-changing dimension.
+    *
+    * NULL-date contract (GenAdversarial, the e10/e14 lesson on the
+    * relational side): an undated change record is unorderable, and the
+    * two engines disagree about ascending defaults — Spark sorts NULL
+    * FIRST, DuckDB LAST — so the chain position is pinned EXPLICITLY:
+    * NULLS FIRST in both. Semantically: unknown effective date =
+    * presumed-oldest; the record is superseded by the first dated one
+    * and can never claim `is_current`.
     */
   def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -369,7 +382,8 @@ object Analytics {
         to_date($"o_orderdate").as("valid_from"))
       .withColumn("valid_to",
         coalesce(lead($"valid_from", 1).over(
-          Window.partitionBy($"o_custkey").orderBy($"valid_from", $"o_orderkey")),
+          Window.partitionBy($"o_custkey")
+            .orderBy($"valid_from".asc_nulls_first, $"o_orderkey")),
           to_date(lit("2200-01-01"))))
       .withColumn("is_current", $"valid_to" === to_date(lit("2200-01-01")))
       .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
@@ -382,7 +396,7 @@ object Analytics {
       |  coalesce(lead(o_orderdate::DATE) OVER w, DATE '2200-01-01') = DATE '2200-01-01'
       |    AS is_current
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate::DATE, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate::DATE NULLS FIRST, o_orderkey)
       |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 
   /** q30: weighted corpus mixing — per-source Bernoulli sampling with
@@ -429,7 +443,12 @@ object Analytics {
       .agg(round(sum($"o_totalprice"), 2).as("spend"))
       .join(Tables.customer(s, dir)
         .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
-    val w = Window.partitionBy($"c_nationkey").orderBy($"spend", $"o_custkey")
+    // NULLS FIRST explicit — the latent ASC divergence the adversarial
+    // corpus was built to catch (Spark ASC defaults NULLS FIRST, DuckDB
+    // NULLS LAST; a customer whose orders all carry NULL totalprice hits
+    // it). Contract matches q27: unknown spend ranks LOWEST.
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"spend".asc_nulls_first, $"o_custkey")
     spend.select($"c_nationkey", $"o_custkey", $"spend",
         round(percent_rank().over(w) + lit(1e-9), 6).as("pct_rank"),
         round(cume_dist().over(w) + lit(1e-9), 6).as("cume"))
@@ -445,7 +464,7 @@ object Analytics {
       |  round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
       |  round(cume_dist() OVER w + 1e-9, 6) AS cume
       |FROM spend
-      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend, o_custkey)
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend NULLS FIRST, o_custkey)
       |ORDER BY c_nationkey, o_custkey""".stripMargin
 
   /** q32: unpivot (melt) — the q18 pivot's inverse: per-source language

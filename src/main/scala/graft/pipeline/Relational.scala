@@ -90,11 +90,17 @@ object Relational {
   /** q03: latest record per key (reference: latest document per agency).
     * Window row_number over a single shuffle on the key; at 100 TB this
     * beats a self-join-on-max and stays in one exchange.
+    *
+    * NULLS LAST is explicit (GenAdversarial): an undated record must
+    * never win "latest". Spark's DESC default happens to agree, DuckDB's
+    * happens to agree too — but agreement-by-default is exactly what the
+    * q29 divergence punished, so every window over a nullable key pins
+    * its placement.
     */
   def latestPerKey(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
-      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      .orderBy($"o_orderdate".desc_nulls_last, $"o_orderkey".desc)
     Tables.orders(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -106,7 +112,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
       |FROM (
       |  SELECT *, row_number() OVER (
-      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
       |  FROM orders)
       |WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin

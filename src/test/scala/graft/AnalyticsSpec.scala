@@ -147,4 +147,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(!f11 && spos11 < 4.0 && sneg11 < 4.0,
       s"transition day must not flag: $spos11 $sneg11")
   }
+
+  test("window NULL-ordering contracts: undated/unpriced rows take their " +
+    "pinned rank positions (q03/q23/q27/q29/q31)") {
+    // The GenAdversarial relational gate found q29 diverging cross-engine
+    // on Spark's NULLS-FIRST vs DuckDB's NULLS-LAST ascending default;
+    // every window over a nullable key now pins placement explicitly.
+    // This test pins the CONTRACT engine-independently: unknown dates
+    // are presumed-oldest and never "latest"/"current"; unknown
+    // spend/revenue ranks lowest.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullord_").toString
+    val d1 = ts("2024-01-01 00:00:00"); val d2 = ts("2024-02-01 00:00:00")
+    Seq(
+      (10L, 1L, "O", Option(100.0), Option(d1), "1-URGENT"),
+      (11L, 1L, "O", Option(200.0), Option(d2), "2-HIGH"),
+      (13L, 1L, "F", Option(50.0), Option.empty[Timestamp], "3-MEDIUM"),
+      (12L, 2L, "O", Option.empty[Double], Option(d1), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "cust-normal", 3, 10.0, "BUILDING"),
+      (2L, "cust-null-spend", 3, 20.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "part-priced", "Brand#1", "T", 5, 10.0),
+      (2L, "part-null-rev", "Brand#1", "T", 5, 11.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((100L, 1L, 1, 1, 5.0, Option(500.0), 0.1, 0.02, "N", "O", d1),
+      (101L, 2L, 1, 1, 5.0, Option.empty[Double], 0.1, 0.02, "N", "O", d1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // q03: the undated order (key 13) must never win "latest"
+    val latest = pipeline.Relational.latestPerKey(spark, dir)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().toMap
+    assert(latest(1L) == 11L, s"undated order must not be latest: $latest")
+
+    // q29: the undated order chains FIRST (presumed-oldest), never current
+    val scd = pipeline.Analytics.scd2Intervals(spark, dir)
+      .filter($"o_custkey" === 1L)
+      .select($"o_orderkey", $"valid_from".isNull, $"is_current")
+      .as[(Long, Boolean, Boolean)].collect()
+    val byKey = scd.map(r => r._1 -> r).toMap
+    assert(byKey(13L)._2 && !byKey(13L)._3,
+      s"undated row must have NULL valid_from and never be current: ${scd.toSeq}")
+    assert(byKey(11L)._3, s"last dated row must be current: ${scd.toSeq}")
+
+    // q31: NULL spend ranks LOWEST (pct_rank 0 within the nation)
+    val pr = pipeline.Analytics.percentRank(spark, dir)
+      .select($"o_custkey", $"pct_rank").as[(Long, Double)].collect().toMap
+    assert(pr(2L) < pr(1L) && pr(2L) < 1e-6,
+      s"NULL spend must rank lowest: $pr")
+
+    // q27: NULL spend segments into the BOTTOM quartile (desc window)
+    val qt = pipeline.Analytics.ntileSegments(spark, dir)
+      .select($"quartile", $"n_customers").as[(Int, Long)].collect().toMap
+    assert(qt.keys.max == 2 && qt(1) == 1L && qt(2) == 1L,
+      s"two customers split 1/1 with NULL spend in the bottom tile: $qt")
+
+    // q23: NULL revenue never outranks known revenue
+    val topk = pipeline.Analytics.topkRank(spark, dir)
+      .select($"p_partkey", $"rnk").as[(Long, Int)].collect().toMap
+    assert(topk(1L) == 1 && topk(2L) == 2,
+      s"NULL revenue must rank below priced part: $topk")
+  }
 }

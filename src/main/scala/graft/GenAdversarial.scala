@@ -209,7 +209,16 @@ object GenAdversarial {
       (1000012L, Option(ts("2026-01-05 12:01:00")), Option(7005L),
         Option("click"), Option(-1e6), Option("{\"k\": 51}")),
       (1000013L, Option(ts("1970-01-01 00:00:00")), Option(7006L),
-        Option("scroll"), Option(0.0), Option("{\"k\": 52}")))
+        Option("scroll"), Option(0.0), Option("{\"k\": 52}")),
+      // non-finite measurements: one NaN poisons any SUM/AVG it reaches
+      // and ±Inf squares to +Inf in every variance — the probe for the
+      // loader's finite-value contract
+      (1000014L, Option(ts("2026-01-05 13:00:00")), Option(7007L),
+        Option("click"), Option(Double.NaN), Option("{\"k\": 53}")),
+      (1000015L, Option(ts("2026-01-05 13:01:00")), Option(7007L),
+        Option("click"), Option(Double.PositiveInfinity), Option("{\"k\": 54}")),
+      (1000016L, Option(ts("2026-01-05 13:02:00")), Option(7007L),
+        Option("view"), Option(Double.NegativeInfinity), Option("{\"k\": 55}")))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     spark.read.parquet(s"$srcDir/events.parquet")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value",

@@ -48,10 +48,27 @@ object Tables {
     * e02's agreement was luck). Every events oracle carries the matching
     * `WHERE ts IS NOT NULL`; a production pipeline routes these rows to
     * a dead-letter table at ingest.
+    *
+    * Second half of the contract (GenAdversarial, the non-finite probe):
+    * a NaN/±Inf `value` is an unusable measurement — one NaN poisons
+    * every SUM/AVG it reaches, Inf squares past double range inside any
+    * variance (where DuckDB RAISES out-of-range and Spark silently
+    * saturates to NaN — the engines cannot agree even in principle), and
+    * the NaN row flips MAD/zscore outlier sets. The EVENT still
+    * happened, so the row is kept for counts/sessionization and only the
+    * measure is nulled — the matching oracle form is the
+    * `* REPLACE (CASE WHEN isfinite(value) ...)` inline view.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, isnan, lit, when}
     normalizeEventTs(load(s, d, "events"))
-      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .filter(col("ts").isNotNull)
+      .withColumn("value",
+        when(isnan(col("value")) ||
+          col("value") === lit(Double.PositiveInfinity) ||
+          col("value") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("value")))
+  }
 
   /** Normalize an events-shaped frame's `ts` column to TimestampType.
     * Shared by the batch loader and streaming sources so both inherit the

@@ -165,7 +165,7 @@ object Analytics {
   val rangeJoinCampaignsSql: String =
     """WITH b AS (
       |  SELECT min((ts::TIMESTAMP)::DATE) AS d0, max((ts::TIMESTAMP)::DATE) AS d1
-      |  FROM (FROM events WHERE ts IS NOT NULL) events),
+      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
       |iv AS (
       |  SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 7 DAY))::DATE
       |    AS campaign_start FROM b),
@@ -225,10 +225,10 @@ object Analytics {
   val zscoreOutliersSql: String =
     """WITH st AS (
       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-      |  FROM (FROM events WHERE ts IS NOT NULL) events GROUP BY 1)
+      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1)
       |SELECT e.event_id, e.event_type, e.value,
       |  round((e.value - st.mu) / st.sd + 1e-9, 4) AS z
-      |FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN st USING (event_type)
+      |FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN st USING (event_type)
       |WHERE abs(round((e.value - st.mu) / st.sd + 1e-9, 4)) > 2.5
       |ORDER BY e.event_id""".stripMargin
 
@@ -257,7 +257,7 @@ object Analytics {
 
   val retentionSql: String =
     """WITH act AS (
-      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM (FROM events WHERE ts IS NOT NULL) events),
+      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
       |daily AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
       |ret AS (
       |  SELECT a.day, count(*) AS n_retained
@@ -291,15 +291,15 @@ object Analytics {
 
   val funnelSql: String =
     """WITH v AS (
-      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM (FROM events WHERE ts IS NOT NULL) events
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
       |  WHERE event_type = 'view' GROUP BY 1),
       |c AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
-      |  FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN v ON e.user_id = v.user_id
+      |  FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN v ON e.user_id = v.user_id
       |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1),
       |p AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
-      |  FROM (FROM (FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN c ON e.user_id = c.user_id
+      |  FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN c ON e.user_id = c.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1)
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |  (SELECT count(*) FROM c) AS n_view_click,

@@ -118,4 +118,29 @@ class EventsTypeToleranceSpec extends SparkSpec {
       }
     }
   }
+
+  test("loader nulls non-finite measurements but keeps their rows") {
+    // The finite-value half of the events LOAD CONTRACT (see
+    // Tables.events): a NaN poisons every SUM/AVG, an Inf squares past
+    // double range inside any variance (DuckDB raises out-of-range where
+    // Spark saturates to NaN), so the measure is nulled at ingest — but
+    // the EVENT still happened, so the row survives for counts/windows.
+    val dir = s"$tmp/nonfinite"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-05 13:00:00")
+    Seq(
+      (1L, Option(t0), Option(1L), Option("click"), Option(1.5), Option("{}")),
+      (2L, Option(t0), Option(1L), Option("click"), Option(Double.NaN), Option("{}")),
+      (3L, Option(t0), Option(1L), Option("click"), Option(Double.PositiveInfinity), Option("{}")),
+      (4L, Option(t0), Option(1L), Option("click"), Option(Double.NegativeInfinity), Option("{}")),
+      (5L, Option(t0), Option(1L), Option("click"), Option.empty[Double], Option("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+      .select($"event_id", $"value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got.size == 5, s"all five rows must survive: $got")
+    assert(got(1L).contains(1.5), s"finite value untouched: $got")
+    assert(Seq(2L, 3L, 4L, 5L).forall(got(_).isEmpty),
+      s"NaN/+Inf/-Inf/NULL all read back as NULL: $got")
+  }
 }

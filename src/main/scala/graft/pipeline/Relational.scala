@@ -436,7 +436,194 @@ object Relational {
       |WHERE coalesce(op, 'keep') <> 'delete'
       |ORDER BY custkey""".stripMargin
 
+  /** q39: ingest-validation audit — the data-quality report a lake runs
+    * before admitting a batch, measuring exactly the hostile shapes the
+    * adversarial gate plants (and a clean corpus reports as zeros):
+    * duplicate primary keys, NULL and DANGLING foreign keys, undated
+    * records, and non-finite measures. The reference runs this shape as
+    * scattered per-file assertions (check_unique_hashes.py:9-78,
+    * get_download_list.py:21-104); here it is one long-form report.
+    *
+    * Scale shape (100 TB): each table's row-local checks (null keys,
+    * non-finite measures, dup-PK excess) compute in ONE scan via a
+    * single conditional aggregation — count/count-distinct are
+    * partial-aggregatable, stack() melts the one result row map-side.
+    * Referential checks are anti-join counts on the FK (broadcast dims;
+    * the orders→customer / lineitem→orders audits shuffle on the same
+    * keys every downstream join uses). No windows, no per-key state.
+    */
+  def qualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nonfinite(c: org.apache.spark.sql.Column) =
+      sum(when(isnan(c) || c === lit(Double.PositiveInfinity) ||
+        c === lit(Double.NegativeInfinity), 1L).otherwise(0L))
+    def nulls(c: org.apache.spark.sql.Column) =
+      sum(when(c.isNull, 1L).otherwise(0L))
+
+    // one conditional-aggregation scan per table, melted to long form
+    val cust = Tables.customer(s, dir).agg(
+        (count($"c_custkey") - countDistinct($"c_custkey")).as("dup_pk"),
+        nulls($"c_nationkey").as("null_fk_nation"),
+        nonfinite($"c_acctbal").as("nonfinite_acctbal"))
+      .selectExpr("stack(3, 'dup_pk', dup_pk, " +
+        "'null_fk_nation', null_fk_nation, " +
+        "'nonfinite_acctbal', nonfinite_acctbal) AS (check, n_bad)")
+      .withColumn("table_name", lit("customer"))
+    val ord = Tables.orders(s, dir).agg(
+        (count($"o_orderkey") - countDistinct($"o_orderkey")).as("dup_pk"),
+        nulls($"o_custkey").as("null_fk_cust"),
+        nulls($"o_orderdate").as("null_date"),
+        nonfinite($"o_totalprice").as("nonfinite_price"))
+      .selectExpr("stack(4, 'dup_pk', dup_pk, 'null_fk_cust', null_fk_cust, " +
+        "'null_date', null_date, 'nonfinite_price', nonfinite_price) " +
+        "AS (check, n_bad)")
+      .withColumn("table_name", lit("orders"))
+    val li = Tables.lineitem(s, dir).agg(
+        // composite-PK dup check over rows where BOTH parts are non-null:
+        // Spark's multi-col countDistinct skips any-null rows, DuckDB's
+        // row-value DISTINCT counts (NULL, x) tuples — restricting both
+        // sides to fully-keyed rows makes the semantics identical.
+        (sum(when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull,
+          1L).otherwise(0L)) -
+          countDistinct($"l_orderkey", $"l_linenumber")).as("dup_pk"),
+        nonfinite($"l_extendedprice").as("nonfinite_price"))
+      .selectExpr("stack(2, 'dup_pk', dup_pk, " +
+        "'nonfinite_price', nonfinite_price) AS (check, n_bad)")
+      .withColumn("table_name", lit("lineitem"))
+    val supp = Tables.supplier(s, dir).agg(
+        (count($"s_suppkey") - countDistinct($"s_suppkey")).as("dup_pk"),
+        nulls($"s_nationkey").as("null_fk_nation"))
+      .selectExpr("stack(2, 'dup_pk', dup_pk, " +
+        "'null_fk_nation', null_fk_nation) AS (check, n_bad)")
+      .withColumn("table_name", lit("supplier"))
+    val prt = Tables.part(s, dir).agg(
+        (count($"p_partkey") - countDistinct($"p_partkey")).as("dup_pk"))
+      .selectExpr("stack(1, 'dup_pk', dup_pk) AS (check, n_bad)")
+      .withColumn("table_name", lit("part"))
+    // the corpus side of the lake: identity drift + the preconditions
+    // the text/vector families declare (NULL text is a measured fact —
+    // the m-family contract admits contentless docs; a non-finite or
+    // ragged embedding is what the s-family's finite-uniform
+    // precondition REJECTS, and this audit is the gate that rejects it)
+    val docs = Tables.documents(s, dir).agg(
+        (count($"doc_id") - countDistinct($"doc_id")).as("dup_pk"),
+        nulls($"text").as("null_text"),
+        sum(when($"n_chars".isNotNull && $"text".isNotNull &&
+          $"n_chars" =!= length($"text").cast("long"), 1L).otherwise(0L))
+          .as("nchars_drift"))
+      .selectExpr("stack(3, 'dup_pk', dup_pk, 'null_text', null_text, " +
+        "'nchars_drift', nchars_drift) AS (check, n_bad)")
+      .withColumn("table_name", lit("documents"))
+    val emb = Tables.embeddings(s, dir).agg(
+        (count($"vec_id") - countDistinct($"vec_id")).as("dup_pk"),
+        sum(when(expr("exists(embedding, x -> isnan(x) OR abs(x) > " +
+          "CAST(3.4028235e38 AS FLOAT))"), 1L).otherwise(0L))
+          .as("nonfinite_component"),
+        sum(when(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + abs(CAST(x AS DOUBLE))) = 0.0"), 1L).otherwise(0L))
+          .as("zero_vector"),
+        (countDistinct(size($"embedding")) - lit(1L)).as("ragged_dims"))
+      .selectExpr("stack(4, 'dup_pk', dup_pk, " +
+        "'nonfinite_component', nonfinite_component, " +
+        "'zero_vector', zero_vector, 'ragged_dims', ragged_dims) " +
+        "AS (check, n_bad)")
+      .withColumn("table_name", lit("embeddings"))
+
+    // referential integrity: anti-join counts on the FK join keys
+    def dangling(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        table: String, check: String): DataFrame =
+      fact.filter(col(fk).isNotNull)
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(check).as("check"), $"n_bad")
+        .withColumn("table_name", lit(table))
+    val nat = broadcast(Tables.nation(s, dir))
+    val refs = Seq(
+      dangling(Tables.customer(s, dir), "c_nationkey", nat, "n_nationkey",
+        "customer", "dangling_nation"),
+      dangling(Tables.supplier(s, dir), "s_nationkey", nat, "n_nationkey",
+        "supplier", "dangling_nation"),
+      dangling(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders", "dangling_cust"),
+      dangling(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem", "dangling_order"),
+      dangling(Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey", "lineitem", "dangling_part"),
+      dangling(Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey", "lineitem", "dangling_supp"))
+
+    (Seq(cust, ord, li, supp, prt, docs, emb) ++ refs)
+      .map(_.select($"table_name", $"check", $"n_bad"))
+      .reduce(_ unionByName _)
+      .orderBy($"table_name", $"check")
+  }
+
+  val qualityAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, 'dup_pk' AS "check",
+      |    count(c_custkey) - count(DISTINCT c_custkey) AS n_bad FROM customer
+      |  UNION ALL SELECT 'customer', 'null_fk_nation',
+      |    count(*) FILTER (c_nationkey IS NULL) FROM customer
+      |  UNION ALL SELECT 'customer', 'nonfinite_acctbal',
+      |    count(*) FILTER (c_acctbal IS NOT NULL AND NOT isfinite(c_acctbal)) FROM customer
+      |  UNION ALL SELECT 'customer', 'dangling_nation',
+      |    count(*) FROM customer WHERE c_nationkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+      |  UNION ALL SELECT 'orders', 'dup_pk',
+      |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'orders', 'null_fk_cust',
+      |    count(*) FILTER (o_custkey IS NULL) FROM orders
+      |  UNION ALL SELECT 'orders', 'null_date',
+      |    count(*) FILTER (o_orderdate IS NULL) FROM orders
+      |  UNION ALL SELECT 'orders', 'nonfinite_price',
+      |    count(*) FILTER (o_totalprice IS NOT NULL AND NOT isfinite(o_totalprice)) FROM orders
+      |  UNION ALL SELECT 'orders', 'dangling_cust',
+      |    count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL SELECT 'lineitem', 'dup_pk',
+      |    (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+      |  UNION ALL SELECT 'lineitem', 'nonfinite_price',
+      |    count(*) FILTER (l_extendedprice IS NOT NULL AND NOT isfinite(l_extendedprice)) FROM lineitem
+      |  UNION ALL SELECT 'lineitem', 'dangling_order',
+      |    count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL SELECT 'lineitem', 'dangling_part',
+      |    count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |  UNION ALL SELECT 'lineitem', 'dangling_supp',
+      |    count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      |  UNION ALL SELECT 'supplier', 'dup_pk',
+      |    count(s_suppkey) - count(DISTINCT s_suppkey) FROM supplier
+      |  UNION ALL SELECT 'supplier', 'null_fk_nation',
+      |    count(*) FILTER (s_nationkey IS NULL) FROM supplier
+      |  UNION ALL SELECT 'supplier', 'dangling_nation',
+      |    count(*) FROM supplier WHERE s_nationkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+      |  UNION ALL SELECT 'part', 'dup_pk',
+      |    count(p_partkey) - count(DISTINCT p_partkey) FROM part
+      |  UNION ALL SELECT 'documents', 'dup_pk',
+      |    count(doc_id) - count(DISTINCT doc_id) FROM documents
+      |  UNION ALL SELECT 'documents', 'null_text',
+      |    count(*) FILTER (text IS NULL) FROM documents
+      |  UNION ALL SELECT 'documents', 'nchars_drift',
+      |    count(*) FILTER (n_chars IS NOT NULL AND text IS NOT NULL
+      |      AND n_chars <> length(text)) FROM documents
+      |  UNION ALL SELECT 'embeddings', 'dup_pk',
+      |    count(vec_id) - count(DISTINCT vec_id) FROM embeddings
+      |  UNION ALL SELECT 'embeddings', 'nonfinite_component',
+      |    count(*) FILTER (len(list_filter(embedding,
+      |      x -> NOT isfinite(x::DOUBLE))) > 0) FROM embeddings
+      |  UNION ALL SELECT 'embeddings', 'zero_vector',
+      |    count(*) FILTER (list_sum(list_transform(embedding,
+      |      x -> abs(x::DOUBLE))) = 0.0) FROM embeddings
+      |  UNION ALL SELECT 'embeddings', 'ragged_dims',
+      |    count(DISTINCT len(embedding)) - 1 FROM embeddings)
+      |ORDER BY table_name, "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_quality_audit" -> qualityAudit _,
     "q36_cdc_merge" -> cdcMerge _,
     "q17_region_rollup" -> regionRollup _,
     "q15_revenue_chain" -> revenueChain _,
@@ -451,6 +638,7 @@ object Relational {
     "q14_date_normalize" -> dateNormalize _)
 
   val oracles: Map[String, String] = Map(
+    "q39_quality_audit" -> qualityAuditSql,
     "q36_cdc_merge" -> cdcMergeSql,
     "q17_region_rollup" -> regionRollupSql,
     "q15_revenue_chain" -> revenueChainSql,

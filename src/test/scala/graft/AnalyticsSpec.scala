@@ -214,4 +214,88 @@ class AnalyticsSpec extends SparkSpec {
     assert(topk(1L) == 1 && topk(2L) == 2,
       s"NULL revenue must rank below priced part: $topk")
   }
+
+  test("q39 quality audit: planted violations counted exactly, clean " +
+    "checks report zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
+    val d = ts("2024-03-01 00:00:00")
+    Seq((0, "R0")).toDF("n_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((0, "N0", 0), (1, "N1", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq( // dup custkey 5 (1 excess), nationkey 9 dangling, one NULL fk, one NaN bal
+      (5L, "a", Option(0), Option(10.0), "SEG"),
+      (5L, "b", Option(0), Option(11.0), "SEG"),
+      (6L, "c", Option(9), Option(12.0), "SEG"),
+      (7L, "d", Option.empty[Int], Option(13.0), "SEG"),
+      (8L, "e", Option(1), Option(Double.NaN), "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "s", Option(1), 5.0), (2L, "t", Option(3), 6.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((10L, "p", "B", "T", 1, 9.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq( // dup orderkey 100, one dangling custkey 99, one NULL date, one -Inf price
+      (100L, Option(5L), "O", Option(50.0), Option(d), "1-URGENT"),
+      (100L, Option(5L), "O", Option(51.0), Option(d), "1-URGENT"),
+      (101L, Option(99L), "O", Option(52.0), Option(d), "1-URGENT"),
+      (102L, Option(6L), "O", Option(Double.NegativeInfinity), Option.empty[Timestamp], "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq( // dup (400,1), dangling order 999 / part 88 / supplier 77
+      (400L, Option(10L), Option(1), Option(1), 1.0, Option(10.0), 0.0, 0.0, "N", "O", d),
+      (400L, Option(10L), Option(1), Option(1), 2.0, Option(11.0), 0.0, 0.0, "N", "O", d),
+      (999L, Option(10L), Option(1), Option(2), 3.0, Option(12.0), 0.0, 0.0, "N", "O", d),
+      (100L, Option(88L), Option(1), Option(3), 4.0, Option(13.0), 0.0, 0.0, "N", "O", d),
+      (100L, Option(10L), Option(77), Option(4), 5.0, Option(Double.NaN), 0.0, 0.0, "N", "O", d))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    Seq( // dup doc_id 20, one NULL text, one n_chars drifted from text
+      (20L, Option("alpha beta"), "en", "s", Option(10L)),
+      (20L, Option("gamma delta"), "en", "s", Option(11L)),
+      (21L, Option.empty[String], "en", "s", Option.empty[Long]),
+      (22L, Option("epsilon"), "en", "s", Option(999L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq( // dup vec_id 30, a NaN component, a zero vector, one ragged dim
+      (30L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (30L, Seq(1.0f, 2.0f, 3.0f, 5.0f), 0),
+      (31L, Seq(Float.NaN, 1.0f, 1.0f, 1.0f), 0),
+      (32L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),
+      (33L, Seq(1.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = pipeline.Relational.qualityAudit(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expected = Map(
+      ("customer", "dup_pk") -> 1L, ("customer", "dangling_nation") -> 1L,
+      ("customer", "null_fk_nation") -> 1L, ("customer", "nonfinite_acctbal") -> 1L,
+      ("orders", "dup_pk") -> 1L, ("orders", "dangling_cust") -> 1L,
+      ("orders", "null_date") -> 1L, ("orders", "nonfinite_price") -> 1L,
+      ("orders", "null_fk_cust") -> 0L,
+      // dangling orders: both 400-rows and the 999-row (orders has
+      // only 100/101/102)
+      ("lineitem", "dup_pk") -> 1L, ("lineitem", "dangling_order") -> 3L,
+      ("lineitem", "dangling_part") -> 1L, ("lineitem", "dangling_supp") -> 1L,
+      ("lineitem", "nonfinite_price") -> 1L,
+      ("supplier", "dup_pk") -> 0L, ("supplier", "dangling_nation") -> 1L,
+      ("supplier", "null_fk_nation") -> 0L,
+      ("part", "dup_pk") -> 0L,
+      ("documents", "dup_pk") -> 1L, ("documents", "null_text") -> 1L,
+      ("documents", "nchars_drift") -> 1L,
+      ("embeddings", "dup_pk") -> 1L,
+      ("embeddings", "nonfinite_component") -> 1L,
+      ("embeddings", "zero_vector") -> 1L,
+      ("embeddings", "ragged_dims") -> 1L)
+    assert(got == expected,
+      s"mismatches: ${(got.toSet diff expected.toSet)} / ${(expected.toSet diff got.toSet)}")
+  }
 }

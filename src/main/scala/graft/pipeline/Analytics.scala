@@ -165,13 +165,13 @@ object Analytics {
   val rangeJoinCampaignsSql: String =
     """WITH b AS (
       |  SELECT min((ts::TIMESTAMP)::DATE) AS d0, max((ts::TIMESTAMP)::DATE) AS d1
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
+      |  FROM __events__ events),
       |iv AS (
       |  SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 7 DAY))::DATE
       |    AS campaign_start FROM b),
       |m AS (
       |  SELECT iv.campaign_start, count(*) AS n, round(sum(e.value), 2) AS tv
-      |  FROM iv JOIN events e
+      |  FROM iv JOIN __events__ e
       |    ON e.ts::TIMESTAMP >= iv.campaign_start
       |   AND e.ts::TIMESTAMP < iv.campaign_start + 3
       |  GROUP BY 1)
@@ -225,10 +225,10 @@ object Analytics {
   val zscoreOutliersSql: String =
     """WITH st AS (
       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1)
+      |  FROM __events__ events GROUP BY 1)
       |SELECT e.event_id, e.event_type, e.value,
       |  round((e.value - st.mu) / st.sd + 1e-9, 4) AS z
-      |FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN st USING (event_type)
+      |FROM (FROM __events__ events WHERE ts IS NOT NULL) e JOIN st USING (event_type)
       |WHERE abs(round((e.value - st.mu) / st.sd + 1e-9, 4)) > 2.5
       |ORDER BY e.event_id""".stripMargin
 
@@ -257,7 +257,7 @@ object Analytics {
 
   val retentionSql: String =
     """WITH act AS (
-      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
+      |  SELECT DISTINCT user_id, (ts::TIMESTAMP)::DATE AS day FROM __events__ events),
       |daily AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
       |ret AS (
       |  SELECT a.day, count(*) AS n_retained
@@ -291,15 +291,15 @@ object Analytics {
 
   val funnelSql: String =
     """WITH v AS (
-      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |  SELECT user_id, min(ts::TIMESTAMP) AS t_view FROM __events__ events
       |  WHERE event_type = 'view' GROUP BY 1),
       |c AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
-      |  FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN v ON e.user_id = v.user_id
+      |  FROM (FROM __events__ events WHERE ts IS NOT NULL) e JOIN v ON e.user_id = v.user_id
       |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view GROUP BY 1),
       |p AS (
       |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
-      |  FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN c ON e.user_id = c.user_id
+      |  FROM (FROM __events__ events WHERE ts IS NOT NULL) e JOIN c ON e.user_id = c.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click GROUP BY 1)
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |  (SELECT count(*) FROM c) AS n_view_click,
@@ -386,7 +386,10 @@ object Analytics {
             .orderBy($"valid_from".asc_nulls_first, $"o_orderkey")),
           to_date(lit("2200-01-01"))))
       .withColumn("is_current", $"valid_to" === to_date(lit("2200-01-01")))
-      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+      // presentation sort carries the same explicit placement as the
+      // window: NULL custkey and NULL valid_from rows reach the output
+      .orderBy($"o_custkey".asc_nulls_first, $"valid_from".asc_nulls_first,
+        $"o_orderkey")
   }
 
   val scd2IntervalsSql: String =
@@ -397,7 +400,7 @@ object Analytics {
       |    AS is_current
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate::DATE NULLS FIRST, o_orderkey)
-      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+      |ORDER BY o_custkey NULLS FIRST, valid_from NULLS FIRST, o_orderkey""".stripMargin
 
   /** q30: weighted corpus mixing — per-source Bernoulli sampling with
     * deterministic, engine-portable randomness: keep a doc when the first
@@ -535,7 +538,7 @@ object Analytics {
     "e07_retention" -> retention _,
     "e08_funnel" -> funnel _)
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Events.withEventsView(Map(
     "q27_ntile_segments" -> ntileSegmentsSql,
     "q28_listagg_sample" -> listaggSampleSql,
     "q29_scd2_intervals" -> scd2IntervalsSql,
@@ -550,5 +553,5 @@ object Analytics {
     "q25_histogram" -> histogramSql,
     "q26_zscore_outliers" -> zscoreOutliersSql,
     "e07_retention" -> retentionSql,
-    "e08_funnel" -> funnelSql)
+    "e08_funnel" -> funnelSql))
 }

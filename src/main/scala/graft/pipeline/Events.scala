@@ -32,7 +32,7 @@ object Events {
     """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
       |  count(*) AS n, round(sum(value), 2) AS total_value,
       |  count(DISTINCT user_id) AS n_users
-      |FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |FROM __events__ events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
@@ -62,7 +62,7 @@ object Events {
       |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
       |           OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |  FROM __events__ events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
@@ -91,7 +91,7 @@ object Events {
     """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
       |  round(sum(value) OVER w, 2) AS running_value,
       |  count(*) OVER w AS running_n
-      |FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |FROM __events__ events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
@@ -145,10 +145,10 @@ object Events {
 
   val asofSql: String =
     """WITH purchases AS (
-      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM __events__ events
       |  WHERE event_type = 'purchase'),
       |views AS (
-      |  SELECT user_id, ts::TIMESTAMP AS ts FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |  SELECT user_id, ts::TIMESTAMP AS ts FROM __events__ events
       |  WHERE event_type = 'view')
       |SELECT p.user_id, p.event_id, p.ts, v.ts AS asof_ts,
       |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
@@ -179,11 +179,11 @@ object Events {
     """WITH daily AS (
       |  SELECT (ts::TIMESTAMP)::DATE AS day, count(*) AS n,
       |    round(sum(value), 2) AS total_value
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1),
+      |  FROM __events__ events GROUP BY 1),
       |cal AS (
       |  SELECT unnest(generate_series(
-      |    (SELECT min((ts::TIMESTAMP)::DATE) FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
-      |    (SELECT max((ts::TIMESTAMP)::DATE) FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
+      |    (SELECT min((ts::TIMESTAMP)::DATE) FROM __events__ events),
+      |    (SELECT max((ts::TIMESTAMP)::DATE) FROM __events__ events),
       |    INTERVAL 1 DAY))::DATE AS day)
       |SELECT cal.day AS day, coalesce(daily.n, 0) AS n,
       |  coalesce(daily.total_value, 0.0) AS total_value
@@ -214,7 +214,7 @@ object Events {
       |  round(stddev_samp(value), 4) AS sd_value,
       |  round(min(value), 2) AS min_value,
       |  round(max(value), 2) AS max_value
-      |FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events
+      |FROM __events__ events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
@@ -241,7 +241,7 @@ object Events {
       |    unnest([date_trunc('hour', ts::TIMESTAMP),
       |            date_trunc('hour', ts::TIMESTAMP) - INTERVAL 1 HOUR])
       |      AS window_start
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events)
+      |  FROM __events__ events)
       |SELECT window_start, event_type, count(*) AS n,
       |  round(sum(value), 2) AS total_value
       |FROM e
@@ -273,11 +273,11 @@ object Events {
   }
 
   val ewmaTypeStatsSql: String =
-    """WITH t AS (SELECT max(ts::TIMESTAMP) AS t_max FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events),
+    """WITH t AS (SELECT max(ts::TIMESTAMP) AS t_max FROM __events__ events),
       |w AS (
       |  SELECT event_type, value,
       |    exp(-epoch_us(t_max - ts::TIMESTAMP) / (86400.0 * 1e6)) AS wt
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events CROSS JOIN t)
+      |  FROM __events__ events CROSS JOIN t)
       |SELECT event_type, count(*) AS n,
       |  round(sum(wt) + 1e-9, 6) AS effective_n,
       |  round(sum(wt * value) / sum(wt) + 1e-9, 6) AS ewma_value
@@ -323,10 +323,10 @@ object Events {
   val madOutliersSql: String =
     """WITH med AS (
       |  SELECT event_type, quantile_cont(value, 0.5) AS med
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1),
+      |  FROM __events__ events GROUP BY 1),
       |dev AS (
       |  SELECT e.event_id, e.event_type, e.value, e.value - m.med AS d
-      |  FROM (FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events WHERE ts IS NOT NULL) e JOIN med m USING (event_type)),
+      |  FROM (FROM __events__ events WHERE ts IS NOT NULL) e JOIN med m USING (event_type)),
       |madt AS (
       |  SELECT event_type, quantile_cont(abs(d), 0.5) AS mad
       |  FROM dev GROUP BY 1)
@@ -384,10 +384,10 @@ object Events {
   val seasonalBaselineSql: String =
     """WITH c AS (
       |  SELECT event_type, hour(ts::TIMESTAMP) AS hr, count(*) AS n
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2),
+      |  FROM __events__ events GROUP BY 1, 2),
       |tmpl AS (
       |  SELECT event_type, unnest(range(0, 24)) AS hr
-      |  FROM (SELECT DISTINCT event_type FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events)),
+      |  FROM (SELECT DISTINCT event_type FROM __events__ events)),
       |f AS (
       |  SELECT t.event_type, t.hr, coalesce(c.n, 0) AS n
       |  FROM tmpl t LEFT JOIN c ON t.event_type = c.event_type AND t.hr = c.hr),
@@ -455,7 +455,7 @@ object Events {
   val cusumChangepointSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-      |  FROM (SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) FROM events WHERE ts IS NOT NULL) events GROUP BY 1, 2),
+      |  FROM __events__ events GROUP BY 1, 2),
       |prof AS (
       |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
       |  FROM daily GROUP BY 1),
@@ -497,7 +497,22 @@ object Events {
     "e03_running_total" -> runningTotal _,
     "e04_asof_join" -> asof _)
 
-  val oracles: Map[String, String] = Map(
+  /** The events LOAD CONTRACT (Tables.events: NULL-ts rows dead-lettered,
+    * non-finite values nulled) as the DuckDB inline view every events
+    * oracle reads through. Oracle SQL strings write the `__events__`
+    * token and [[withEventsView]] expands it ONCE — a raw `events`
+    * reference bypassing the contract is exactly how q24's oracle
+    * silently diverged (caught by review), and a token that expands
+    * centrally cannot be missed at one site.
+    */
+  val EventsView: String =
+    "(SELECT * REPLACE (CASE WHEN isfinite(value) THEN value END AS value) " +
+      "FROM events WHERE ts IS NOT NULL)"
+
+  private[pipeline] def withEventsView(m: Map[String, String]): Map[String, String] =
+    m.map { case (k, v) => k -> v.replace("__events__", EventsView) }
+
+  val oracles: Map[String, String] = withEventsView(Map(
     "e14_cusum_changepoint" -> cusumChangepointSql,
     "e13_seasonal_baseline" -> seasonalBaselineSql,
     "e12_mad_outliers" -> madOutliersSql,
@@ -508,5 +523,5 @@ object Events {
     "e01_window_agg" -> windowAggSql,
     "e02_sessionize" -> sessionizeSql,
     "e03_running_total" -> runningTotalSql,
-    "e04_asof_join" -> asofSql)
+    "e04_asof_join" -> asofSql))
 }

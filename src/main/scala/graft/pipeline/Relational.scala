@@ -105,7 +105,10 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
-      .orderBy($"o_custkey")
+      // presentation sort pinned too: a NULL-custkey order forms its own
+      // window partition and SURVIVES into the output, so the final
+      // row order the driver hashes needs the same explicit placement
+      .orderBy($"o_custkey".asc_nulls_first)
   }
 
   val latestPerKeySql: String =
@@ -115,7 +118,7 @@ object Relational {
       |    PARTITION BY o_custkey ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
       |  FROM orders)
       |WHERE rn = 1
-      |ORDER BY o_custkey""".stripMargin
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
 
   /** q04: incremental anti-join (reference: download only ids with no
     * SHA-backed record, run_full_pipeline.py:361-365).
@@ -516,13 +519,20 @@ object Relational {
       .withColumn("table_name", lit("documents"))
     val emb = Tables.embeddings(s, dir).agg(
         (count($"vec_id") - countDistinct($"vec_id")).as("dup_pk"),
-        sum(when(expr("exists(embedding, x -> isnan(x) OR abs(x) > " +
-          "CAST(3.4028235e38 AS FLOAT))"), 1L).otherwise(0L))
-          .as("nonfinite_component"),
-        sum(when(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-          "(a, x) -> a + abs(CAST(x AS DOUBLE))) = 0.0"), 1L).otherwise(0L))
-          .as("zero_vector"),
-        (countDistinct(size($"embedding")) - lit(1L)).as("ragged_dims"))
+        // DOUBLE-cast infinity test (not a FLOAT-max threshold): exact
+        // for float or double embeddings, matching DuckDB's isfinite
+        sum(when(expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)) " +
+          "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"),
+          1L).otherwise(0L)).as("nonfinite_component"),
+        // non-empty guard: DuckDB's list_sum([]) is NULL while Spark's
+        // aggregate over [] is the 0.0 seed — both sides skip empties
+        sum(when(expr("size(embedding) > 0 AND aggregate(embedding, " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + abs(CAST(x AS DOUBLE))) = 0.0"),
+          1L).otherwise(0L)).as("zero_vector"),
+        // NULL guard: non-ANSI size(NULL) = -1 would count as an extra
+        // distinct dimension; DuckDB's count DISTINCT skips NULL len
+        (countDistinct(when($"embedding".isNotNull, size($"embedding")))
+          - lit(1L)).as("ragged_dims"))
       .selectExpr("stack(4, 'dup_pk', dup_pk, " +
         "'nonfinite_component', nonfinite_component, " +
         "'zero_vector', zero_vector, 'ragged_dims', ragged_dims) " +
@@ -621,7 +631,7 @@ object Relational {
       |    count(*) FILTER (len(list_filter(embedding,
       |      x -> NOT isfinite(x::DOUBLE))) > 0) FROM embeddings
       |  UNION ALL SELECT 'embeddings', 'zero_vector',
-      |    count(*) FILTER (list_sum(list_transform(embedding,
+      |    count(*) FILTER (len(embedding) > 0 AND list_sum(list_transform(embedding,
       |      x -> abs(x::DOUBLE))) = 0.0) FROM embeddings
       |  UNION ALL SELECT 'embeddings', 'ragged_dims',
       |    count(DISTINCT len(embedding)) - 1 FROM embeddings)

@@ -263,12 +263,16 @@ class AnalyticsSpec extends SparkSpec {
       (22L, Option("epsilon"), "en", "s", Option(999L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Seq( // dup vec_id 30, a NaN component, a zero vector, one ragged dim
-      (30L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
-      (30L, Seq(1.0f, 2.0f, 3.0f, 5.0f), 0),
-      (31L, Seq(Float.NaN, 1.0f, 1.0f, 1.0f), 0),
-      (32L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),
-      (33L, Seq(1.0f, 2.0f), 0))
+    Seq( // dup vec_id 30, a NaN component, a zero vector, ragged dims,
+         // plus the NULL and EMPTY vectors the hardened checks must not
+         // misread (size(NULL) = -1 under non-ANSI; aggregate([]) = seed)
+      (30L, Option(Seq(1.0f, 2.0f, 3.0f, 4.0f)), 0),
+      (30L, Option(Seq(1.0f, 2.0f, 3.0f, 5.0f)), 0),
+      (31L, Option(Seq(Float.NaN, 1.0f, 1.0f, 1.0f)), 0),
+      (32L, Option(Seq(0.0f, 0.0f, 0.0f, 0.0f)), 0),
+      (33L, Option(Seq(1.0f, 2.0f)), 0),
+      (34L, Option.empty[Seq[Float]], 0),
+      (35L, Option(Seq.empty[Float]), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
@@ -293,8 +297,11 @@ class AnalyticsSpec extends SparkSpec {
       ("documents", "nchars_drift") -> 1L,
       ("embeddings", "dup_pk") -> 1L,
       ("embeddings", "nonfinite_component") -> 1L,
+      // zero_vector excludes the EMPTY vector (non-empty guard); the
+      // NULL vector is invisible to ragged_dims while the empty one is
+      // a real distinct dimension: dims {4, 2, 0} -> 2 excess
       ("embeddings", "zero_vector") -> 1L,
-      ("embeddings", "ragged_dims") -> 1L)
+      ("embeddings", "ragged_dims") -> 2L)
     assert(got == expected,
       s"mismatches: ${(got.toSet diff expected.toSet)} / ${(expected.toSet diff got.toSet)}")
   }

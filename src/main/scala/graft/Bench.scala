@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** This box's reference for [[cpuProbeSec]]: the min observed across
+    * round 17's bench runs (0.546–0.560 s per checkpoint, stable within
+    * a run). regime_index is therefore ≈ 1.0 relative to r17's regime —
+    * a future quiet day may read < 1.0, a slow day > 1.0; either way the
+    * tide is now a number inside the artifact instead of a verdict
+    * debate. The RAW probe seconds are always emitted alongside, so a
+    * box change re-bases without losing history.
+    */
+  val QuietCpuRefSec = 0.546
+
+  /** Fixed single-thread CPU busy-loop — 300M LCG+xorshift steps, no
+    * Spark, no allocation: a pure measure of the VM's instantaneous CPU
+    * regime (verdict r16 #2: make the wall-clock tide legible INSIDE the
+    * bench artifact instead of re-deriving it from spreads every round).
+    */
+  def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 300000000) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h ^= (h >>> 33)
+      i += 1
+    }
+    // data dependency so the loop cannot be dead-code-eliminated
+    if (h == 42L) System.err.println("[bench] improbable")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One regime checkpoint: the CPU busy-loop plus min-of-3 reps of q01
+    * (the cheapest stable full-path query: scan + hash-agg + exchange),
+    * so CPU-only and Spark-path regimes are separable in the artifact.
+    */
+  def regimeCheckpoint(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val cpu = cpuProbeSec()
+    val q01 = SparkEntry.queries.get("q01_pricing_agg").map { fn =>
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }.getOrElse(-1.0)
+    spark.catalog.clearCache()
+    (cpu, q01)
+  }
+
   def main(args: Array[String]): Unit = {
     // The output contract is JSON: number formatting must not follow a
     // locale that renders decimal commas.
@@ -75,7 +123,20 @@ object Bench {
     // Flush warmup stage events so they don't land in the first query's
     // shuffle delta.
     org.apache.spark.sql.graft.SparkInternals.drainListenerBus(spark.sparkContext)
-    val results = wanted.map { case (name, fn) =>
+    // Regime calibration at suite start / middle / end (verdict r16 #2):
+    // the three checkpoints bracket the suite, so a verdict sentence like
+    // "the medians are tide" has an artifact number behind it — and a
+    // regime that SHIFTS mid-suite (start ≠ end) is visible too.
+    val regime = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    regime += regimeCheckpoint(spark, sfDir)
+    org.apache.spark.sql.graft.SparkInternals.drainListenerBus(spark.sparkContext)
+    val midAt = wanted.size / 2
+    val results = wanted.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midAt && wanted.size >= 4) {
+        regime += regimeCheckpoint(spark, sfDir)
+        org.apache.spark.sql.graft.SparkInternals
+          .drainListenerBus(spark.sparkContext)
+      }
       // Median of `reps` back-to-back runs: the VM shows >2x run-to-run
       // swings, so a single sample is noise; the median pins it down.
       val sh0 = shuffleBytes.get()
@@ -126,6 +187,16 @@ object Bench {
         (graft.operators.Graph.projBuilds.get() - pjB0)
       (name, median, shuffleMb, memoized, times)
     }
+    regime += regimeCheckpoint(spark, sfDir)
+    // regime_index = median CPU-probe seconds / this box's pinned quiet
+    // reference — ~1.0 quiet, ~1.3+ on a slow day. Raw seconds emitted too.
+    val cpuTimes = regime.map(_._1).sorted
+    val regimeIndex = cpuTimes(cpuTimes.length / 2) / QuietCpuRefSec
+    val regimeJson = {
+      val cpu = regime.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
+      val q01 = regime.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+      s"""{"cpu_sec":$cpu,"q01_min_sec":$q01,"regime_index":${f"$regimeIndex%.3f"}}"""
+    }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // Min-of-reps as a FIRST-CLASS stat (VERDICT r15 #7): on this VM the
@@ -154,7 +225,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.collect { case (_, v, _, _, ts) if v >= 0 => ts.head }.sum
     val detail =
-      s"""{"metric":"detail","reps":$reps,"stat":"median","queries":$qs,"queries_min":$qsMin,"total_min":${f"$totalMin%.3f"},"shuffle_mb":$sh,"spread":$spread,"failed":${failedNames.mkString("[", ",", "]")},"memoized":${memoizedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","reps":$reps,"stat":"median","regime":$regimeJson,"queries":$qs,"queries_min":$qsMin,"total_min":${f"$totalMin%.3f"},"shuffle_mb":$sh,"spread":$spread,"failed":${failedNames.mkString("[", ",", "]")},"memoized":${memoizedNames.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // Full per-query detail goes on its OWN line (and into a file) because
     // the driver keeps only the final ~2000 chars of stdout: the LAST line
     // must stay short so it always fits the tail buffer and parses.
@@ -163,7 +234,7 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     val totalLine =
-      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":${results.size},"failed":${failedNames.size},"reps":$reps,"stat":"median","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","n":${results.size},"failed":${failedNames.size},"reps":$reps,"stat":"median","regime_index":$regimeIndex%.3f,"sf":"$sfDir"}"""
     // Artifact hygiene (VERDICT r13 #4): executor shutdown races can
     // interleave stack-trace lines into captured stdout, breaking naive
     // JSON-lines parsing of BENCH_r*.json. With SPARK_GRAFT_BENCH_OUT

@@ -164,7 +164,13 @@ object GenAdversarial {
       (1006L, vec(j => if (j == 0) 1.0f else 0.0f), 99), // one-hot
       (1007L, vec(j => if (j % 2 == 0) 1.0f else -1.0f), 99)) // alternating
       .toDF("vec_id", "embedding", "label")
-    base.unionByName(degenerate)
+    // zeros-with-NULL-component: the exact shape where Spark's aggregate
+    // (0.0 + NULL = NULL) and DuckDB's list_sum (skips NULLs) diverge —
+    // q39's zero_vector check must exclude it on both sides
+    val nullComponent = Seq(
+      (1008L, (0 until 64).map(j => if (j == 5) None else Some(0.0f)), 99))
+      .toDF("vec_id", "embedding", "label")
+    base.unionByName(degenerate).unionByName(nullComponent)
   }
 
   /** Clean sf events plus the hostile rows: NULL ts (unorderable —
@@ -367,6 +373,17 @@ object GenAdversarial {
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.local(cpus)
+    val counts = writeAll(spark, outDir, srcDir)
+    println(counts.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", s""","dir":"$outDir"}"""))
+    spark.stop()
+  }
+
+  /** Write the full hostile-table directory (shared by main and the
+    * rows-only adversarial spec, verdict r16 #1).
+    */
+  def writeAll(spark: SparkSession, outDir: String,
+      srcDir: String): Seq[(String, Long)] = {
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
@@ -394,8 +411,6 @@ object GenAdversarial {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
     counts("embeddings") =
       spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(counts.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", s""","dir":"$outDir"}"""))
-    spark.stop()
+    counts.toSeq
   }
 }

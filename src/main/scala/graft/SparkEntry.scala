@@ -33,7 +33,13 @@ object SparkEntry {
             .select("doc_id", "predicted_lang", "n_tokens", "fingerprint")
             .orderBy("doc_id")),
         "p07_curation_dag" -> ((s: SparkSession, d: String) =>
-          pipeline.CorpusPipeline.curationDag(s, d)))
+          pipeline.CorpusPipeline.curationDag(s, d)),
+        // p07 with the d19 substring-span stage ON (verdict r16 #4): the
+        // FineWeb-shape DAG a production run actually pays for — benched
+        // so the flagship number attributes d19's cost explicitly
+        "p07b_curation_substring" -> ((s: SparkSession, d: String) =>
+          pipeline.CorpusPipeline.curationDag(s, d,
+            pipeline.CorpusPipeline.FullConfig(substringK = Some(20)))))
 
   /** DuckDB-runnable oracle SQL per query key (same column names/aliases). */
   def oracleSql: Map[String, String] =

@@ -59,15 +59,29 @@ object Tables {
     * measure is nulled — the matching oracle form is the
     * `* REPLACE (CASE WHEN isfinite(value) ...)` inline view.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(load(s, d, "events"))
+
+  /** The FULL events load contract — ts normalization + null-ts
+    * dead-letter + non-finite measure nulling — as one shared helper, so
+    * batch (this loader) and streaming sources (StreamingOps.windowedAgg
+    * et al.) apply identical semantics. Works on streaming DataFrames:
+    * schema inspection is plan-time, the rewrites are row-local. The
+    * value-nulling half applies only when the frame actually carries a
+    * double `value` measure, so ts-only event shapes (views/purchases)
+    * pass through the ts half alone.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, isnan, lit, when}
-    normalizeEventTs(load(s, d, "events"))
-      .filter(col("ts").isNotNull)
-      .withColumn("value",
+    import org.apache.spark.sql.types.DoubleType
+    val tsed = normalizeEventTs(raw).filter(col("ts").isNotNull)
+    if (raw.schema.exists(f => f.name == "value" && f.dataType == DoubleType))
+      tsed.withColumn("value",
         when(isnan(col("value")) ||
           col("value") === lit(Double.PositiveInfinity) ||
           col("value") === lit(Double.NegativeInfinity), lit(null))
           .otherwise(col("value")))
+    else tsed
   }
 
   /** Normalize an events-shaped frame's `ts` column to TimestampType.

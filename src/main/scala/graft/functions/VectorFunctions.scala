@@ -31,4 +31,15 @@ object VectorFunctions {
   /** Cosine similarity: dot / (|a| * |b|). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Structurally usable embedding: non-NULL with no NULL components.
+    * The typed (Dataset[Seq[Double]]) training paths CRASH on a NULL
+    * component (NOT_NULL_ASSERT_VIOLATION — found by the hostile-corpus
+    * gate, GenAdversarial vec_id 1008); q39's audit is the admission
+    * gate that REPORTS such rows, and serving paths skip what they
+    * cannot score. Numeric degenerates (zero vector, huge magnitudes)
+    * pass — they score, just possibly NULL.
+    */
+  def structurallyUsable(v: Column): Column =
+    v.isNotNull && !exists(v, x => x.isNull)
 }

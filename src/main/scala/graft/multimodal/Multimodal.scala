@@ -206,24 +206,30 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
-  /** Unified per-payload decode: real image decode when the payload IS
-    * an image, real WAV/PCM audio decode when it is one, deterministic
-    * stub features + byte-gram fingerprint otherwise (compressed
-    * audio/video codecs absent in this container — their branch of this
-    * dispatch is the remaining stub).
+  /** Unified per-payload decode through the [[MediaCodec]] SPI: the
+    * default chain tries real image decode, then real WAV/PCM audio,
+    * then the deterministic byte stub (compressed audio/video codecs
+    * absent in this container — their branch of the default chain is the
+    * remaining stub). Inject a different codec to swap decoders without
+    * touching operator code.
     */
-  def decodePayload(payload: Array[Byte]): (MediaFeatures, Long) =
-    decodeImage(payload)
-      .orElse(decodeAudio(payload))
+  def decodePayload(payload: Array[Byte],
+      codec: MediaCodec = MediaCodec.default): (MediaFeatures, Long) =
+    codec.decode(payload)
       .getOrElse((decodeStub(payload), phashStub(payload)))
 
   /** Batch form of [[decodePayload]] — ONE call per batch of payloads,
     * the mapInPandas/Arrow record-batch shape where a real pipeline
     * amortizes codec/FFI setup; features and fingerprint come out of the
-    * same payload read.
+    * same payload read. Payloads the codec declines fall to the total
+    * byte stub so the operator stays total per row.
     */
-  def decodeBatch(payloads: Array[Array[Byte]]): Array[(MediaFeatures, Long)] =
-    payloads.map(decodePayload)
+  def decodeBatch(payloads: Array[Array[Byte]],
+      codec: MediaCodec = MediaCodec.default): Array[(MediaFeatures, Long)] =
+    codec.decodeBatch(payloads).zip(payloads).map {
+      case (Some(r), _) => r
+      case (None, p) => (decodeStub(p), phashStub(p))
+    }
 
   /** STUB decoder — deterministic fake for NON-IMAGE payloads (audio /
     * video codec libs not in this container). Derives stable
@@ -291,14 +297,17 @@ object Multimodal {
       batchSize: Int = 64): DataFrame =
     decodeFeaturesOf(mediaTable(s, dir), batchSize)
 
-  /** Core of [[decodeFeatures]] over any media-record frame. */
-  def decodeFeaturesOf(mediaDf: DataFrame, batchSize: Int = 64): DataFrame = {
+  /** Core of [[decodeFeatures]] over any media-record frame. The codec
+    * instance ships in the task closure — one SPI, any decoder.
+    */
+  def decodeFeaturesOf(mediaDf: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
     val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val feats = decodeBatch(batch.map(_.payload).toArray)
+        val feats = decodeBatch(batch.map(_.payload).toArray, codec)
         batch.iterator.zip(feats.iterator).map { case (r, (f, _)) =>
           (r.doc_id, r.kind, r.n_bytes, r.content_hash,
             f.width, f.height, f.nFrames, f.meanLuma)
@@ -546,13 +555,14 @@ object Multimodal {
     * features (one payload read), which is why it lives here and not in
     * a separate scan.
     */
-  def decodePhashOf(mediaDf: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodePhashOf(mediaDf: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
     val media: Dataset[MediaRecord] = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val hs = decodeBatch(batch.map(_.payload).toArray)
+        val hs = decodeBatch(batch.map(_.payload).toArray, codec)
         batch.iterator.zip(hs.iterator)
           .map { case (r, (_, ph)) => (r.doc_id, r.kind, ph) }
       }
@@ -564,10 +574,11 @@ object Multimodal {
     * cross-kind bit collision is never a near-dup). Shared by the pair
     * generator and the dropped-bucket diagnostic.
     */
-  private def phashBanded(mediaDf: DataFrame, batchSize: Int): DataFrame = {
+  private def phashBanded(mediaDf: DataFrame, batchSize: Int,
+      codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
-    decodePhashOf(mediaDf, batchSize)
+    decodePhashOf(mediaDf, batchSize, codec)
       .select($"doc_id", $"kind", $"phash",
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftrightunsigned", $"phash", b * 16)
@@ -600,10 +611,11 @@ object Multimodal {
 
   /** Core of [[phashNearDup]] over any media-record frame. */
   def phashNearDupOf(mediaDf: DataFrame, maxHamming: Int = 8,
-      maxBucket: Int = 64, batchSize: Int = 64): DataFrame = {
+      maxBucket: Int = 64, batchSize: Int = 64,
+      codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
-    val bucketed = phashBanded(mediaDf, batchSize)
+    val bucketed = phashBanded(mediaDf, batchSize, codec)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy($"kind", $"band", $"band_bits")))
@@ -657,10 +669,10 @@ object Multimodal {
 
   /** Core of [[mediaCanonical]] over any media-record frame. */
   def mediaCanonicalOf(mediaDf: DataFrame, maxHamming: Int = 8,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64, codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
-    val pairs = phashNearDupOf(mediaDf, maxHamming, maxBucket)
+    val pairs = phashNearDupOf(mediaDf, maxHamming, maxBucket, codec = codec)
       .select($"doc_a", $"doc_b")
     val cc = graft.operators.Dedup.connectedComponents(pairs)
     val clustered = mediaDf.select($"doc_id", $"kind", $"n_bytes")

@@ -365,6 +365,12 @@ object Dedup {
     val s = documents.sparkSession
     import s.implicits._
     documents
+      // token-less docs (NULL/empty/whitespace-only) all hash to fp = 0
+      // and would pair with each other at hamming 0 — a fingerprint of
+      // nothing carries no signal (hostile-gate finding). The md5
+      // sibling d03b already excludes them structurally (no shingles →
+      // no bands); this pins the same contract for the xxhash64 family.
+      .filter(coalesce($"text", lit("")).rlike("\\S"))
       .select($"doc_id", simhash($"text").as("fp"))
       .select($"doc_id", $"fp",
         posexplode(transform(sequence(lit(0), lit(3)),
@@ -1098,10 +1104,21 @@ object Dedup {
 
   def semanticDedupMultiprobe(s: SparkSession, dir: String, planes: Int = 0,
       dim: Int = 64, minCos: Double = 0.3, maxBucket: Int = 512,
-      nprobe: Int = 3, quantPrefilter: Boolean = true): DataFrame =
-    semanticPairsMultiprobeFrom(
-      semanticProbed(s, dir, resolvePlanes(s, dir, planes, maxBucket), dim,
-        nprobe), minCos, maxBucket, quantPrefilter)
+      nprobe: Int = 3, quantPrefilter: Boolean = true): DataFrame = {
+    // Self-cleaning (verdict r16 #6, the d18b treatment): the probed
+    // frame's persist formerly relied on a caller-side clearCache, so
+    // in-suite runs stacked a cache generation per execution and later
+    // reps timed eviction churn (d11b read 38–66 s in-suite vs ~17 s
+    // isolated across three rounds of artifacts). Eagerly checkpointing
+    // the pair-sized verdict lets the operator free its own cache before
+    // returning — same contract as segmentNeardupFullHandle.
+    val probed = semanticProbed(s, dir,
+      resolvePlanes(s, dir, planes, maxBucket), dim, nprobe)
+    val out = semanticPairsMultiprobeFrom(probed, minCos, maxBucket,
+      quantPrefilter).localCheckpoint()
+    probed.unpersist()
+    out
+  }
 
   /** Same md5-parity hyperplane family as d11's oracle, extended with the
     * probe construction: per-vector margins, flipped buckets for the two
@@ -2763,6 +2780,39 @@ object Dedup {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_shingles")
   }
+
+  /** The stored-index table-name suffixes a dedup/segment/substring/
+    * semantic index may own — the compaction + file-count probe family
+    * iterates these.
+    */
+  private val IndexSuffixes =
+    Seq("_bands", "_shingles", "_segdigests", "_grams", "_vecs")
+
+  /** Per-table data-file counts for a stored index — the observability
+    * half of the compaction contract (verdict r16 #3): a long-running
+    * stream's fold cycles append one file per (task × bucket) per fold,
+    * so this is the number that grows without bound until
+    * [[compactIndex]] runs.
+    */
+  def indexFileCounts(spark: SparkSession, table: String): Map[String, Long] =
+    IndexSuffixes.map(s => s"$table$s")
+      .filter(t => spark.catalog.tableExists(t))
+      .map(t => t -> graft.sources.Layout.bucketedFileCount(spark, t))
+      .toMap
+
+  /** Bucketing-preserving compaction of every index table the store
+    * owns: each `<table><suffix>` catalog table is rewritten through its
+    * own bucket spec (one file per bucket afterwards), so probe plans
+    * keep their exchange-free stored side while scan planning stops
+    * degrading with fold count. Returns per-table (files_before,
+    * files_after). Run between batches — like the fold itself, it is
+    * not concurrent with a probe of the same store.
+    */
+  def compactIndex(spark: SparkSession, table: String): Map[String, (Long, Long)] =
+    IndexSuffixes.map(s => s"$table$s")
+      .filter(t => spark.catalog.tableExists(t))
+      .map(t => t -> graft.sources.Layout.compactBucketedTable(spark, t))
+      .toMap
 
   /** Materialize a SEGMENT-granularity dedup index for [[segmentDelta]]
     * probes — d18b's paragraph-dedup contract made incremental: the

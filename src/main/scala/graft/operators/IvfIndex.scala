@@ -35,7 +35,10 @@ object IvfIndex {
   def train(vectors: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Seq[Double])] = {
     val s = vectors.sparkSession
     import s.implicits._
-    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
+    // structurallyUsable: a NULL-component vector crashes the typed
+    // Seq[Double] collect (hostile-gate finding) — see VectorFunctions
+    val v = vectors.filter(structurallyUsable($"embedding"))
+      .select($"vec_id", asDouble($"embedding").as("v"))
 
     var centroids: Seq[(Int, Seq[Double])] = v
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
@@ -69,7 +72,8 @@ object IvfIndex {
   def assign(vectors: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
-    vectors.select($"vec_id", asDouble($"embedding").as("v"))
+    vectors.filter(structurallyUsable($"embedding"))
+      .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("cluster_id",
         org.apache.spark.sql.graft.GraftFunctions.nearest_centroid($"v", centroids))
   }

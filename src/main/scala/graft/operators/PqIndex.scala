@@ -56,7 +56,10 @@ object PqIndex {
     val dim = vectors.select(size($"embedding")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
     val d = dim / m
-    val v = vectors.select($"vec_id", asDouble($"embedding").as("v"))
+    // structurallyUsable: NULL-component vectors crash the typed seed
+    // collect (hostile-gate finding) — same contract as IvfIndex.train
+    val v = vectors.filter(structurallyUsable($"embedding"))
+      .select($"vec_id", asDouble($"embedding").as("v"))
     // deterministic hash-spread seeds (IvfIndex.train's contract): the
     // k smallest-xxhash64(vec_id) vectors' slices per sub-space — a
     // first-k-by-id seed would miss appended regions entirely at retrain

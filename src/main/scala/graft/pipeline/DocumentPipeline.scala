@@ -86,7 +86,7 @@ object DocumentPipeline {
       |  round(avg(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) + 1e-9, 4) AS avg_k,
       |  min(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS min_k,
       |  max(try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
-      |FROM (FROM events WHERE ts IS NOT NULL) events
+      |FROM __events__ events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
@@ -1331,8 +1331,11 @@ object DocumentPipeline {
   def winnowFingerprint(s: SparkSession, dir: String, window: Int = 4): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // coalesce: a NULL-text doc must report 0 fingerprints, not the
+    // size(NULL) = -1 the hostile corpus exposed on t09's shape
+    // (AdversarialRowsOnlySpec pins the contentless-doc contract)
     val prints = org.apache.spark.sql.graft.GraftFunctions.winnow_fingerprints(
-      graft.operators.Dedup.shingles($"text", 3), window)
+      graft.operators.Dedup.shingles(coalesce($"text", lit("")), 3), window)
     docs.select($"doc_id",
         size(prints).as("n_fingerprints"),
         md5(concat_ws(",", sort_array(prints))).as("fingerprint_digest"))
@@ -2079,7 +2082,7 @@ object DocumentPipeline {
     "t04_fingerprint" -> fingerprintQ _,
     "t22_gopher_filter" -> ((s: SparkSession, d: String) => gopherFilter(s, d)))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = Events.withEventsView(Map(
     "t20_classifier_quality" -> classifierQualitySql,
     "t21_zipf_fit" -> zipfFitSql(),
     "t14_lm_perplexity" -> lmPerplexitySql,
@@ -2120,5 +2123,5 @@ object DocumentPipeline {
     "t02_quality" -> qualitySql,
     "t03_tokens" -> tokensSql,
     "t04_fingerprint" -> fingerprintSql,
-    "t22_gopher_filter" -> gopherFilterSql())
+    "t22_gopher_filter" -> gopherFilterSql()))
 }

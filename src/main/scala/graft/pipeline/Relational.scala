@@ -21,6 +21,71 @@ import graft.Tables
   */
 object Relational {
 
+  /** One referential-integrity admission check: `fkCol` must resolve in
+    * `dim`'s `dimKey` column (NULL fk is allowed — that's a separate
+    * nullability policy, and q39 counts it separately too).
+    */
+  case class FkCheck(fkCol: String, dim: DataFrame, dimKey: String)
+
+  /** The row-level admission form of q39's whole-lake audit: which
+    * checks a batch must pass before it is admitted to the store.
+    */
+  case class AdmissionChecks(
+      pk: Option[String] = None,
+      fks: Seq[FkCheck] = Nil,
+      finiteCols: Seq[String] = Nil)
+
+  /** q39 made actionable (verdict r16 #5): instead of REPORTING bad-row
+    * counts per table, tag each row of an arriving batch with the
+    * admission checks it violates — `_violations: array<string>`, empty
+    * for a clean row — so a streaming gate can dead-letter exactly the
+    * violating rows and admit the rest (the Tables.events null-ts DLQ
+    * discipline generalized to dup-PK / dangling-FK / non-finite).
+    *
+    * Semantics per check, mirroring q39's counting:
+    *  - `dup_pk`: rows beyond the FIRST per PK value (deterministic
+    *    keeper: min xxhash64 of the full row, then the hash order makes
+    *    ties interchangeable because tied rows are identical);
+    *  - `dangling_<fk>`: non-NULL fk with no match in the dim (dims are
+    *    broadcast — admission dims are small by construction);
+    *  - `nonfinite_<col>`: NaN/±Inf in a declared measure column.
+    *
+    * Scale shape: one batch-local window per PK check, broadcast left
+    * joins for FKs, row-local predicates for the finite checks — cost is
+    * O(batch), never store-sized.
+    */
+  def admissionAudit(batch: DataFrame, checks: AdmissionChecks): DataFrame = {
+    import batch.sparkSession.implicits._
+    val cols = batch.columns.toSeq
+    var df = batch
+    var viol = Seq.empty[org.apache.spark.sql.Column]
+    checks.pk.foreach { pk =>
+      val w = Window.partitionBy(col(pk))
+        .orderBy(xxhash64(struct(cols.map(col): _*)))
+      df = df.withColumn("_pk_rn", row_number().over(w))
+      viol :+= when(col("_pk_rn") > 1, lit("dup_pk"))
+    }
+    checks.fks.zipWithIndex.foreach { case (fk, i) =>
+      val flag = s"_fk_ok_$i"
+      val dimKeys = fk.dim.select(col(fk.dimKey).as(s"_dim_key_$i"))
+        .distinct().withColumn(flag, lit(true))
+      df = df.join(broadcast(dimKeys),
+        df(fk.fkCol) === col(s"_dim_key_$i"), "left")
+      viol :+= when(col(fk.fkCol).isNotNull && col(flag).isNull,
+        lit(s"dangling_${fk.fkCol}"))
+    }
+    checks.finiteCols.foreach { c =>
+      viol :+= when(isnan(col(c)) ||
+        col(c) === lit(Double.PositiveInfinity) ||
+        col(c) === lit(Double.NegativeInfinity), lit(s"nonfinite_$c"))
+    }
+    val arr =
+      if (viol.isEmpty) array().cast("array<string>")
+      else filter(array(viol: _*), x => x.isNotNull)
+    df.withColumn("_violations", arr)
+      .select(cols.map(col) :+ col("_violations"): _*)
+  }
+
   /** q01: filtered multi-aggregate scan (TPC-H Q1 family).
     * Partial aggregation + codegen; filter and 7-column projection are
     * pushed to the parquet scan.
@@ -486,8 +551,10 @@ object Relational {
         // Spark's multi-col countDistinct skips any-null rows, DuckDB's
         // row-value DISTINCT counts (NULL, x) tuples — restricting both
         // sides to fully-keyed rows makes the semantics identical.
-        (sum(when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull,
-          1L).otherwise(0L)) -
+        // coalesce: on an EMPTY lineitem table sum() is NULL while the
+        // oracle's count(*) is 0 — pin both sides to 0, like dangling()
+        (coalesce(sum(when($"l_orderkey".isNotNull && $"l_linenumber".isNotNull,
+          1L).otherwise(0L)), lit(0L)) -
           countDistinct($"l_orderkey", $"l_linenumber")).as("dup_pk"),
         nonfinite($"l_extendedprice").as("nonfinite_price"))
       .selectExpr("stack(2, 'dup_pk', dup_pk, " +
@@ -525,8 +592,13 @@ object Relational {
           "OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"),
           1L).otherwise(0L)).as("nonfinite_component"),
         // non-empty guard: DuckDB's list_sum([]) is NULL while Spark's
-        // aggregate over [] is the 0.0 seed — both sides skip empties
-        sum(when(expr("size(embedding) > 0 AND aggregate(embedding, " +
+        // aggregate over [] is the 0.0 seed — both sides skip empties.
+        // no-NULL-component guard: Spark's 0.0 + NULL = NULL (row not
+        // counted) but DuckDB's list_sum SKIPS NULL elements (a
+        // zeros-with-NULL vector would count) — exclude such vectors
+        // explicitly on both sides so the engines agree by construction
+        sum(when(expr("size(embedding) > 0 AND " +
+          "NOT exists(embedding, x -> x IS NULL) AND aggregate(embedding, " +
           "CAST(0.0 AS DOUBLE), (a, x) -> a + abs(CAST(x AS DOUBLE))) = 0.0"),
           1L).otherwise(0L)).as("zero_vector"),
         // NULL guard: non-ANSI size(NULL) = -1 would count as an extra
@@ -631,7 +703,9 @@ object Relational {
       |    count(*) FILTER (len(list_filter(embedding,
       |      x -> NOT isfinite(x::DOUBLE))) > 0) FROM embeddings
       |  UNION ALL SELECT 'embeddings', 'zero_vector',
-      |    count(*) FILTER (len(embedding) > 0 AND list_sum(list_transform(embedding,
+      |    count(*) FILTER (len(embedding) > 0
+      |      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+      |      AND list_sum(list_transform(embedding,
       |      x -> abs(x::DOUBLE))) = 0.0) FROM embeddings
       |  UNION ALL SELECT 'embeddings', 'ragged_dims',
       |    count(DISTINCT len(embedding)) - 1 FROM embeddings)

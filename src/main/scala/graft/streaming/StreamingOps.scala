@@ -92,13 +92,36 @@ object StreamingOps {
       r
     } else f
 
+  /** Keep a gate's stored-index file counts bounded over an unbounded
+    * stream (verdict r16 #3): after a fold/grow step, any index table
+    * whose data-file count exceeds `compactAbove` is rewritten through
+    * its own bucket spec (Layout.compactBucketedTable — bucketing
+    * preserved, so probe plans keep their exchange-free stored side).
+    * Runs inside foreachBatch, i.e. never concurrent with a probe of the
+    * same store. `compactAbove = 0` disables.
+    */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, compactAbove: Int): Unit =
+    if (compactAbove > 0) timed("index_compact") {
+      graft.operators.Dedup.indexFileCounts(spark, indexTable)
+        .filter(_._2 > compactAbove).keys.toSeq.sorted.foreach { t =>
+          val (bef, aft) =
+            graft.sources.Layout.compactBucketedTable(spark, t)
+          System.err.println(s"[gate] compacted $t: $bef -> $aft files")
+        }
+    }
+
   /** Watermarked tumbling-window aggregation — streaming form of
     * Events.windowAgg. State is bounded by the watermark horizon.
     */
   def windowedAgg(events: DataFrame, watermark: String = "1 hour",
       windowLen: String = "1 hour"): DataFrame = {
     import events.sparkSession.implicits._
-    events
+    // the batch events load contract (null-ts dead-letter + non-finite
+    // measure nulling) applied at the stream head too — a raw file/memory
+    // stream must not carry NaN/Inf into sum(value) when the batch path
+    // would have nulled it (idempotent when the source already normalized)
+    graft.Tables.normalizeEvents(events)
       .withWatermark("ts", watermark)
       .groupBy(window($"ts", windowLen), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
@@ -119,7 +142,7 @@ object StreamingOps {
     import events.sparkSession.implicits._
     val hh = udaf(new graft.functions.TypedAggregators.HeavyHitters(k),
       org.apache.spark.sql.Encoders.STRING)
-    events
+    graft.Tables.normalizeEvents(events)
       .withWatermark("ts", watermark)
       .groupBy(window($"ts", windowLen))
       .agg(hh($"event_type").as("sketch"))
@@ -132,15 +155,52 @@ object StreamingOps {
     * re-run semantics — but continuously. foreachBatch gives the batch id
     * for the deterministic store filename.
     */
+  /** Audit-then-admit landing for one micro-batch (verdict r16 #5): run
+    * `Relational.admissionAudit` over the batch, dead-letter the
+    * violating rows to `<storeDir>_dlq/<bid>.parquet` (with their
+    * `_violations` tags — the operational record of WHY each row was
+    * refused), admit the clean rows through the content-hash-deduped
+    * store append. Returns (admitted, dead_lettered) counts.
+    *
+    * Replay idempotent by construction: the DLQ write is keyed by batch
+    * id with Overwrite (a replayed batch rewrites the identical file)
+    * and appendBatch's content-hash dedup makes the clean landing
+    * replay-stable — so at-least-once foreachBatch delivery never
+    * double-admits or double-dead-letters.
+    */
+  def auditAndLand(batch: DataFrame, bid: String, storeDir: String,
+      checks: graft.pipeline.Relational.AdmissionChecks): (Long, Long) = {
+    val audited = graft.pipeline.Relational.admissionAudit(batch, checks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = audited.filter(size(col("_violations")) > 0)
+    val nBad = bad.count()
+    if (nBad > 0)
+      bad.coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${storeDir}_dlq/$bid.parquet")
+    val n = graft.sources.IncrementalIngest.appendBatch(
+      audited.filter(size(col("_violations")) === 0).drop("_violations"),
+      storeDir, bid)
+    audited.unpersist()
+    (n, nBad)
+  }
+
   def ingestStream(docs: DataFrame, storeDir: String,
       queryName: String = "graft_ingest",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      audit: Option[graft.pipeline.Relational.AdmissionChecks] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.IncrementalIngest.appendBatch(
-          batch.toDF(), storeDir, f"batch$batchId%06d")
+        val bid = f"batch$batchId%06d"
+        audit match {
+          case Some(checks) =>
+            auditAndLand(batch.toDF(), bid, storeDir, checks)
+          case None =>
+            graft.sources.IncrementalIngest.appendBatch(
+              batch.toDF(), storeDir, bid)
+        }
         ()
       }
     // With a checkpoint the query restarts from the committed offset (each
@@ -160,14 +220,20 @@ object StreamingOps {
     */
   def rollupStream(docs: DataFrame, storeDir: String, rollupPath: String,
       queryName: String = "graft_rollup",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      audit: Option[graft.pipeline.Relational.AdmissionChecks] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val bid = f"batch$batchId%06d"
-        graft.sources.IncrementalIngest.appendBatch(batch.toDF(), storeDir, bid)
+        audit match {
+          case Some(checks) =>
+            auditAndLand(batch.toDF(), bid, storeDir, checks)
+          case None =>
+            graft.sources.IncrementalIngest.appendBatch(batch.toDF(), storeDir, bid)
+        }
         // Marker-tracked idempotent merge: foreachBatch is at-least-once,
         // and a replayed epoch ingests 0 rows (content dedup) — keying
         // the merge off this attempt's ingest count would permanently
@@ -215,7 +281,8 @@ object StreamingOps {
       minJaccard: Double = 0.5,
       queryName: String = "graft_dedup_gate",
       checkpointDir: Option[String] = None,
-      growEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      growEvery: Int = 8,
+      compactAbove: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val pendingDir = s"${storeDir}_idx_pending"
     val w = docs.writeStream
       .queryName(queryName)
@@ -260,10 +327,13 @@ object StreamingOps {
             .parquet(s"$pendingDir/$bid.parquet")
         }
         val toFold = pendingFiles(spark, pendingDir)
-        if (toFold.size >= growEvery) timed("index_fold") {
-          graft.operators.Dedup.appendDedupIndexFromShingles(
-            spark.read.parquet(toFold: _*), indexTable, 8, 16, 4)
-          deletePath(spark, pendingDir)
+        if (toFold.size >= growEvery) {
+          timed("index_fold") {
+            graft.operators.Dedup.appendDedupIndexFromShingles(
+              spark.read.parquet(toFold: _*), indexTable, 8, 16, 4)
+            deletePath(spark, pendingDir)
+          }
+          maybeCompact(spark, indexTable, compactAbove)
         }
         // Self-cleaning (ADVICE r13): unpersist exactly the frames THIS
         // operator persisted (the batch + dedupDelta's shingle cache via
@@ -309,7 +379,8 @@ object StreamingOps {
       minJaccard: Double = 0.5,
       queryName: String = "graft_segment_gate",
       checkpointDir: Option[String] = None,
-      growEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+      growEvery: Int = 8,
+      compactAbove: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val pendingDir = s"${storeDir}_idx_pending"
     val w = docs.writeStream
       .queryName(queryName)
@@ -368,10 +439,13 @@ object StreamingOps {
             .parquet(s"$pendingDir/$bid.parquet")
         }
         val toFold = pendingFiles(spark, pendingDir)
-        if (toFold.size >= growEvery) timed("index_fold") {
-          graft.operators.Dedup.appendSegmentIndexFromMeta(
-            spark.read.parquet(toFold: _*), indexTable)
-          deletePath(spark, pendingDir)
+        if (toFold.size >= growEvery) {
+          timed("index_fold") {
+            graft.operators.Dedup.appendSegmentIndexFromMeta(
+              spark.read.parquet(toFold: _*), indexTable)
+            deletePath(spark, pendingDir)
+          }
+          maybeCompact(spark, indexTable, compactAbove)
         }
         // Self-cleaning via the handle (the fused meta frame), not
         // session-wide clearCache — see dedupStream.
@@ -404,7 +478,8 @@ object StreamingOps {
   def substringDedupStream(docs: DataFrame, indexTable: String,
       storeDir: String, k: Int = 20,
       queryName: String = "graft_substring_gate",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactAbove: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = docs.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
@@ -436,6 +511,7 @@ object StreamingOps {
             graft.operators.Dedup.appendSubstringIndex(
               b.select($"doc_id", $"text"), indexTable, k)
             touchMarker(spark, marker)
+            maybeCompact(spark, indexTable, compactAbove)
           }
         }
         // substringRewriteDelta is self-cleaning (eager localCheckpoint +
@@ -474,7 +550,8 @@ object StreamingOps {
       storeDir: String, minCos: Double = 0.99,
       planes: Int = 0, nprobe: Int = 3,
       queryName: String = "graft_semantic_gate",
-      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactAbove: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectors.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
@@ -510,6 +587,7 @@ object StreamingOps {
               kept.select($"vec_id", $"embedding"), indexTable,
               planes = planes)
             touchMarker(spark, marker)
+            maybeCompact(spark, indexTable, compactAbove)
           }
         }
         // semanticDelta persists nothing (its probe frame streams through
@@ -530,11 +608,12 @@ object StreamingOps {
     */
   def fileIngest(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, sourceWhitelist: DataFrame,
-      minChars: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+      minChars: Int = 10,
+      audit: Option[graft.pipeline.Relational.AdmissionChecks] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-    spark.readStream
+    val gated = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 4)
       .parquet(inDir)
@@ -542,10 +621,27 @@ object StreamingOps {
       // stream-static broadcast join: enrichment lookups never shuffle the stream
       .join(broadcast(sourceWhitelist), Seq("source"), "left_semi")
       .withColumn("content_hash", sha2($"text", 256))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .start(outDir)
+    audit match {
+      case Some(checks) =>
+        // audit-then-admit mode (verdict r16 #5): violating rows are
+        // dead-lettered per batch, clean rows land via the content-hash-
+        // deduped store append (which ALSO keys the batch file by id), so
+        // foreachBatch's at-least-once delivery stays exactly-once-
+        // equivalent — replays rewrite the same DLQ file and admit 0 rows
+        gated.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            auditAndLand(batch.toDF(), f"batch$batchId%06d", outDir, checks)
+            ()
+          }
+          .start()
+      case None =>
+        gated.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .start(outDir)
+    }
   }
 
   /** Stream-stream interval join: each purchase matched to the same user's

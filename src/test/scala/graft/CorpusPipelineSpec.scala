@@ -257,7 +257,11 @@ class CorpusPipelineSpec extends SparkSpec {
     val run = words(900, 20) // the 20-token shared run
     val a = run ++ words(920, 20)
     val b = words(940, 3) ++ run ++ words(950, 17)
-    val corpus = Seq(3000L -> a, 3001L -> b,
+    // gutted plant (verdict r16 #4 attribution pin): all-but-2-words
+    // duplicated run — d19 strips it to 2 words (< minWords 5), so the
+    // doc must die AT THE QUALITY GATE, not in d19's own row
+    val g = run ++ words(980, 2)
+    val corpus = Seq(3000L -> a, 3001L -> b, 3004L -> g,
       3002L -> words(1000, 25), 3003L -> words(1030, 25))
       .map { case (id, ws) => (id, "web", ws.mkString(" ")) }
       .toDF("doc_id", "source", "text")
@@ -267,12 +271,15 @@ class CorpusPipelineSpec extends SparkSpec {
     val kills = killsOf(r.waterfall)
     assert(kills.contains("d19_substring_dedup"), "stage must appear")
     assert(kills("d19_substring_dedup") == 0, "d19 rewrites, never kills")
+    assert(kills("t22_t20_quality") == 1,
+      s"the gutted doc dies at the quality gate: ${kills("t22_t20_quality")}")
     val texts = r.docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().toMap
     assert(texts(3000L) == a.mkString(" "), "keeper untouched")
     assert(texts(3001L) == (words(940, 3) ++ words(950, 17)).mkString(" "),
       s"later copy of the run must be removed: ${texts(3001L)}")
-    assert(texts.keySet == Set(3000L, 3001L, 3002L, 3003L))
+    assert(texts.keySet == Set(3000L, 3001L, 3002L, 3003L),
+      "gutted doc 3004 must be gone")
 
     // delta: a new doc carrying the same run is rewritten against the
     // STORED gram index at O(delta)

@@ -339,4 +339,47 @@ class MultimodalSpec extends SparkSpec {
     assert(dropped.length == 4, "all 4 bands of the flood bucket reported")
     assert(dropped.forall(_.getAs[Long]("bucket_n") == 70L))
   }
+
+  test("MediaCodec SPI: m01/m06 contracts run through an injected fake " +
+      "codec — operators never hard-wire a decoder") {
+    import graft.multimodal.{MediaCodec, MediaFeatures}
+    // fake "codec": features + fingerprint from the FIRST payload byte
+    // only — deliberately disjoint from the default chain's semantics so
+    // the assertions below can only pass if the injection took effect
+    class FirstByteCodec extends MediaCodec {
+      def decode(p: Array[Byte]): Option[(MediaFeatures, Long)] =
+        Some((MediaFeatures(1000 + (p(0) & 0xFF), 500, 3,
+          (p(0) & 0xFF) / 255.0), (p(0) & 0xFF).toLong))
+    }
+    val fake = new FirstByteCodec
+    val a = payloadOf(1, 2048); val b = payloadOf(2, 2048)
+    b(0) = a(0) // unrelated bytes, same first byte
+    val c = payloadOf(3, 2048)
+    c(0) = (a(0) + 1).toByte
+    val media = mediaRowsOf(Seq(
+      (1L, "image", a), (2L, "image", b), (3L, "image", c)))
+
+    // m01 through the fake: every feature is the fake's, proving the
+    // decode stage (schema, batching, row pairing) is codec-agnostic
+    val feats = Multimodal.decodeFeaturesOf(media, batchSize = 2, codec = fake)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("n_frames"))).toMap
+    assert(feats(1L) == ((1000 + (a(0) & 0xFF), 500, 3)))
+    assert(feats(3L) == ((1000 + (c(0) & 0xFF), 500, 3)))
+
+    // m06 through the fake: docs 1,2 share a fingerprint (same first
+    // byte) and MUST pair at hamming 0; under the DEFAULT byte-gram stub
+    // these unrelated payloads never pair — the difference is the proof
+    val fakePairs = Multimodal.phashNearDupOf(media, codec = fake).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(fakePairs.contains((1L, 2L)) && fakePairs((1L, 2L)) == 0,
+      s"fake codec's equal fingerprints must pair: $fakePairs")
+    val defaultPairs = Multimodal.phashNearDupOf(media).collect()
+    assert(!defaultPairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L),
+      "default codec must NOT pair the unrelated payloads — injection " +
+        "must actually change the decode")
+  }
 }

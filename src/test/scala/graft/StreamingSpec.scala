@@ -176,6 +176,81 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gate index compaction bounds file counts across fold cycles, " +
+      "preserves content, and keeps the probe plan exchange-free") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    def text(i: Long): String =
+      (0 until 40).map(j => s"c${i}_$j").mkString(" ")
+    val seed = (0L until 5L).map(i => i -> text(i)).toDF("doc_id", "text")
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS cmp_idx$t"))
+    graft.operators.Dedup.writeDedupIndex(seed, "cmp_idx")
+    val mem = MemoryStream[(Long, String)]
+    // growEvery=1: every batch folds; compactAbove=1: every fold is
+    // followed by a compaction of any table with >1 file — so after N
+    // fold cycles each table holds at most `buckets` (8) files instead
+    // of growing by ~buckets per fold
+    val q = StreamingOps.dedupStream(
+      mem.toDF().toDF("doc_id", "text"), "cmp_idx", s"$dir/store",
+      growEvery = 1, compactAbove = 1)
+    // three fold cycles, two fresh docs each
+    for (k <- 0L until 3L) {
+      mem.addData((1000L + 2 * k, text(1000L + 2 * k)),
+        (1001L + 2 * k, text(1001L + 2 * k)))
+      q.processAllAvailable()
+    }
+    val counts = graft.operators.Dedup.indexFileCounts(spark, "cmp_idx")
+    assert(counts.keySet == Set("cmp_idx_bands", "cmp_idx_shingles"))
+    assert(counts.values.forall(_ <= 8),
+      s"file counts must stay bounded by the bucket count after 3 " +
+        s"fold+compact cycles, got $counts")
+    // content preserved: a near-dup of a doc folded THREE compactions
+    // ago must still be gated by the (rewritten) index
+    mem.addData((2000L, text(1000L).replaceFirst("^\\S+", "Z")),
+      (2001L, text(9999L)))
+    q.processAllAvailable(); q.stop()
+    // the compaction DROP+RENAMEd the tables through the stream's cloned
+    // session; this session's relation cache is stale for both
+    spark.catalog.refreshTable("cmp_idx_bands")
+    spark.catalog.refreshTable("cmp_idx_shingles")
+    val keptIds = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(2000L),
+      "near-dup of compacted-index content must still be gated")
+    assert(keptIds.contains(2001L), "fresh doc must pass post-compaction")
+    // the production-scale invariant survives the rewrite: no
+    // ShuffleExchange between a compacted stored scan and its first join
+    val probe = (Seq((3000L, text(3000L))).toDF("doc_id", "text"))
+    val got = graft.operators.Dedup.dedupDelta(spark, "cmp_idx", probe)
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val allShuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(allShuffles.nonEmpty,
+      "traversal found no exchanges anywhere - plan walk is broken")
+    val reshuffledStore = allShuffles.filter { e =>
+      val scans = e.child.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("cmp_idx")) => f
+      }
+      val joins = e.child.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      scans.nonEmpty && joins.isEmpty
+    }
+    assert(reshuffledStore.isEmpty,
+      s"compacted index reshuffled before its join:\n" +
+        reshuffledStore.mkString("\n"))
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS cmp_idx$t"))
+    spark.catalog.clearCache()
+  }
+
   test("streaming segment gate drops mostly-boilerplate docs via the growing keeper index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_segstream_").toString
@@ -494,6 +569,63 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
     assert(spark.sql("SELECT * FROM dedup_stream").count() == 2)
+  }
+
+  test("q39 admission gate: violating rows dead-lettered with reasons, " +
+      "clean rows admitted, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Relational.{AdmissionChecks, FkCheck}
+    val dir = java.nio.file.Files.createTempDirectory("graft_adm_").toString
+    val store = s"$dir/store"
+    val whitelist = Seq("web", "pdf").toDF("source")
+    val checks = AdmissionChecks(
+      pk = Some("doc_id"),
+      fks = Seq(FkCheck("source", whitelist, "source")),
+      finiteCols = Seq("score"))
+    // one micro-batch planting every violation class:
+    //   1 clean | 2 clean | 2 dup-PK extra | 3 dangling FK | 4 NaN score
+    val rows = Seq(
+      (1L, "alpha text one", "web", 1.0),
+      (2L, "beta text two", "pdf", 2.0),
+      (2L, "beta text two prime", "pdf", 2.5), // dup_pk extra
+      (3L, "gamma text", "ftp", 3.0),          // dangling_source
+      (4L, "delta text", "web", Double.NaN))   // nonfinite_score
+    val mem = MemoryStream[(Long, String, String, Double)]
+    val q = StreamingOps.ingestStream(
+      mem.toDF().toDF("doc_id", "text", "source", "score"),
+      store, audit = Some(checks))
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val admitted = spark.read.parquet(s"$store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L), s"clean rows only, got $admitted")
+    val dlq = spark.read.parquet(s"${store}_dlq/*.parquet")
+      .select($"doc_id", $"text", concat_ws(",", $"_violations").as("v"))
+      .as[(Long, String, String)].collect().toSet
+    assert(dlq.map(_._1) == Set(2L, 3L, 4L),
+      s"exactly the violating rows dead-lettered, got $dlq")
+    assert(dlq.collect { case (3L, _, v) => v }.head == "dangling_source")
+    assert(dlq.collect { case (4L, _, v) => v }.head == "nonfinite_score")
+    // the dup-PK extra (not the keeper) is the dead-lettered one
+    assert(dlq.exists(r => r._1 == 2L && r._3 == "dup_pk"))
+    val keeperText = spark.read.parquet(s"$store/*.parquet")
+      .filter($"doc_id" === 2L).select("text").as[String].head()
+    val dlqText = dlq.collect { case (2L, t, _) => t }.head
+    assert(keeperText != dlqText, "keeper and dead-lettered dup differ")
+    // replay the SAME batch id directly: the batch file and DLQ file are
+    // REWRITTEN with identical content (own-file is excluded from the
+    // dedup reference precisely so a replay can rewrite it) — net store
+    // and DLQ state unchanged
+    val batch = rows.toDF("doc_id", "text", "source", "score")
+    val (n1, b1) = StreamingOps.auditAndLand(batch, "batch000000", store, checks)
+    assert(n1 == 2L && b1 == 3L,
+      s"replay rewrites the same 2-row batch file + 3-row DLQ, got ($n1, $b1)")
+    val after = spark.read.parquet(s"$store/*.parquet")
+    assert(after.count() == 2L &&
+      after.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "replay is idempotent on the store")
+    assert(spark.read.parquet(s"${store}_dlq/*.parquet").count() == 3L,
+      "replay is idempotent on the DLQ")
   }
 
   test("streaming ingest into the incremental store dedups across micro-batches") {

@@ -40,9 +40,13 @@ object Bench {
     val q01 = SparkEntry.queries.get("q01_pricing_agg").map { fn =>
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        // a FAILING q01 (e.g. a docs-only sfDir) must read as the -1
+        // sentinel, not a millisecond time-to-exception masquerading as
+        // an impossibly fast Spark path
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }.min
     }.getOrElse(-1.0)
     spark.catalog.clearCache()
@@ -191,7 +195,13 @@ object Bench {
     // regime_index = median CPU-probe seconds / this box's pinned quiet
     // reference — ~1.0 quiet, ~1.3+ on a slow day. Raw seconds emitted too.
     val cpuTimes = regime.map(_._1).sorted
-    val regimeIndex = cpuTimes(cpuTimes.length / 2) / QuietCpuRefSec
+    // true median: with an even sample count (short filtered suites skip
+    // the mid checkpoint) average the middle two rather than biasing to
+    // the slower one
+    val cpuMedian =
+      if (cpuTimes.length % 2 == 1) cpuTimes(cpuTimes.length / 2)
+      else (cpuTimes(cpuTimes.length / 2 - 1) + cpuTimes(cpuTimes.length / 2)) / 2
+    val regimeIndex = cpuMedian / QuietCpuRefSec
     val regimeJson = {
       val cpu = regime.map(c => f"${c._1}%.3f").mkString("[", ",", "]")
       val q01 = regime.map(c => f"${c._2}%.3f").mkString("[", ",", "]")

@@ -73,9 +73,14 @@ object Tables {
     */
   def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, isnan, lit, when}
-    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
     val tsed = normalizeEventTs(raw).filter(col("ts").isNotNull)
-    if (raw.schema.exists(f => f.name == "value" && f.dataType == DoubleType))
+    // FLOAT or DOUBLE: a producer may write either (the same variance
+    // normalizeTs absorbs for ts encodings); both carry NaN/±Inf. The
+    // comparisons below widen float to double exactly, so one branch
+    // covers both.
+    if (raw.schema.exists(f => f.name == "value" &&
+        (f.dataType == DoubleType || f.dataType == FloatType)))
       tsed.withColumn("value",
         when(isnan(col("value")) ||
           col("value") === lit(Double.PositiveInfinity) ||

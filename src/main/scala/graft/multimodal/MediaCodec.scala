@@ -68,6 +68,31 @@ object MediaCodec {
       }
       None
     }
+
+    /** Batch-preserving dispatch: each member codec sees ONE decodeBatch
+      * call over the payloads every earlier codec declined — so a
+      * batch-amortizing codec (GPU/FFI) keeps its one-call-per-batch
+      * shape inside a chain instead of degrading to per-payload calls
+      * through the inherited scalar default.
+      */
+    override def decodeBatch(
+        payloads: Array[Array[Byte]]): Array[Option[(MediaFeatures, Long)]] = {
+      val out = Array.fill[Option[(MediaFeatures, Long)]](payloads.length)(None)
+      var pending: Array[Int] = payloads.indices.toArray
+      val it = codecs.iterator
+      while (it.hasNext && pending.nonEmpty) {
+        val res = it.next().decodeBatch(pending.map(payloads))
+        val still = Array.newBuilder[Int]
+        var i = 0
+        while (i < pending.length) {
+          if (res(i).isDefined) out(pending(i)) = res(i)
+          else still += pending(i)
+          i += 1
+        }
+        pending = still.result()
+      }
+      out
+    }
   }
 
   /** The container's default: real image + real WAV decode, byte-stub

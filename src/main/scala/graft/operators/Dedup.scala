@@ -2801,16 +2801,19 @@ object Dedup {
       .toMap
 
   /** Bucketing-preserving compaction of every index table the store
-    * owns: each `<table><suffix>` catalog table is rewritten through its
-    * own bucket spec (one file per bucket afterwards), so probe plans
-    * keep their exchange-free stored side while scan planning stops
-    * degrading with fold count. Returns per-table (files_before,
-    * files_after). Run between batches — like the fold itself, it is
-    * not concurrent with a probe of the same store.
+    * owns whose data-file count exceeds `above` (0 = compact all): each
+    * `<table><suffix>` catalog table is rewritten through its own bucket
+    * spec (one file per bucket afterwards), so probe plans keep their
+    * exchange-free stored side while scan planning stops degrading with
+    * fold count. Returns per-table (files_before, files_after). Run
+    * between batches — like the fold itself, it is not concurrent with a
+    * probe of the same store; the streaming gates call through here at
+    * fold boundaries (StreamingOps.maybeCompact).
     */
-  def compactIndex(spark: SparkSession, table: String): Map[String, (Long, Long)] =
-    IndexSuffixes.map(s => s"$table$s")
-      .filter(t => spark.catalog.tableExists(t))
+  def compactIndex(spark: SparkSession, table: String,
+      above: Long = 0L): Map[String, (Long, Long)] =
+    indexFileCounts(spark, table)
+      .filter(_._2 > above).keys.toSeq.sorted
       .map(t => t -> graft.sources.Layout.compactBucketedTable(spark, t))
       .toMap
 

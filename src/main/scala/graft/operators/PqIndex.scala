@@ -53,13 +53,15 @@ object PqIndex {
       iters: Int = 2): Seq[Seq[(Int, Seq[Double])]] = {
     val s = vectors.sparkSession
     import s.implicits._
-    val dim = vectors.select(size($"embedding")).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
-    val d = dim / m
     // structurallyUsable: NULL-component vectors crash the typed seed
-    // collect (hostile-gate finding) — same contract as IvfIndex.train
+    // collect (hostile-gate finding) — same contract as IvfIndex.train.
+    // dim is inferred from the FILTERED frame too: an all-NULL embedding
+    // at head() would NPE the getInt before the filter ever ran
     val v = vectors.filter(structurallyUsable($"embedding"))
       .select($"vec_id", asDouble($"embedding").as("v"))
+    val dim = v.select(size($"v")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
+    val d = dim / m
     // deterministic hash-spread seeds (IvfIndex.train's contract): the
     // k smallest-xxhash64(vec_id) vectors' slices per sub-space — a
     // first-k-by-id seed would miss appended regions entirely at retrain

@@ -27,13 +27,20 @@ object Relational {
     */
   case class FkCheck(fkCol: String, dim: DataFrame, dimKey: String)
 
+  /** One embedding-column admission check — the row-level form of q39's
+    * embeddings block: `dim` > 0 additionally pins the expected
+    * dimensionality (the corpus-level ragged_dims check made per-row).
+    */
+  case class VectorCheck(col: String, dim: Int = 0)
+
   /** The row-level admission form of q39's whole-lake audit: which
     * checks a batch must pass before it is admitted to the store.
     */
   case class AdmissionChecks(
       pk: Option[String] = None,
       fks: Seq[FkCheck] = Nil,
-      finiteCols: Seq[String] = Nil)
+      finiteCols: Seq[String] = Nil,
+      vectors: Seq[VectorCheck] = Nil)
 
   /** q39 made actionable (verdict r16 #5): instead of REPORTING bad-row
     * counts per table, tag each row of an arriving batch with the
@@ -63,7 +70,11 @@ object Relational {
       val w = Window.partitionBy(col(pk))
         .orderBy(xxhash64(struct(cols.map(col): _*)))
       df = df.withColumn("_pk_rn", row_number().over(w))
-      viol :+= when(col("_pk_rn") > 1, lit("dup_pk"))
+      // NULL PKs are NOT duplicates of each other — q39's count(pk) −
+      // countDistinct(pk) skips null-keyed rows in both engines, and
+      // null-PK admission is a separate nullability policy (same stance
+      // as the FK check's isNotNull guard)
+      viol :+= when(col(pk).isNotNull && col("_pk_rn") > 1, lit("dup_pk"))
     }
     checks.fks.zipWithIndex.foreach { case (fk, i) =>
       val flag = s"_fk_ok_$i"
@@ -78,6 +89,28 @@ object Relational {
       viol :+= when(isnan(col(c)) ||
         col(c) === lit(Double.PositiveInfinity) ||
         col(c) === lit(Double.NegativeInfinity), lit(s"nonfinite_$c"))
+    }
+    checks.vectors.foreach { vc =>
+      val c = vc.col
+      // q39's embeddings block made per-row: NULL components (the shape
+      // that crashes typed training paths), non-finite components, the
+      // zero vector (undefined cosine), and — when dim is pinned — the
+      // ragged row. A NULL vector itself is the no-embedding policy
+      // question, left to the caller like NULL PKs.
+      viol :+= when(col(c).isNotNull &&
+        expr(s"exists($c, x -> x IS NULL)"), lit(s"nullcomp_$c"))
+      viol :+= when(col(c).isNotNull &&
+        expr(s"exists($c, x -> isnan(CAST(x AS DOUBLE)) " +
+          s"OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"),
+        lit(s"nonfinite_$c"))
+      viol :+= when(col(c).isNotNull && size(col(c)) > 0 &&
+        !expr(s"exists($c, x -> x IS NULL)") &&
+        expr(s"aggregate($c, CAST(0.0 AS DOUBLE), " +
+          s"(a, x) -> a + abs(CAST(x AS DOUBLE))) = 0.0"),
+        lit(s"zerovec_$c"))
+      if (vc.dim > 0)
+        viol :+= when(col(c).isNotNull && size(col(c)) =!= vc.dim,
+          lit(s"baddim_$c"))
     }
     val arr =
       if (viol.isEmpty) array().cast("array<string>")

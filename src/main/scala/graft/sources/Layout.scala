@@ -111,6 +111,12 @@ object Layout {
      else w).saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // refresh THIS session's relation cache over the rewritten files.
+    // Cross-session contract (same as any externally-rewritten table,
+    // appends included): other sessions that have already read the table
+    // must refreshTable before their next read — Spark has no cross-
+    // session invalidation; StreamingSpec shows the reader-side call.
+    spark.catalog.refreshTable(table)
     (before, bucketedFileCount(spark, table))
   }
 

@@ -103,10 +103,8 @@ object StreamingOps {
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, compactAbove: Int): Unit =
     if (compactAbove > 0) timed("index_compact") {
-      graft.operators.Dedup.indexFileCounts(spark, indexTable)
-        .filter(_._2 > compactAbove).keys.toSeq.sorted.foreach { t =>
-          val (bef, aft) =
-            graft.sources.Layout.compactBucketedTable(spark, t)
+      graft.operators.Dedup.compactIndex(spark, indexTable, compactAbove)
+        .toSeq.sortBy(_._1).foreach { case (t, (bef, aft)) =>
           System.err.println(s"[gate] compacted $t: $bef -> $aft files")
         }
     }
@@ -551,7 +549,8 @@ object StreamingOps {
       planes: Int = 0, nprobe: Int = 3,
       queryName: String = "graft_semantic_gate",
       checkpointDir: Option[String] = None,
-      compactAbove: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactAbove: Int = 0,
+      audit: Option[graft.pipeline.Relational.AdmissionChecks] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectors.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
@@ -559,8 +558,22 @@ object StreamingOps {
         val spark = batch.sparkSession
         import spark.implicits._
         val bid = f"batch$batchId%06d"
-        val b = batch.toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // audit-then-admit for the VECTOR stream (the q39 embeddings
+        // block as an admission gate): degenerate vectors — NULL
+        // components (crash typed training), non-finite, zero, ragged —
+        // dead-letter per batch id with their tags; clean vectors flow
+        // to the probe. DLQ write is bid-keyed Overwrite → replay
+        // rewrites the identical file.
+        val b = audit.fold(batch.toDF()) { checks =>
+          val audited = graft.pipeline.Relational
+            .admissionAudit(batch.toDF(), checks)
+          val bad = audited.filter(size($"_violations") > 0)
+          if (!bad.isEmpty)
+            bad.coalesce(1)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"${storeDir}_dlq/$bid.parquet")
+          audited.filter(size($"_violations") === 0).drop("_violations")
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dupIds = graft.operators.Dedup
           .semanticDelta(spark, indexTable, b,
             planes = planes, nprobe = nprobe, minCos = minCos)

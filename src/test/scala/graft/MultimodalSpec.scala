@@ -382,4 +382,29 @@ class MultimodalSpec extends SparkSpec {
       "default codec must NOT pair the unrelated payloads — injection " +
         "must actually change the decode")
   }
+
+  test("MediaCodec.Chain keeps the one-call-per-batch shape for member " +
+      "codecs (a GPU/FFI codec must not degrade to per-payload calls)") {
+    import graft.multimodal.{MediaCodec, MediaFeatures}
+    class CountingCodec extends MediaCodec {
+      var batchCalls = 0
+      var scalarCalls = 0
+      def decode(p: Array[Byte]): Option[(MediaFeatures, Long)] = {
+        scalarCalls += 1; None
+      }
+      override def decodeBatch(
+          ps: Array[Array[Byte]]): Array[Option[(MediaFeatures, Long)]] = {
+        batchCalls += 1; ps.map(_ => None)
+      }
+    }
+    val counting = new CountingCodec
+    val chain = MediaCodec.Chain(Seq(counting, MediaCodec.ByteStub))
+    val batch = Array.tabulate(5)(i => Array[Byte](i.toByte, 1, 2, 3, 4))
+    val out = chain.decodeBatch(batch)
+    assert(counting.batchCalls == 1 && counting.scalarCalls == 0,
+      s"member codec saw ${counting.batchCalls} batch / " +
+        s"${counting.scalarCalls} scalar calls — batch shape lost")
+    assert(out.length == 5 && out.forall(_.isDefined),
+      "declined payloads must fall through to the total stub")
+  }
 }

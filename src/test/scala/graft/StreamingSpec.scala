@@ -421,6 +421,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic gate vector admission: degenerate vectors dead-letter " +
+      "with tags, clean vectors flow and grow the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Relational.{AdmissionChecks, VectorCheck}
+    val dir = java.nio.file.Files.createTempDirectory("graft_vadm_").toString
+    spark.sql("DROP TABLE IF EXISTS vadm_idx_vecs")
+    graft.operators.Dedup.writeSemanticIndex(
+      GenCorpus.generateEmbeddings(spark, 10), "vadm_idx")
+    def oneHot(d: Int): Seq[Option[Float]] =
+      Seq.tabulate(64)(j => Some(if (j == d) 1f else 0f))
+    val mem = MemoryStream[(Long, Seq[Option[Float]])]
+    val q = StreamingOps.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vadm_idx", s"$dir/store",
+      audit = Some(AdmissionChecks(
+        vectors = Seq(VectorCheck("embedding", dim = 64)))))
+    mem.addData(
+      (300L, oneHot(5)),                                   // clean
+      (301L, Seq.tabulate(64)(j =>                          // NULL comp
+        if (j == 2) None else Some(0.5f))),
+      (302L, Seq.tabulate(64)(_ => Some(0f))),              // zero vector
+      (303L, Seq.tabulate(64)(j =>                          // non-finite
+        Some(if (j == 0) Float.NaN else 1f))),
+      (304L, Seq.tabulate(32)(_ => Some(1f))))              // ragged
+    q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(300L), s"only the clean vector admits, got $kept")
+    val dlq = spark.read.parquet(s"${dir}/store_dlq/*.parquet")
+      .select($"vec_id", concat_ws(",", $"_violations").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(dlq.keySet == Set(301L, 302L, 303L, 304L), dlq.toString)
+    assert(dlq(301L) == "nullcomp_embedding")
+    assert(dlq(302L) == "zerovec_embedding")
+    assert(dlq(303L) == "nonfinite_embedding")
+    assert(dlq(304L) == "baddim_embedding")
+    spark.sql("DROP TABLE IF EXISTS vadm_idx_vecs")
+    spark.catalog.clearCache()
+  }
+
   test("stream-stream interval join matches views within the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val vs = MemoryStream[Ev]
@@ -626,6 +665,36 @@ class StreamingSpec extends SparkSpec {
       "replay is idempotent on the store")
     assert(spark.read.parquet(s"${store}_dlq/*.parquet").count() == 3L,
       "replay is idempotent on the DLQ")
+  }
+
+  test("admissionAudit: NULL PKs are not duplicates of each other " +
+      "(q39's count(pk) - countDistinct(pk) skips null-keyed rows)") {
+    import graft.pipeline.Relational
+    val batch = Seq((Option(1L), "a"), (Option.empty[Long], "b"),
+      (Option.empty[Long], "c")).toDF("doc_id", "text")
+    val out = Relational.admissionAudit(batch,
+      Relational.AdmissionChecks(pk = Some("doc_id")))
+    assert(out.filter(size($"_violations") > 0).count() == 0,
+      "two NULL-PK rows must not dead-letter each other as dup_pk")
+    // a REAL duplicate alongside the nulls still flags exactly once
+    val batch2 = batch.unionByName(
+      Seq((Option(1L), "d")).toDF("doc_id", "text"))
+    assert(Relational.admissionAudit(batch2,
+      Relational.AdmissionChecks(pk = Some("doc_id")))
+      .filter(size($"_violations") > 0).count() == 1)
+  }
+
+  test("normalizeEvents nulls non-finite FLOAT measures too (producer " +
+      "may write value as float or double)") {
+    val df = Seq(
+      (1L, ts(0), "click", 1.5f),
+      (2L, ts(1), "click", Float.NaN),
+      (3L, ts(2), "click", Float.PositiveInfinity))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Tables.normalizeEvents(df)
+    assert(out.count() == 3, "rows kept — only the measure is nulled")
+    assert(out.filter($"value".isNull).count() == 2,
+      "NaN and Inf float values must be nulled like doubles")
   }
 
   test("streaming ingest into the incremental store dedups across micro-batches") {

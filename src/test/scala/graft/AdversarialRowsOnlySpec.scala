@@ -233,6 +233,58 @@ class AdversarialRowsOnlySpec extends SparkSpec {
     assert(bpe.count() >= 1, "BPE training survives the hostile corpus")
   }
 
+  test("streaming gates survive the full hostile corpus: dedup and " +
+      "segment gates ingest it, replays are idempotent, contentless " +
+      "docs neither crash nor poison") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_advstream_").toString
+    val rows = Tables.documents(spark, advDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq // Option-free tuple: text may be null — keep as-is
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advstream_idx$t"))
+    graft.operators.Dedup.writeDedupIndex(
+      Seq((900000L, "seed document for the hostile stream gate test x " +
+        (0 until 30).map(i => s"s$i").mkString(" "))).toDF("doc_id", "text"),
+      "advstream_idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.dedupStream(
+      mem.toDF().toDF("doc_id", "text"), "advstream_idx", s"$dir/store",
+      growEvery = 2)
+    // the whole hostile corpus in two micro-batches (exact-mass family
+    // split across the batch boundary so cross-batch gating runs too)
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val stored = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored.nonEmpty, "hostile stream must land survivors")
+    // the 40x exact-mass family collapses: content-hash dedup keeps ONE
+    // text regardless of which batch carried which copies
+    assert((1400L to 1439L).count(stored.contains) == 1,
+      s"exact mass must collapse to one stored copy, got " +
+        s"${(1400L to 1439L).count(stored.contains)}")
+    // replaying batch 2's content as a NEW batch is fully gated (every
+    // doc matches the store/index built from itself)
+    mem.addData(h2.map { case (id, t) => (id + 500000L, t) }: _*)
+    q.processAllAvailable(); q.stop()
+    val after = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    // non-null replayed texts are exact dups (content hash) — only the
+    // contentless docs (null text has no hash identity) may re-land
+    val relanded = (after -- stored).filter(_ >= 500000L)
+      .map(_ - 500000L)
+    val contentless = rows.filter(r => r._2 == null ||
+      r._2.trim.isEmpty).map(_._1).toSet
+    assert(relanded.subsetOf(contentless),
+      s"replayed content must gate on the grown index, re-landed: " +
+        s"${relanded -- contentless}")
+    Seq("_bands", "_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advstream_idx$t"))
+    spark.catalog.clearCache()
+  }
+
   test("p01/p07 curation over the hostile corpus: waterfall is " +
       "conserved (n_out = n_in - n_killed, stages chain) and total mass " +
       "is accounted") {

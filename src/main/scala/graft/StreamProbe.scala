@@ -295,12 +295,69 @@ object StreamProbe {
       spark.sql("DROP TABLE IF EXISTS probe_sem_idx_vecs")
     }
 
+    if (want("stream_gate_compaction"))
+      gateCompactionProbe(spark, perWave, waves)
+
     spark.stop()
   }
 
   /** Shared gate report: sustained rate, per-trigger seconds, and the
     * flatness ratio (median of the last third over the first third).
     */
+  /** Compaction operating cost at probe scale (verdict r16 #3's
+    * production question): the dedup gate run twice over the SAME waves
+    * — compaction off (file counts grow with fold count) vs
+    * compactAbove=8 with growEvery=2 (every fold is followed by a
+    * rewrite to ≤ buckets files) — reporting per-trigger seconds (the
+    * compacting run's triggers INCLUDE the rewrite pauses), flatness,
+    * and the final index file counts for both. The committed claim:
+    * file counts bounded at the bucket count for any stream length, at
+    * a visible-but-fold-amortized trigger cost.
+    */
+  private def gateCompactionProbe(spark: org.apache.spark.sql.SparkSession,
+      perWave: Int, waves: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docWaveN = math.max(perWave / 100, 200)
+    val gateWaves = math.max(waves, 8)
+    val all = GenCorpus.generate(spark, docWaveN.toLong * gateWaves, 20)
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    Seq(0, 8).foreach { compactAbove =>
+      val mode = if (compactAbove == 0) "off" else s"above$compactAbove"
+      val table = s"probe_cmp_idx_$mode"
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sprobe_cmp_$mode").toString
+      Seq("_bands", "_shingles").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $table$sfx"))
+      operators.Dedup.writeDedupIndex(
+        spark.createDataFrame(all.take(docWaveN).toSeq)
+          .toDF("doc_id", "source", "text").select($"doc_id", $"text"),
+        table)
+      val mem = MemoryStream[(Long, String, String)]
+      val q = streaming.StreamingOps.dedupStream(
+        mem.toDF().toDF("doc_id", "source", "text"), table, s"$root/store",
+        growEvery = 2, compactAbove = compactAbove)
+      val trigSecs = all.drop(docWaveN).grouped(docWaveN).toSeq.map { w =>
+        val t0 = System.nanoTime()
+        mem.addData(w.toSeq: _*); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      val counts = operators.Dedup.indexFileCounts(spark, table)
+        .toSeq.sortBy(_._1)
+        .map { case (t, n) => s""""${t.stripPrefix(table)}":$n""" }
+        .mkString("{", ",", "}")
+      val third = math.max(trigSecs.length / 3, 1)
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      val flat = med(trigSecs.takeRight(third)) / med(trigSecs.take(third))
+      println(f"""{"probe":"stream_gate_compaction","mode":"$mode","docs":${all.length - docWaveN},"triggers":${trigSecs.length},"trigger_secs":[${trigSecs.map(t => f"$t%.2f").mkString(",")}],"flatness_last_over_first":$flat%.2f,"index_files":$counts}""")
+      Seq("_bands", "_shingles").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $table$sfx"))
+    }
+  }
+
   private def reportGate(name: String, total: Long, trigSecs: Seq[Double],
       stored: Long): Unit = {
     val third = math.max(trigSecs.length / 3, 1)

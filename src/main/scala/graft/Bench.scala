@@ -49,7 +49,13 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       }.min
     }.getOrElse(-1.0)
-    spark.catalog.clearCache()
+    // No clearCache here (ADVICE r17): every measured query already
+    // clears the catalog cache after each of its own reps, so a clear at
+    // the mid-suite checkpoint only re-wiped an already-clean cache while
+    // making the methodology read as if mid-suite state were being reset.
+    // q01's three probe reps stay — note the probe itself pre-warms q01's
+    // paths when q01 is in the measured suite (start checkpoint runs
+    // before it), a constant of this methodology since r17.
     (cpu, q01)
   }
 
@@ -172,6 +178,17 @@ object Bench {
         // compounding. Memoized cluster tables survive (localCheckpoint,
         // not catalog cache) — which is their intent.
         spark.catalog.clearCache()
+        // …and clear consume-once CHECKPOINT blocks too (VERDICT r17 #1):
+        // clearCache only drops catalog-cached frames; a localCheckpoint'd
+        // result (d11b/d12's pair verdicts, g01's iteration frames) keeps
+        // its blocks until the ContextCleaner GCs the reference — on this
+        // heap, effectively never within a suite — so each rep stacked a
+        // dead generation and later suite neighbors timed eviction churn
+        // (the r17 d16/d17/s02/s03 inflation; REGRESSION_AB_r18 is the
+        // A/B). Memo tables are pinned and survive. Opt-out env is for
+        // the A/B control arm only.
+        if (!sys.env.contains("SPARK_GRAFT_KEEP_CHECKPOINTS"))
+          graft.CacheHygiene.freeTransient(spark)
         sec
       }.sorted
       // Deterministic listener drain (a fixed sleep can under-wait on a
@@ -239,8 +256,19 @@ object Bench {
     // Full per-query detail goes on its OWN line (and into a file) because
     // the driver keeps only the final ~2000 chars of stdout: the LAST line
     // must stay short so it always fits the tail buffer and parses.
+    // Detail-file contract (VERDICT r17 #6): the file is NAMED for the
+    // run — sf-suffixed, and additionally "_filtered" when a query-name
+    // filter was passed — so a local filtered iteration can never clobber
+    // the committed full-suite detail (it cost the r17 judge a
+    // restore-from-HEAD), and per-round sf detail files need no manual
+    // copies. SPARK_GRAFT_BENCH_DETAIL overrides the path outright.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", {
+      val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val filteredTag = if (args.isEmpty) "" else "_filtered"
+      s"BENCH_DETAIL_$sfTag$filteredTag.json"
+    })
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     val totalLine =

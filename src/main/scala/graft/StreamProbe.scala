@@ -301,9 +301,6 @@ object StreamProbe {
     spark.stop()
   }
 
-  /** Shared gate report: sustained rate, per-trigger seconds, and the
-    * flatness ratio (median of the last third over the first third).
-    */
   /** Compaction operating cost at probe scale (verdict r16 #3's
     * production question): the dedup gate run twice over the SAME waves
     * — compaction off (file counts grow with fold count) vs
@@ -358,6 +355,9 @@ object StreamProbe {
     }
   }
 
+  /** Shared gate report: sustained rate, per-trigger seconds, and the
+    * flatness ratio (median of the last third over the first third).
+    */
   private def reportGate(name: String, total: Long, trigSecs: Seq[Double],
       stored: Long): Unit = {
     val third = math.max(trigSecs.length / 3, 1)

@@ -23,8 +23,11 @@ object Verify {
       }
       // Same hygiene as Bench: operators persist internal frames (t18's
       // toks/dfw, d02's shingles, d10's token arrays) whose lifecycle is
-      // caller-owned — drop them so 87 queries don't stack cache blocks.
+      // caller-owned — drop them so 131 queries don't stack cache blocks;
+      // consume-once localCheckpoint results likewise (VERDICT r17 #1),
+      // with the memo tables pinned.
       spark.catalog.clearCache()
+      CacheHygiene.freeTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

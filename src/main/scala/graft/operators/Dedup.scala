@@ -218,7 +218,8 @@ object Dedup {
       minJaccard)
     // same self-cleaning contract as the graph helpers (r14 #3): the
     // pair set is bounded, materialize it and release the corpus cache
-    val local = out.localCheckpoint(true)
+    // (plan-auditable: pass-through under Plans — VERDICT r17 #2)
+    val local = SelfClean.checkpoint(out)
     docs.unpersist()
     local
   }
@@ -1114,8 +1115,8 @@ object Dedup {
     // returning — same contract as segmentNeardupFullHandle.
     val probed = semanticProbed(s, dir,
       resolvePlanes(s, dir, planes, maxBucket), dim, nprobe)
-    val out = semanticPairsMultiprobeFrom(probed, minCos, maxBucket,
-      quantPrefilter).localCheckpoint()
+    val out = SelfClean.checkpoint(
+      semanticPairsMultiprobeFrom(probed, minCos, maxBucket, quantPrefilter))
     probed.unpersist()
     out
   }
@@ -1289,7 +1290,7 @@ object Dedup {
     // `candidates` cached "caller-owned" with no handle exposed, so a
     // long-lived session could only reclaim it via session-wide
     // clearCache (evicting co-resident workloads' caches with it).
-    val labels = assignments.localCheckpoint()
+    val labels = SelfClean.checkpoint(assignments)
     candidates.unpersist()
     Tables.embeddings(s, dir).select($"vec_id")
       .join(labels, Seq("vec_id"), "left")
@@ -1533,6 +1534,19 @@ object Dedup {
     * replaced automatically when the corpus fingerprint changes).
     */
   def clearClusterCache(): Unit = ccCache.clear()
+
+  /** Checkpoint-block RDD ids of the live cluster memos — the pinned set
+    * for harness-side transient-checkpoint sweeps (VERDICT r17 #1: the
+    * memo must survive the sweep; everything else checkpointed is a
+    * consume-once result whose blocks are dead weight once consumed).
+    */
+  private[graft] def memoCheckpointRddIds: Set[Int] = {
+    val ids = Set.newBuilder[Int]
+    ccCache.values.forEach(e =>
+      ids ++= org.apache.spark.sql.graft.SparkInternals
+        .checkpointRddIds(e._2))
+    ids.result()
+  }
 
   /** d07: transitive dedup clusters as a query — the d04 candidate pairs
     * closed under connectivity via iterative min-label propagation. The
@@ -1877,6 +1891,7 @@ object Dedup {
   def substringRewriteDelta(spark: SparkSession, table: String,
       delta: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
+    indexRecoverAndRefresh(spark, table)
     val toks = delta
       .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2207,7 +2222,7 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val (rollup, caches) = segmentNeardupFullHandle(documents, width,
       bands, rows, maxBucket, minJaccard)
-    val out = rollup.localCheckpoint(true)
+    val out = SelfClean.checkpoint(rollup)
     caches.foreach(_.unpersist())
     out
   }
@@ -2688,6 +2703,7 @@ object Dedup {
   def dedupDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
       bands: Int = 16, rows: Int = 4,
       minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
+    indexRecoverAndRefresh(spark, table)
     val dsh = shingleFrame(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (dedupDeltaFromShingles(spark, table, dsh, bands, rows, minJaccard),
@@ -2788,6 +2804,25 @@ object Dedup {
   private val IndexSuffixes =
     Seq("_bands", "_shingles", "_segdigests", "_grams", "_vecs")
 
+  /** Open-time hygiene for a stored index (VERDICT r17 #3 + ADVICE r17):
+    * finish or roll back any compaction swap a crash interrupted
+    * (Layout.recoverCompaction — so a gate restart never faces a missing
+    * live table name), then refreshTable each index table this probe will
+    * read — compaction in ANOTHER session (the documented between-batches
+    * pattern) rewrites the files under the table, and Spark has no
+    * cross-session invalidation, so an un-refreshed reader hits stale
+    * file listings / FileNotFound. Cost per probe: a handful of catalog
+    * existence checks plus re-listing tables whose file counts the
+    * compaction contract itself bounds at ~one file per bucket.
+    */
+  private[graft] def indexRecoverAndRefresh(spark: SparkSession,
+      table: String): Unit =
+    IndexSuffixes.map(s => s"$table$s").foreach { t =>
+      graft.sources.Layout.recoverCompaction(spark, t).foreach(a =>
+        System.err.println(s"[index] recovered $t: $a"))
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
   /** Per-table data-file counts for a stored index — the observability
     * half of the compaction contract (verdict r16 #3): a long-running
     * stream's fold cycles append one file per (task × bucket) per fold,
@@ -2811,11 +2846,16 @@ object Dedup {
     * fold boundaries (StreamingOps.maybeCompact).
     */
   def compactIndex(spark: SparkSession, table: String,
-      above: Long = 0L): Map[String, (Long, Long)] =
+      above: Long = 0L): Map[String, (Long, Long)] = {
+    // finish/roll back any swap a crash interrupted BEFORE counting —
+    // a mid-swap table would otherwise read "absent" and be skipped
+    // silently (its files left under the _compact_* name forever)
+    indexRecoverAndRefresh(spark, table)
     indexFileCounts(spark, table)
       .filter(_._2 > above).keys.toSeq.sorted
       .map(t => t -> graft.sources.Layout.compactBucketedTable(spark, t))
       .toMap
+  }
 
   /** Materialize a SEGMENT-granularity dedup index for [[segmentDelta]]
     * probes — d18b's paragraph-dedup contract made incremental: the
@@ -2922,6 +2962,7 @@ object Dedup {
       table: String, meta: DataFrame, bands: Int, rows: Int,
       minJaccard: Double): DataFrame = {
     import spark.implicits._
+    indexRecoverAndRefresh(spark, table)
     val exact = meta
       .join(spark.table(s"${table}_segdigests"), Seq("h", "h2"), "left_semi")
       .select($"ord")
@@ -3070,6 +3111,7 @@ object Dedup {
   def semanticDelta(spark: SparkSession, table: String, delta: DataFrame,
       planes: Int = 0, nprobe: Int = 3, minCos: Double = 0.9): DataFrame = {
     import spark.implicits._
+    indexRecoverAndRefresh(spark, table)
     // planes=0 → the value the index was written with (_vecmeta): probe
     // and store MUST share the partition or every lookup misses.
     val p = if (planes > 0) planes else storedPlanes(spark, table)

@@ -60,9 +60,55 @@ object Layout {
   def bucketedFileCount(spark: SparkSession, table: String): Long = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val dir = new java.io.File(new java.net.URI(meta.location.toString).getPath)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    // Resolve through the location's own Hadoop FileSystem (ADVICE r17):
+    // java.io.File.listFiles on an hdfs:/s3: warehouse returns null, which
+    // would read as 0 files and silently disable maybeCompact forever —
+    // the same resolution the parquet writer itself uses.
+    val p = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** Recover a table from a compaction interrupted mid-swap (VERDICT r17
+    * #3 / ADVICE r17): [[compactBucketedTable]]'s swap order is
+    * build-`_compact_tmp` → rename live aside to `_compact_old` → promote
+    * tmp → drop old, so every crash window is mechanically recoverable:
+    *
+    *  - live table present: any `_compact_tmp` is an unfinished build
+    *    (possibly half-written) and any `_compact_old` is a leftover
+    *    after a completed promote — both are safely dropped;
+    *  - live table ABSENT with `_compact_tmp` present: the crash hit
+    *    between rename-aside and promote; tmp landed fully before the
+    *    rename-aside ever ran, so promote it (and drop the old copy);
+    *  - live table absent with only `_compact_old`: roll the original
+    *    back under the live name.
+    *
+    * Idempotent and cheap (catalog existence checks) — the streaming
+    * gates and index probes call through here at open time, so a crashed
+    * compaction never needs manual surgery. Returns a description of the
+    * action taken, or None when the table needed no recovery.
+    */
+  def recoverCompaction(spark: SparkSession, table: String): Option[String] = {
+    val tmp = s"${table}_compact_tmp"
+    val old = s"${table}_compact_old"
+    val cat = spark.catalog
+    if (cat.tableExists(table)) {
+      val dropped = Seq(old, tmp).filter(cat.tableExists)
+      dropped.foreach(t => spark.sql(s"DROP TABLE $t"))
+      if (dropped.nonEmpty) Some(s"dropped stale ${dropped.mkString(", ")}")
+      else None
+    } else if (cat.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      if (cat.tableExists(old)) spark.sql(s"DROP TABLE $old")
+      cat.refreshTable(table)
+      Some(s"promoted complete $tmp")
+    } else if (cat.tableExists(old)) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      cat.refreshTable(table)
+      Some(s"rolled back to $old")
+    } else None
   }
 
   /** Compact a BUCKETED catalog table in place, preserving its bucket
@@ -76,9 +122,13 @@ object Layout {
     * StreamingSpec asserts that on the post-compaction plan. Returns
     * (files_before, files_after).
     *
-    * Swap is tmp-table + DROP + RENAME: content lands fully before the
-    * original is dropped, so a crash leaves either the original or a
-    * complete `_compact_tmp` to recover — never a half table.
+    * Swap is build-tmp → rename live aside → promote tmp → drop old
+    * (ADVICE r17 — the former DROP-then-RENAME had a window where the
+    * live name existed in NO table): content lands fully in
+    * `_compact_tmp` before the original moves, and every crash window
+    * leaves a state [[recoverCompaction]] resolves mechanically —
+    * LayoutSpec plants a crash in each window and proves the next open
+    * recovers.
     */
   def compactBucketedTable(spark: SparkSession, table: String): (Long, Long) = {
     val catalog = spark.sessionState.catalog
@@ -88,7 +138,9 @@ object Layout {
       sys.error(s"$table is not bucketed — use compactStore for plain dirs"))
     val before = bucketedFileCount(spark, table)
     val tmp = s"${table}_compact_tmp"
+    val old = s"${table}_compact_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     // Read the data files as PLAIN parquet (not spark.table): the bucketed
     // scan's planner interplay silently defeats the repartition below —
     // measured: partitions came back as raw file splits mixing 6–8 buckets
@@ -99,7 +151,9 @@ object Layout {
     // the bucket-id function are the same pmod(murmur3) — each write task
     // holds exactly one bucket's rows, so the output is numBuckets files
     // (probed: 32 files -> 8, content-equal).
-    val w = spark.read.parquet(new java.net.URI(meta.location.toString).getPath)
+    // The location URI goes to the reader verbatim (scheme kept): stripping
+    // to URI.getPath would misread any non-file: warehouse (ADVICE r17).
+    val w = spark.read.parquet(meta.location.toString)
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
       .write
       .mode(SaveMode.Overwrite)
@@ -109,8 +163,9 @@ object Layout {
     (if (spec.sortColumnNames.nonEmpty)
        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else w).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
     // refresh THIS session's relation cache over the rewritten files.
     // Cross-session contract (same as any externally-rewritten table,
     // appends included): other sessions that have already read the table

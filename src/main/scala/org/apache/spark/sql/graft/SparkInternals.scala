@@ -33,6 +33,44 @@ object SparkInternals {
       case _ => ()
     }
 
+  /** RDD ids of every `LogicalRDD` (= localCheckpoint materialization) in
+    * a frame's analyzed plan — how the memo caches declare which
+    * checkpoint blocks are PINNED (meant to outlive the query that built
+    * them) to [[freeTransientCheckpoints]].
+    */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+
+  /** Unpersist every block-manager-resident RDD EXCEPT the pinned set
+    * (VERDICT r17 #1): a consume-once operator result that was
+    * `localCheckpoint`ed (d11b/d12's pair verdicts, g01's intermediate
+    * iteration frames, d02c's pair set, …) keeps its blocks until the
+    * ContextCleaner GCs the RDD reference — which on a 24 g driver heap
+    * can be NEVER during a bench suite, so each rep of each such query
+    * stacks another generation of dead blocks and later suite neighbors
+    * time eviction churn instead of their own work. Harness-side hygiene
+    * for the points where nothing is in flight (between bench reps /
+    * verify queries): free everything the memo caches did not pin.
+    * NOT for sessions with concurrent workloads — a co-resident stream's
+    * mid-batch persists would be swept too.
+    */
+  def freeTransientCheckpoints(spark: org.apache.spark.sql.SparkSession,
+      pinned: Set[Int], blocking: Boolean = true): Int = {
+    val stale = spark.sparkContext.getPersistentRDDs.valuesIterator
+      .filterNot(r => pinned.contains(r.id)).toList
+    // blocking by default: an async unpersist of multi-GB checkpoint
+    // generations drains CONCURRENTLY with the next measured query (the
+    // sf10 A/B read d12 3× slower from d11b's eviction backwash); a
+    // blocking free lands the removal cost between reps, where nothing
+    // is being timed.
+    stale.foreach(r =>
+      try r.unpersist(blocking)
+      catch { case _: Throwable => () })
+    stale.size
+  }
+
   /** True when the session's CacheManager holds no persisted frames —
     * the post-query hygiene assertion operators with internal persists
     * are specced against (VERDICT r14 #3).

@@ -285,6 +285,171 @@ class AdversarialRowsOnlySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("segment gate end-to-end on the hostile corpus: CJK boilerplate " +
+      "gated post-growth, contentless docs land ungated, replays gate " +
+      "(VERDICT r17 #5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_advseg_").toString
+    val rows = Tables.documents(spark, advDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    Seq("_bands", "_shingles", "_segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advseg_idx$t"))
+    graft.operators.Dedup.writeSegmentIndex(
+      Seq((900000L, (0 until 40).map(i => s"seedseg$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "advseg_idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.segmentDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "advseg_idx", s"$dir/store",
+      growEvery = 2)
+    // parity split puts the CJK boilerplate pair on opposite sides of
+    // the batch boundary: 1600 (even) arrives first and grows the index;
+    // 1601 — the SAME text ±1 char, invisible to word shingling, caught
+    // only by the script-adaptive char segments — arrives second
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val stored = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored.contains(1600L), "the first CJK doc is novel → lands")
+    assert(!stored.contains(1601L),
+      "CJK boilerplate (±1 char of grown doc 1600) must be gated " +
+        "post-growth by the adaptive char segments")
+    // 40× exact mass: batch 1's copies content-hash-collapse in the
+    // store; batch 2's copies gate on batch 1's grown segments
+    assert((1400L to 1439L).count(stored.contains) == 1,
+      s"exact mass must collapse to one stored copy, got " +
+        s"${(1400L to 1439L).count(stored.contains)}")
+    // contentless docs produce no segments → no kept_ratio verdict →
+    // never GATED (store-level content-hash dedup may still collapse
+    // byte-identical empties — that's the dedup store's policy, not the
+    // segment gate's)
+    val contentless = rows.filter(r => r._2 == null || r._2.trim.isEmpty)
+      .map(_._1).toSet
+    val emptyNonNull = rows.filter(r => r._2 != null && r._2.trim.isEmpty)
+    assert(emptyNonNull.map(_._1).count(stored.contains) >= 1,
+      "contentless docs must pass the segment gate (land, up to " +
+        "content-hash collapse)")
+    // replay of batch 2's content as new ids: every segmented doc now
+    // matches its own grown keepers → gated; only contentless docs (no
+    // segments, and null text no content hash) may re-land
+    mem.addData(h2.map { case (id, t) => (id + 500000L, t) }: _*)
+    q.processAllAvailable(); q.stop()
+    val after = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    val relanded = (after -- stored).filter(_ >= 500000L).map(_ - 500000L)
+    assert(relanded.subsetOf(contentless),
+      s"replayed segmented docs must gate on their own keepers, " +
+        s"re-landed: ${relanded -- contentless}")
+    Seq("_bands", "_shingles", "_segdigests").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advseg_idx$t"))
+    spark.catalog.clearCache()
+  }
+
+  test("substring gate end-to-end on the hostile corpus: the 40× run " +
+      "mass keeps ONE intact copy, nothing is dropped, replayed text is " +
+      "stripped post-growth (VERDICT r17 #5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_advsub_").toString
+    val rows = Tables.documents(spark, advDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val exactText = rows.find(_._1 == 1400L).get._2
+    assert(exactText.split(" ").length >= 20, "mass family must clear k")
+    spark.sql("DROP TABLE IF EXISTS advsub_idx_grams")
+    graft.operators.Dedup.writeSubstringIndex(
+      Seq((900000L, (0 until 40).map(i => s"seedtok$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "advsub_idx", k = 20)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.substringDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "advsub_idx", s"$dir/store",
+      k = 20)
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val texts = spark.read.parquet(s"$dir/store/*.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // the rewrite gate never drops a doc — every hostile id lands
+    // (gutted perhaps, but present)
+    val missing = rows.map(_._1).toSet -- texts.keySet
+    assert(missing.isEmpty, s"substring gate must land every doc: $missing")
+    // 40× exact mass (a single ≥k-token run): exactly one keeper copy
+    // retains the run; the other 39 — within-batch later occurrences and
+    // the post-growth batch — are stripped
+    val intact = (1400L to 1439L).count(id => texts(id) == exactText)
+    assert(intact == 1,
+      s"exact-mass family must keep exactly one intact copy, got $intact")
+    assert((1400L to 1439L).forall(id => texts.contains(id)))
+    // CJK / short docs are below k tokens — pass through byte-identical
+    assert(texts(1600L) == rows.find(_._1 == 1600L).get._2,
+      "sub-k CJK docs must pass unmodified")
+    // replay of batch 2 under new ids: its novel runs are now owned by
+    // the index → the replayed mass copies arrive stripped
+    mem.addData(h2.map { case (id, t) => (id + 500000L, t) }: _*)
+    q.processAllAvailable(); q.stop()
+    val after = spark.read.parquet(s"$dir/store/*.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val replayIntact = (1400L to 1439L).filter(_ % 2 == 1)
+      .count(id => after.get(id + 500000L).contains(exactText))
+    assert(replayIntact == 0,
+      s"replayed mass copies must be stripped post-growth: $replayIntact intact")
+    spark.sql("DROP TABLE IF EXISTS advsub_idx_grams")
+    spark.catalog.clearCache()
+  }
+
+  test("semantic gate end-to-end on hostile embeddings: degenerate " +
+      "vectors dead-letter, the identical pair gates across the batch " +
+      "boundary, negation lands, replays gate (VERDICT r17 #5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Relational.{AdmissionChecks, VectorCheck}
+    val dir = java.nio.file.Files.createTempDirectory("graft_advsem_").toString
+    val rows = Tables.embeddings(spark, advDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Option[Float]])].collect().toSeq
+    Seq("_vecs", "_vecmeta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advsem_idx$t"))
+    graft.operators.Dedup.writeSemanticIndex(
+      GenCorpus.generateEmbeddings(spark, 10)
+        .withColumn("vec_id", $"vec_id" + 900000L), "advsem_idx")
+    val mem = MemoryStream[(Long, Seq[Option[Float]])]
+    val q = graft.streaming.StreamingOps.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "advsem_idx", s"$dir/store",
+      audit = Some(AdmissionChecks(
+        vectors = Seq(VectorCheck("embedding", dim = 64)))))
+    // parity split puts the byte-identical pair (1001 odd, 1002 even) on
+    // opposite sides of the boundary: 1002 lands + grows, 1001 must gate
+    val (h1, h2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    val stored = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(stored.contains(1002L), "first of the identical pair is novel")
+    assert(!stored.contains(1001L),
+      "identical vector must gate on the index grown by its twin")
+    assert(stored.contains(1003L),
+      "exact negation (cos −1) must land — similarity is signed")
+    val dlq = spark.read.parquet(s"$dir/store_dlq/*.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(Set(1000L, 1008L).subsetOf(dlq),
+      s"zero and NULL-component vectors must dead-letter, got $dlq")
+    assert((dlq & stored).isEmpty, "dead-lettered vectors never store")
+    // replay of batch 2's exact content (same ids, new micro-batch):
+    // every admitted vector matches ITSELF in the grown index → the
+    // stored set is unchanged; the degenerate rows dead-letter again
+    mem.addData(h2: _*)
+    q.processAllAvailable(); q.stop()
+    val after = spark.read.parquet(s"$dir/store/*.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == stored,
+      s"replayed vectors must all gate: ${(after -- stored).toSeq.sorted}")
+    Seq("_vecs", "_vecmeta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS advsem_idx$t"))
+    spark.catalog.clearCache()
+  }
+
   test("p01/p07 curation over the hostile corpus: waterfall is " +
       "conserved (n_out = n_in - n_killed, stages chain) and total mass " +
       "is accounted") {

@@ -42,6 +42,41 @@ class GraphSpec extends SparkSpec {
       s"top-decile mean rank $highMean should exceed bottom-decile $lowMean")
   }
 
+  test("g01 early-stop pagerank: eps fires before the budget, the result " +
+      "is bit-identical to fixed-iteration at the executed round count, " +
+      "and looser eps stops sooner") {
+    // The trade graph is BIPARTITE (customer↔supplier), so λ2 = −1 and
+    // the damped chain contracts at exactly d = 0.85 per round — the
+    // measured trajectory on this graph is delta(k) = 1.487·0.85^(k−1)
+    // in unscaled-r L1 — making it the worst case for early stopping:
+    // no eps can look "free", so the test pins what the variant really
+    // guarantees. (1) the stop fires inside the budget; (2) the result
+    // equals plain fixed-iteration run for exactly the rounds executed
+    // — identical arithmetic, 4 dp rounding, so bit-identical, proving
+    // the convergence probe perturbs nothing; (3) rounds are monotone
+    // in eps — the budget saving is real and tunable.
+    val edges = operators.Graph.tradeEdges(spark, sf)
+    val budget = 40
+    val (conv, rounds) = operators.Graph
+      .pagerankConvergedOf(edges, eps = 0.02, maxIters = budget)
+    assert(rounds < budget,
+      s"early-stop used all $rounds/$budget rounds — eps never fired")
+    val fixed = operators.Graph.pagerankOf(edges, iters = rounds)
+      .select($"node", $"rank_rel".as("a"))
+    val joined = fixed.join(
+      conv.select($"node", $"rank_rel".as("b")), Seq("node"))
+    assert(joined.count() == fixed.count(), "node sets must match")
+    val maxAbs = joined.agg(max(abs($"a" - $"b"))).head().getDouble(0)
+    assert(maxAbs == 0.0,
+      s"early-stop diverges from same-round fixed-iteration: " +
+        s"max |Δrank_rel| $maxAbs")
+    val (_, roundsLoose) = operators.Graph
+      .pagerankConvergedOf(edges, eps = 0.2, maxIters = budget)
+    info(s"rounds: eps=0.02 → $rounds, eps=0.2 → $roundsLoose (budget $budget)")
+    assert(roundsLoose < rounds,
+      s"looser eps must stop sooner: eps=0.2 ran $roundsLoose vs $rounds")
+  }
+
   test("g02 copurchase overlap counts are consistent and bounded") {
     val co = operators.Graph.copurchase(spark, sf).persist()
     val rows = co.collect()

@@ -66,6 +66,29 @@ class SimilaritySpec extends SparkSpec {
       f"multi-probe recall $recallMp%.3f fell below single-probe $recallLsh%.3f")
   }
 
+  test("recall tripwire: Recall.recallAtK pins the artifact's numbers and " +
+      "a deliberately crippled config scores strictly lower (VERDICT r17 #4)") {
+    val truth = operators.Similarity.knnBrute(spark, sf)
+      .localCheckpoint()
+    val (committed, dCommitted, nq) = Recall.recallAtK(
+      operators.Similarity.knnLshMultiprobe(spark, sf), truth)
+    val (crippled, _, _) = Recall.recallAtK(
+      operators.Similarity.knnLshMultiprobe(spark, sf, nprobe = 1), truth)
+    info(f"recall@5 committed(nprobe=8)=$committed%.3f " +
+      f"crippled(nprobe=1)=$crippled%.3f over $nq queries")
+    // the committed config's floor: an nprobe or band-family regression
+    // lands below it (calibrated against RECALL_r18's measured values)
+    assert(committed > crippled,
+      f"multiprobe at nprobe=8 must beat nprobe=1: $committed%.3f vs $crippled%.3f")
+    assert(committed >= 0.30,
+      f"committed multiprobe recall fell below the floor: $committed%.3f")
+    // the ANN methods re-rank candidates by EXACT cosine: where a
+    // returned neighbor is a true top-5 neighbor, its sim must equal the
+    // brute-force sim bit-for-bit (both rounded to 6 dp)
+    assert(dCommitted == 0.0,
+      f"re-ranked sims diverge from exact: max delta $dCommitted%.6f")
+  }
+
   test("int8 quantization: ≥8x payload compression, tiny cosine error, high recall") {
     val emb = Tables.embeddings(spark, sf)
     val q = Similarity.quantizeInt8(emb)

@@ -35,10 +35,23 @@ object CacheHygiene {
     * Blocking by default so eviction IO cannot backwash into whatever
     * runs next (the A/B showed async frees slowing the NEXT query 3×).
     */
-  def freeTransient(spark: SparkSession, blocking: Boolean = true): Int = {
+  def freeTransient(spark: SparkSession, blocking: Boolean = true): Int =
+    freeTransientKeeping(spark, Nil, blocking)
+
+  /** [[freeTransient]] with extra caller-held frames pinned: a harness
+    * that keeps a checkpointed frame alive ACROSS sweeps (Recall's
+    * ground-truth top-k, scored against every ANN method in turn) must
+    * pin it or the sweep unpersists it — and a localCheckpoint's lineage
+    * is truncated, so the next read is CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+    * not a recompute.
+    */
+  def freeTransientKeeping(spark: SparkSession,
+      keep: Seq[org.apache.spark.sql.DataFrame],
+      blocking: Boolean = true): Int = {
+    val si = org.apache.spark.sql.graft.SparkInternals
     val pinned = graft.operators.Dedup.memoCheckpointRddIds ++
-      graft.operators.Graph.memoCheckpointRddIds
-    org.apache.spark.sql.graft.SparkInternals
-      .freeTransientCheckpoints(spark, pinned, blocking)
+      graft.operators.Graph.memoCheckpointRddIds ++
+      keep.flatMap(si.checkpointRddIds)
+    si.freeTransientCheckpoints(spark, pinned, blocking)
   }
 }

@@ -40,33 +40,44 @@ object Recall {
     (row.getDouble(0), row.getDouble(1), row.getLong(2))
   }
 
-  /** Pair-recall of the stored-index probe path: ground truth = exact
-    * query×corpus cosine pairs ≥ minCos (query side bounded, corpus
-    * broadcast-joined exactly as s01), found = semanticDelta over a
-    * writeSemanticIndex store of the corpus. What this measures is the
-    * real gate: bucket partition + multi-probe addressing + the
-    * oversized-bucket drop, end to end.
+  /** Pair-recall of the stored-index probe path AT ITS OPERATING
+    * THRESHOLD: the semantic gate exists to catch arriving NEAR-DUPS
+    * (cos ≥ minCos = 0.9 by default), so the probe is fed exactly that —
+    * `queryBound` corpus vectors deterministically perturbed
+    * (component-wise ±3% by a vec_id/position-seeded sine, cosine to the
+    * source ≈ 0.995–0.9995 depending on dim) under fresh ids. Ground
+    * truth = exact query×corpus cosine pairs ≥ minCos (broadcast cross
+    * join, the s01 arithmetic); found = semanticDelta over a
+    * writeSemanticIndex store of the FULL corpus. What this measures is
+    * the real gate end to end: bucket partition + multi-probe addressing
+    * + the oversized-bucket drop, including the cross-boundary misses
+    * the perturbation induces. (Asking the same machinery for ALL pairs
+    * at a low threshold — the first cut of this probe used 0.3 — is a
+    * category error: hyperplane buckets are DESIGNED to separate
+    * low-cosine pairs, and the resulting ~0 "recall" measures that
+    * design, not a regression.)
     */
   def storedIndexPairRecall(s: SparkSession, dir: String,
-      queryBound: Int = 32, minCos: Double = 0.3,
+      queryBound: Int = 32, minCos: Double = 0.9,
       nprobe: Int = 3): (Long, Long) = {
     import s.implicits._
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(s, dir)
     val queries = e.filter($"vec_id" < queryBound)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(x * (1.0d + 0.03d * sin(cast(vec_id as double) + i)) " +
+          "as float))").as("embedding"))
+      .localCheckpoint(true)
     val table = "recall_sem_idx"
     Seq(s"${table}_vecs", s"${table}_vecmeta").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"))
-    // corpus = everything ELSE, so probe pairs are (corpus_id, query_id)
-    // with no self-matches to exclude
     operators.Dedup.writeSemanticIndex(
-      e.filter($"vec_id" >= queryBound).select($"vec_id", $"embedding"),
-      table)
+      e.select($"vec_id", $"embedding"), table)
     val found = operators.Dedup
-      .semanticDelta(s, table, queries.select($"vec_id", $"embedding"),
-        nprobe = nprobe, minCos = minCos)
+      .semanticDelta(s, table, queries, nprobe = nprobe, minCos = minCos)
       .count()
-    val truth = e.filter($"vec_id" >= queryBound)
+    val truth = e
       .select($"vec_id".as("corpus_id"), asDouble($"embedding").as("cv"))
       .crossJoin(broadcast(queries
         .select($"vec_id".as("new_id"), asDouble($"embedding").as("nv"))))
@@ -99,7 +110,9 @@ object Recall {
       ("s06_knn_pq", () => operators.PqIndex.knnPq(spark, sfDir, k = k)))
     val scored = methods.map { case (name, fn) =>
       val (r, d, nq) = recallAtK(fn(), truth)
-      CacheHygiene.freeTransient(spark)
+      // keep = truth: it is scored against every method, and sweeping a
+      // localCheckpoint is destructive (truncated lineage, no recompute)
+      CacheHygiene.freeTransientKeeping(spark, Seq(truth))
       spark.catalog.clearCache()
       f""""$name":{"recall_at_$k":$r%.4f,"max_sim_delta":$d%.6f,"n_queries":$nq}"""
     }
@@ -107,7 +120,7 @@ object Recall {
     val pr = if (truePairs == 0) 1.0 else found.toDouble / truePairs
     val line =
       s"""{"metric":"recall","k":$k,"sf":"$sfDir","methods":{${scored.mkString(",")}},""" +
-        f""""stored_index":{"min_cos":0.3,"nprobe":3,"pair_recall":$pr%.4f,"found_pairs":$found,"true_pairs":$truePairs}}"""
+        f""""stored_index":{"min_cos":0.9,"nprobe":3,"perturbed_queries":32,"pair_recall":$pr%.4f,"found_pairs":$found,"true_pairs":$truePairs}}"""
     out.foreach { p =>
       val w = new java.io.PrintWriter(p)
       try w.println(line) finally w.close()

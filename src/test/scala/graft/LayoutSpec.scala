@@ -143,6 +143,39 @@ class LayoutSpec extends SparkSpec {
       dups(0).getLong(1) == 10L)
   }
 
+  test("a probe sees another session's compaction without manual refresh " +
+      "(ADVICE r17: cross-session staleness absorbed at probe open)") {
+    Seq("xs_idx_bands", "xs_idx_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, (0 until 30).map(j => s"tok${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    operators.Dedup.writeDedupIndex(mk(1L to 20L), "xs_idx")
+    operators.Dedup.appendDedupIndex(mk(21L to 40L), "xs_idx")
+    // prime THIS session's relation cache so its file listing is
+    // genuinely stale after the other session rewrites the files
+    spark.table("xs_idx_bands").count()
+    spark.table("xs_idx_shingles").count()
+    // compact through a CLONE — the documented between-batches pattern:
+    // the stream's foreachBatch session is not the analyst's session,
+    // and Spark has no cross-session relation-cache invalidation
+    val other = spark.newSession()
+    val compacted = operators.Dedup.compactIndex(other, "xs_idx")
+    assert(compacted.nonEmpty, "append must have left something to compact")
+    // probe in the ORIGINAL session with NO manual refreshTable: the
+    // open-time indexRecoverAndRefresh must absorb the rewrite (before
+    // r18 this path could throw FileNotFound on the stale listing)
+    val delta = mk(Seq(1000L)).union(mk(Seq(21L))
+      .select(lit(2000L).as("doc_id"), $"text"))
+    val dups = operators.Dedup.dedupDelta(spark, "xs_idx", delta)
+      .collect()
+    assert(dups.map(_.getLong(1)).toSet == Set(2000L),
+      s"probe after cross-session compaction must still find exactly " +
+        s"the planted dup: ${dups.mkString(",")}")
+    Seq("xs_idx_bands", "xs_idx_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("keyword store prefix search prunes to one partition and pushes the predicate") {
     val out = Files.createTempDirectory("graft_kws_").toString + "/keywords"
     val stats = Seq(

@@ -187,7 +187,10 @@ object Bench {
         // (the r17 d16/d17/s02/s03 inflation; REGRESSION_AB_r18 is the
         // A/B). Memo tables are pinned and survive. Opt-out env is for
         // the A/B control arm only.
-        if (!sys.env.contains("SPARK_GRAFT_KEEP_CHECKPOINTS"))
+        // value-checked, not presence-checked: KEEP=0/empty/false must
+        // mean FREE, or a 1/0 toggling harness silently runs keep-vs-keep
+        if (!sys.env.get("SPARK_GRAFT_KEEP_CHECKPOINTS")
+            .exists(v => v.nonEmpty && v != "0" && !v.equalsIgnoreCase("false")))
           graft.CacheHygiene.freeTransient(spark)
         sec
       }.sorted

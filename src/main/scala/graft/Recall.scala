@@ -37,6 +37,11 @@ object Recall {
       avg(coalesce(col("n_hit"), lit(0L)) / col("n_true")),
       max(coalesce(col("d"), lit(0.0))),
       count(lit(1))).head()
+    // empty truth → null aggregates; fail legibly instead of an NPE
+    // deep inside getDouble (self-review r18)
+    require(!row.isNullAt(0),
+      "recallAtK: ground truth is empty — is the embeddings table " +
+        "missing or empty in this sfDir?")
     (row.getDouble(0), row.getDouble(1), row.getLong(2))
   }
 

@@ -1891,7 +1891,7 @@ object Dedup {
   def substringRewriteDelta(spark: SparkSession, table: String,
       delta: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
-    indexRecoverAndRefresh(spark, table)
+    indexRecoverAndRefresh(spark, table, Seq("_grams"))
     val toks = delta
       .select($"doc_id", split(coalesce($"text", lit("")), " ").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2703,7 +2703,7 @@ object Dedup {
   def dedupDeltaHandle(spark: SparkSession, table: String, delta: DataFrame,
       bands: Int = 16, rows: Int = 4,
       minJaccard: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
-    indexRecoverAndRefresh(spark, table)
+    indexRecoverAndRefresh(spark, table, Seq("_bands", "_shingles"))
     val dsh = shingleFrame(delta)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (dedupDeltaFromShingles(spark, table, dsh, bands, rows, minJaccard),
@@ -2811,13 +2811,18 @@ object Dedup {
     * read — compaction in ANOTHER session (the documented between-batches
     * pattern) rewrites the files under the table, and Spark has no
     * cross-session invalidation, so an un-refreshed reader hits stale
-    * file listings / FileNotFound. Cost per probe: a handful of catalog
+    * file listings / FileNotFound. `suffixes` scopes the work to the
+    * tables THIS probe reads (self-review r18: refreshing all five
+    * suffixes forced a full file re-listing of tables the probe never
+    * scans, on every micro-batch — and missed `_vecmeta`, whose
+    * staleness the storedPlanes fallback silently turned into a
+    * wrong-partition-family probe). Cost per probe: a handful of catalog
     * existence checks plus re-listing tables whose file counts the
     * compaction contract itself bounds at ~one file per bucket.
     */
   private[graft] def indexRecoverAndRefresh(spark: SparkSession,
-      table: String): Unit =
-    IndexSuffixes.map(s => s"$table$s").foreach { t =>
+      table: String, suffixes: Seq[String] = IndexSuffixes): Unit =
+    suffixes.map(s => s"$table$s").foreach { t =>
       graft.sources.Layout.recoverCompaction(spark, t).foreach(a =>
         System.err.println(s"[index] recovered $t: $a"))
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
@@ -2962,7 +2967,8 @@ object Dedup {
       table: String, meta: DataFrame, bands: Int, rows: Int,
       minJaccard: Double): DataFrame = {
     import spark.implicits._
-    indexRecoverAndRefresh(spark, table)
+    indexRecoverAndRefresh(spark, table,
+      Seq("_segdigests", "_bands", "_shingles"))
     val exact = meta
       .join(spark.table(s"${table}_segdigests"), Seq("h", "h2"), "left_semi")
       .select($"ord")
@@ -3093,11 +3099,23 @@ object Dedup {
 
   /** The plane count a [[writeSemanticIndex]] table was written with —
     * one driver-side row from the `_vecmeta` sidecar; pre-sidecar
-    * indexes fall back to the historical default 12.
+    * indexes (no sidecar table) fall back to the historical default 12.
+    * The fallback fires ONLY on absence (self-review r18): the old
+    * catch-all turned a stale-listing read failure after a cross-session
+    * rewrite into planes=12 — a silently wrong partition family, every
+    * probe missing — where the correct move is refresh-and-retry, and
+    * the correct outcome for any remaining failure is a loud one.
     */
-  private def storedPlanes(spark: SparkSession, table: String): Int =
-    try spark.table(s"${table}_vecmeta").head().getInt(0)
-    catch { case _: Throwable => 12 }
+  private def storedPlanes(spark: SparkSession, table: String): Int = {
+    val t = s"${table}_vecmeta"
+    if (!spark.catalog.tableExists(t)) 12
+    else try spark.table(t).head().getInt(0)
+    catch {
+      case _: Throwable =>
+        spark.catalog.refreshTable(t)
+        spark.table(t).head().getInt(0)
+    }
+  }
 
   /** Probe a delta embedding batch against a [[writeSemanticIndex]]
     * corpus index: the delta's home bucket PLUS its `nprobe - 1`
@@ -3111,7 +3129,7 @@ object Dedup {
   def semanticDelta(spark: SparkSession, table: String, delta: DataFrame,
       planes: Int = 0, nprobe: Int = 3, minCos: Double = 0.9): DataFrame = {
     import spark.implicits._
-    indexRecoverAndRefresh(spark, table)
+    indexRecoverAndRefresh(spark, table, Seq("_vecs", "_vecmeta"))
     // planes=0 → the value the index was written with (_vecmeta): probe
     // and store MUST share the partition or every lookup misses.
     val p = if (planes > 0) planes else storedPlanes(spark, table)

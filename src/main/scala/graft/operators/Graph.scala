@@ -79,15 +79,17 @@ object Graph {
                iters: Int = 5, damping: Double = 0.85): DataFrame =
     pagerankOf(tradeEdges(s, dir), iters, damping)
 
-  /** Core of [[pagerank]] over any symmetric (src, dst) edge frame. */
-  def pagerankOf(edges: DataFrame,
-                 iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  /** Shared per-iteration prep: the edge list persisted pre-partitioned
+    * AND pre-sorted on the join key (every iteration joins on src, so
+    * paying the exchange+sort once lets all the sort-merge joins reuse
+    * the cached layout — only the |V|-row rank side moves per round) and
+    * the out-degree frame. Both [[pagerankOf]] and
+    * [[pagerankConvergedOf]] run EXACTLY this (one shared body, so the
+    * bit-identity GraphSpec pins cannot drift).
+    */
+  private def pagerankSetup(edges: DataFrame): (DataFrame, DataFrame) = {
     val s = edges.sparkSession
     import s.implicits._
-    // Persist the edge list pre-partitioned AND pre-sorted on the join
-    // key: every iteration joins on src, so paying the exchange+sort once
-    // lets all 5 sort-merge joins reuse the cached layout — only the
-    // |V|-row rank side moves per round.
     val e = edges
       .repartition($"src")
       .sortWithinPartitions($"src")
@@ -95,42 +97,71 @@ object Graph {
     val deg = e.groupBy($"src")
       .agg(count(lit(1)).cast("double").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (e, deg)
+  }
+
+  /** One PageRank round — the single definition of the iteration
+    * arithmetic (including writing the teleport term as
+    * `(1.0 - damping) / n`, which is a different double from
+    * `0.15 / n` and must match the oracle's CTEs). Folds outdeg into
+    * the node-count-sized rank frame FIRST (broadcast join between two
+    * |V|-row frames), so only one weight per edge flows into the partial
+    * aggregate on dst — never an edge-sized three-way join. The round
+    * frame is localCheckpoint'd (the connectedComponents pattern): round
+    * k's broadcast reads round k−1 from materialized blocks instead of
+    * recomputing the whole iteration chain — O(iters) vs O(iters²).
+    */
+  private def pagerankRound(e: DataFrame, deg: DataFrame, ranks: DataFrame,
+      n: Double, damping: Double, eager: Boolean): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val weights = ranks.join(deg, $"node" === $"src")
+      .select($"node".as("w_node"), ($"r" / $"outdeg").as("w"))
+    e.join(weights, $"src" === $"w_node")
+      .groupBy($"dst")
+      .agg(sum($"w").as("contrib"))
+      .select($"dst".as("node"),
+        (lit((1.0 - damping) / n) + lit(damping) * $"contrib").as("r"))
+      .localCheckpoint(eager)
+  }
+
+  /** Final output shape shared by both variants: rank relative to the
+    * uniform 1/N prior (mean 1.0), rounded to 4 dp so fp summation order
+    * can't flip the oracle hash.
+    */
+  private def rankRel(ranks: DataFrame, n: Double): DataFrame = {
+    val s = ranks.sparkSession
+    import s.implicits._
+    ranks
+      .select($"node", round($"r" * lit(n), 4).as("rank_rel"))
+      .orderBy($"node")
+  }
+
+  /** Core of [[pagerank]] over any symmetric (src, dst) edge frame. */
+  def pagerankOf(edges: DataFrame,
+                 iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val (e, deg) = pagerankSetup(edges)
     // Symmetric graph: deg's key set IS the node set. One bounded scalar
     // to the driver (node count), as documented in SURVEY §5 exceptions.
     val n = deg.count().toDouble
     var ranks = deg.select($"src".as("node"), lit(1.0 / n).as("r"))
     val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (it <- 1 to iters) {
-      // Fold outdeg into the node-count-sized rank frame FIRST (broadcast
-      // join between two |V|-row frames), so only one weight per edge
-      // flows into the partial aggregate on dst — never an edge-sized
-      // three-way join. The per-round frame is lazily localCheckpoint'd
-      // (the connectedComponents pattern): round k's broadcast reads
-      // round k-1 from materialized blocks instead of recomputing the
-      // whole iteration chain, which is the difference between O(iters)
-      // and O(iters²) total work.
-      val weights = ranks.join(deg, $"node" === $"src")
-        .select($"node".as("w_node"), ($"r" / $"outdeg").as("w"))
       // The LAST round checkpoints eagerly: that one action materializes
       // the whole chain, after which the edge/degree caches and the
       // intermediate rounds' checkpoint blocks can be released HERE —
       // nothing internal outlives the returned frame (VERDICT r14 #3; at
       // production scale the terminal sink write is this materialization).
-      ranks = e.join(weights, $"src" === $"w_node")
-        .groupBy($"dst")
-        .agg(sum($"w").as("contrib"))
-        .select($"dst".as("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * $"contrib").as("r"))
-        .localCheckpoint(it == iters)
+      ranks = pagerankRound(e, deg, ranks, n, damping, eager = it == iters)
       if (it < iters) rounds += ranks
     }
     e.unpersist()
     deg.unpersist()
     rounds.foreach(
       org.apache.spark.sql.graft.SparkInternals.releaseCheckpointBlocks)
-    ranks
-      .select($"node", round($"r" * lit(n), 4).as("rank_rel"))
-      .orderBy($"node")
+    rankRel(ranks, n)
   }
 
   /** Early-stopping PageRank (VERDICT r17 #7): [[pagerank]]'s iteration
@@ -162,44 +193,30 @@ object Graph {
       maxIters: Int = 50, damping: Double = 0.85): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges
-      .repartition($"src")
-      .sortWithinPartitions($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy($"src")
-      .agg(count(lit(1)).cast("double").as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, deg) = pagerankSetup(edges)
     val n = deg.count().toDouble
     var ranks = deg.select($"src".as("node"), lit(1.0 / n).as("r"))
       .localCheckpoint(true)
-    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIters && delta >= eps) {
       it += 1
-      val weights = ranks.join(deg, $"node" === $"src")
-        .select($"node".as("w_node"), ($"r" / $"outdeg").as("w"))
-      val next = e.join(weights, $"src" === $"w_node")
-        .groupBy($"dst")
-        .agg(sum($"w").as("contrib"))
-        .select($"dst".as("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * $"contrib").as("r"))
-        .localCheckpoint(true)
+      val next = pagerankRound(e, deg, ranks, n, damping, eager = true)
       // Symmetric graph: every node has in- AND out-edges, so the two
       // rounds' node sets are identical and the inner join is total.
       delta = next
         .join(ranks.select($"node", $"r".as("r_prev")), Seq("node"))
         .agg(sum(abs($"r" - $"r_prev"))).head().getDouble(0)
-      stale += ranks
+      // the delta head() consumed round k−1; release it NOW so at most
+      // two generations of |V|-row checkpoint blocks are ever resident
+      // (the dead-generation class this round's CacheHygiene work is
+      // about — here kept O(1) inside the operator itself)
+      org.apache.spark.sql.graft.SparkInternals.releaseCheckpointBlocks(ranks)
       ranks = next
     }
     e.unpersist()
     deg.unpersist()
-    stale.foreach(
-      org.apache.spark.sql.graft.SparkInternals.releaseCheckpointBlocks)
-    (ranks
-      .select($"node", round($"r" * lit(n), 4).as("rank_rel"))
-      .orderBy($"node"), it)
+    (rankRel(ranks, n), it)
   }
 
   /** [[pagerankConvergedOf]] over the dir's trading graph. */

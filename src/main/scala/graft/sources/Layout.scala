@@ -89,6 +89,15 @@ object Layout {
     * gates and index probes call through here at open time, so a crashed
     * compaction never needs manual surgery. Returns a description of the
     * action taken, or None when the table needed no recovery.
+    *
+    * Concurrency contract (same as [[compactBucketedTable]]'s and the
+    * fold cycle's): ONE compactor per index at a time, and recovery runs
+    * at OPEN, not concurrently with a live swap of the same table — a
+    * recovery racing an in-flight compactor's build would read its
+    * still-live `_compact_tmp` as crash debris. The streaming gates
+    * satisfy this by construction (they compact their own indexes at
+    * fold boundaries, in-session, between batches); an external
+    * compactor must be serialized against the gate by the caller.
     */
   def recoverCompaction(spark: SparkSession, table: String): Option[String] = {
     val tmp = s"${table}_compact_tmp"
@@ -165,7 +174,10 @@ object Layout {
      else w).saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.sql(s"DROP TABLE $old")
+    // IF EXISTS: a recovery that ran in the instant between the promote
+    // and this drop has already removed the old copy — completing the
+    // swap must not abort on its last, purely-cosmetic step
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     // refresh THIS session's relation cache over the rewritten files.
     // Cross-session contract (same as any externally-rewritten table,
     // appends included): other sessions that have already read the table

@@ -33,8 +33,14 @@ def main():
     r = load(ref) if ref else None
     qs = sorted(set(k["queries_min"]) & set(f["queries_min"]))
     per = {}
+    failed = []
     for q in qs:
         km, fm = k["queries_min"][q], f["queries_min"][q]
+        # Bench records a failed query as -1.0; a sentinel must be flagged,
+        # never mixed into ratios/totals as a negative "speedup"
+        if km < 0 or fm < 0:
+            failed.append({"query": q, "keep_min": km, "free_min": fm})
+            continue
         e = {"keep_min": km, "free_min": fm,
              "free_over_keep": round(fm / km, 3) if km > 0 else None,
              "shuffle_keep_mb": k["shuffle_mb"].get(q),
@@ -57,6 +63,7 @@ def main():
         "total_min_keep": k.get("total_min"),
         "total_min_free": f.get("total_min"),
         "weak_queries": {q: per[q] for q in WEAK if q in per},
+        "failed_queries": failed,
         "queries": per,
     }
     with open(out, "w") as fh:

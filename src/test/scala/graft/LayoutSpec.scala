@@ -176,6 +176,41 @@ class LayoutSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("semanticDelta follows a cross-session reindex that changed the " +
+      "plane count (the _vecmeta staleness the r18 self-review found)") {
+    Seq("xs_sem_vecs", "xs_sem_vecmeta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = GenCorpus.generateEmbeddings(spark, 400)
+    operators.Dedup.writeSemanticIndex(corpus, "xs_sem", planes = 12)
+    // probes are EXACT copies of 10 corpus vectors under fresh ids: an
+    // exact copy always shares its source's bucket WITHIN one plane
+    // family, but a 12-plane signature and a 14-plane signature of the
+    // same vector are different bucket values — so probing with a stale
+    // plane count yields ZERO hits, which is exactly the silent failure
+    // mode being pinned
+    val probe = corpus.filter($"vec_id" < 10)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+    assert(operators.Dedup
+      .semanticDelta(spark, "xs_sem", probe, minCos = 0.999).count() >= 10,
+      "pre-reindex probe must hit its exact sources")
+    // ANOTHER session reindexes the same corpus with a different family:
+    // both _vecs and _vecmeta are Overwritten — files replaced under
+    // this session's cached listings
+    val other = spark.newSession()
+    operators.Dedup.writeSemanticIndex(
+      GenCorpus.generateEmbeddings(other, 400), "xs_sem", planes = 14)
+    // probe from the ORIGINAL session: the open-time refresh must cover
+    // the _vecmeta sidecar too, so the probe addresses the NEW 14-plane
+    // family (the pre-fix catch-all fallback silently probed p=12 -> 0
+    // hits, every near-dup admitted)
+    val got = operators.Dedup
+      .semanticDelta(spark, "xs_sem", probe, minCos = 0.999).count()
+    assert(got >= 10,
+      s"post-reindex probe must address the new plane family, hits=$got")
+    Seq("xs_sem_vecs", "xs_sem_vecmeta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("keyword store prefix search prunes to one partition and pushes the predicate") {
     val out = Files.createTempDirectory("graft_kws_").toString + "/keywords"
     val stats = Seq(

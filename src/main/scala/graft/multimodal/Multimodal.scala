@@ -301,6 +301,15 @@ object Multimodal {
     * instance ships in the task closure — one SPI, any decoder.
     */
   def decodeFeaturesOf(mediaDf: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = MediaCodec.default): DataFrame =
+    decodeFeaturesUnsorted(mediaDf, batchSize, codec).orderBy("doc_id")
+
+  /** [[decodeFeaturesOf]] WITHOUT the m01 output contract's global sort —
+    * the composition form: a consumer that aggregates or joins the
+    * features (m03) destroys row order immediately, so the sort exchange
+    * is pure cost there. m01 keeps the sorted wrapper.
+    */
+  def decodeFeaturesUnsorted(mediaDf: DataFrame, batchSize: Int = 64,
       codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
@@ -315,7 +324,6 @@ object Multimodal {
       }
     }.toDF("doc_id", "kind", "n_bytes", "content_hash",
         "width", "height", "n_frames", "mean_luma")
-      .orderBy("doc_id")
   }
 
   /** Batch-boundary trace for specs/probes: which (partition, batch)
@@ -351,16 +359,23 @@ object Multimodal {
     * the decode stage; the plan computes the target geometry every
     * image-pipeline needs before batching decode work by output size).
     */
-  def resizePlan(features: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
-    import features.sparkSession.implicits._
+  def resizePlan(features: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame =
+    features.select(resizeColumns(maxW, maxH): _*)
+
+  /** The [[resizePlan]] projection as columns, so a composing query (m03)
+    * can append further per-doc columns in the SAME projection instead of
+    * self-joining two projections of the decode frame (which recomputes
+    * the decode on both join sides — Catalyst does no cross-join-side CSE).
+    */
+  private def resizeColumns(maxW: Int, maxH: Int): Seq[org.apache.spark.sql.Column] = {
     val scale = least(
-      lit(maxW.toDouble) / $"width",
-      lit(maxH.toDouble) / $"height",
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
       lit(1.0))
-    features.select($"doc_id", $"width", $"height",
+    Seq(col("doc_id"), col("width"), col("height"),
       round(scale, 6).as("scale"),
-      greatest(floor($"width" * scale), lit(1)).cast("int").as("out_w"),
-      greatest(floor($"height" * scale), lit(1)).cast("int").as("out_h"))
+      greatest(floor(col("width") * scale), lit(1)).cast("int").as("out_w"),
+      greatest(floor(col("height") * scale), lit(1)).cast("int").as("out_h"))
   }
 
   /** m02: per-kind asset statistics over the binary media table — the
@@ -449,10 +464,23 @@ object Multimodal {
     */
   def framePlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val f = decodeFeatures(s, dir)
-    val frames = frameSamplePlan(f)
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_sampled_frames"))
-    resizePlan(f).join(frames, Seq("doc_id")).orderBy($"doc_id")
+    // ONE unsorted decode pass (was: decodeFeatures — whose m01 contract
+    // ends in a global orderBy — consumed TWICE, once under resizePlan
+    // and once under frameSamplePlan, so the payload decode and its sort
+    // both ran 2x per query), and the sampled-frame count in CLOSED FORM:
+    // |sequence(0, n_frames-1, everyN)| = floor((n_frames-1)/everyN) + 1
+    // for n_frames >= 1 (every codec in the SPI returns >= 1 frame; the
+    // explode-and-count form crashes outright on n_frames < 1, so the
+    // closed form is total where the old one was defined). That removes
+    // the explode + repartition + groupBy + self-join — m03 is now decode
+    // + project + the output sort. MultimodalSpec pins this equal to the
+    // composed frameSamplePlan rollup row-for-row.
+    val f = decodeFeaturesUnsorted(mediaTable(s, dir))
+    val everyN = 2
+    f.select(resizeColumns(256, 256) :+
+        (floor(($"n_frames" - 1) / everyN) + 1).cast("long")
+          .as("n_sampled_frames"): _*)
+      .orderBy($"doc_id")
   }
 
   /** m05: decode-batch packing — assign every asset to a fixed-byte-budget

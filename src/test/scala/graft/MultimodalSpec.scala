@@ -85,6 +85,32 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.count() == expected)
   }
 
+  test("m03 closed-form frame count equals the composed rollup row-for-row") {
+    // r18 optimization pin: framePlan computes n_sampled_frames as
+    // floor((n_frames-1)/everyN)+1 in the SAME projection as the resize
+    // geometry (one decode pass, no explode/join). This must equal the
+    // pre-optimization composition — resizePlan ⋈ frameSamplePlan-rollup —
+    // exactly, on every row.
+    val f = Multimodal.decodeFeatures(spark, sf)
+    val frames = Multimodal.frameSamplePlan(f, everyN = 2)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sampled_frames"))
+    val composed = Multimodal.resizePlan(f).join(frames, Seq("doc_id"))
+      .orderBy($"doc_id").collect()
+    val got = Multimodal.framePlan(spark, sf).collect()
+    assert(got.length == composed.length)
+    got.zip(composed).foreach { case (g, c) =>
+      assert(g.getAs[Long]("doc_id") == c.getAs[Long]("doc_id"))
+      assert(g.getAs[Long]("n_sampled_frames") ==
+        c.getAs[Long]("n_sampled_frames"),
+        s"doc ${g.getAs[Long]("doc_id")}: closed form " +
+          s"${g.getAs[Long]("n_sampled_frames")} != exploded count " +
+          s"${c.getAs[Long]("n_sampled_frames")}")
+      assert(g.getAs[Double]("scale") == c.getAs[Double]("scale") &&
+        g.getAs[Int]("out_w") == c.getAs[Int]("out_w") &&
+        g.getAs[Int]("out_h") == c.getAs[Int]("out_h"))
+    }
+  }
+
   test("m05 decode pack covers every asset once within byte budgets") {
     val budget = 2048L
     val media = Multimodal.mediaTable(spark, sf)

@@ -640,7 +640,17 @@ object Multimodal {
   /** Core of [[phashNearDup]] over any media-record frame. */
   def phashNearDupOf(mediaDf: DataFrame, maxHamming: Int = 8,
       maxBucket: Int = 64, batchSize: Int = 64,
-      codec: MediaCodec = MediaCodec.default): DataFrame = {
+      codec: MediaCodec = MediaCodec.default): DataFrame =
+    phashNearDupPairs(mediaDf, maxHamming, maxBucket, batchSize, codec)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[phashNearDupOf]] WITHOUT the m06 output contract's global sort —
+    * the composition form (m07 feeds the pairs straight into connected
+    * components, which destroys order immediately; the sort exchange is
+    * pure cost there).
+    */
+  private def phashNearDupPairs(mediaDf: DataFrame, maxHamming: Int,
+      maxBucket: Int, batchSize: Int, codec: MediaCodec): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
     val bucketed = phashBanded(mediaDf, batchSize, codec)
@@ -658,7 +668,6 @@ object Multimodal {
         bit_count($"ph_a".bitwiseXOR($"ph_b")).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter($"hamming" <= maxHamming)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Observability for m06's bucket cap — the (kind, band, band_bits)
@@ -700,7 +709,8 @@ object Multimodal {
       maxBucket: Int = 64, codec: MediaCodec = MediaCodec.default): DataFrame = {
     val s = mediaDf.sparkSession
     import s.implicits._
-    val pairs = phashNearDupOf(mediaDf, maxHamming, maxBucket, codec = codec)
+    val pairs = phashNearDupPairs(mediaDf, maxHamming, maxBucket,
+        batchSize = 64, codec = codec)
       .select($"doc_a", $"doc_b")
     val cc = graft.operators.Dedup.connectedComponents(pairs)
     val clustered = mediaDf.select($"doc_id", $"kind", $"n_bytes")

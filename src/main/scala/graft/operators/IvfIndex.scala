@@ -37,8 +37,14 @@ object IvfIndex {
     import s.implicits._
     // structurallyUsable: a NULL-component vector crashes the typed
     // Seq[Double] collect (hostile-gate finding) — see VectorFunctions
+    // Persisted for the training loop: every Lloyd iteration is its own
+    // action, and without the cache each one replays the input lineage
+    // from the scan (for PQ training that lineage includes the coarse
+    // assign + residual subtraction). Values are unchanged — same rows,
+    // same fold order — only the replays go away; released before return.
     val v = vectors.filter(structurallyUsable($"embedding"))
       .select($"vec_id", asDouble($"embedding").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var centroids: Seq[(Int, Seq[Double])] = v
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
@@ -63,6 +69,7 @@ object IvfIndex {
         .agg(vecMean($"v").as("centroid"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
+    v.unpersist()
     centroids
   }
 
@@ -87,7 +94,12 @@ object IvfIndex {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val centroids = train(emb, clusters, iters)
+    // Persisted: the final join reads `indexed` on BOTH sides (queries +
+    // members), so without the cache the scan + argmax assignment runs
+    // twice inside the one search job. Caller owns the lifecycle (the
+    // Bench/Verify clearCache() convention).
     val indexed = assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val queries = indexed.filter($"vec_id" < queryBound)
       .select($"vec_id".as("query_id"), $"v".as("qv"))

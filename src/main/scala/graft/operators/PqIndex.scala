@@ -57,8 +57,13 @@ object PqIndex {
     // collect (hostile-gate finding) — same contract as IvfIndex.train.
     // dim is inferred from the FILTERED frame too: an all-NULL embedding
     // at head() would NPE the getInt before the filter ever ran
+    // Persisted for the joint-Lloyd loop (the IvfIndex.train rationale):
+    // dim probe + seed collect + every iteration each replay the input
+    // lineage otherwise — for knnPq that lineage is scan → coarse assign
+    // → residual per action. Released before return.
     val v = vectors.filter(structurallyUsable($"embedding"))
       .select($"vec_id", asDouble($"embedding").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dim = v.select(size($"v")).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m sub-spaces")
     val d = dim / m
@@ -90,6 +95,7 @@ object PqIndex {
           .zipWithIndex.map { case ((_, _, c), i) => (i, c) }.toSeq
       }
     }
+    v.unpersist()
     books
   }
 
@@ -133,7 +139,12 @@ object PqIndex {
     // every lookup below is position-indexed)
     val coarse = IvfIndex.train(emb, coarseK, iters)
       .zipWithIndex.map { case ((_, c), i) => (i, c) }
+    // Persisted: assigned feeds the PQ training loop (via residuals),
+    // the encode pass, AND the cluster_id join below — 4+ actions that
+    // otherwise each replay scan + coarse argmax. Caller owns the
+    // lifecycle (the Bench/Verify clearCache() convention).
     val assigned = IvfIndex.assign(emb, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val resid = residuals(assigned, coarse)
     val books = train(resid, m, kCode, iters)
     val indexed = encode(resid, books)

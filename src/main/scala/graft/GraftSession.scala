@@ -26,11 +26,23 @@ object GraftSession {
       .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.ui.enabled", "false")
 
+  /** A/B knobs (guide §3.1/§9, §2.2/§6): shuffled-hash-join preference and
+    * a scan-parallelism floor. Env-parameterized so the bench can measure
+    * both arms without a rebuild; when unset, Spark defaults hold (see
+    * OPTIMIZATION_r18.md for the measured outcome).
+    */
+  private def abKnobs(b: SparkSession.Builder): SparkSession.Builder = {
+    val withSmj = sys.env.get("SPARK_GRAFT_PREFER_SMJ").fold(b)(v =>
+      b.config("spark.sql.join.preferSortMergeJoin", v))
+    sys.env.get("SPARK_GRAFT_MIN_SCAN_PARTS").fold(withSmj)(v =>
+      withSmj.config("spark.sql.files.minPartitionNum", v))
+  }
+
   /** Session for local work with `cpus` cores; registers the graft SQL
     * functions so `graft_*` is available out of the box.
     */
   def local(cpus: Int): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val s = abKnobs(builder(s"local[$cpus]", cpus)).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftExtensions.register(s)
     s

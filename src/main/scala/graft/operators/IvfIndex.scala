@@ -114,7 +114,11 @@ object IvfIndex {
     val members = indexed.select($"cluster_id",
       $"vec_id".as("neighbor_id"), $"v".as("nv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    probes.join(members, Seq("cluster_id"))
+    // broadcast(probes): queries × nprobe rows, bounded by the query
+    // batch at any corpus size — keeps the member side un-shuffled (the
+    // PqIndex.adcTopK rationale; cluster_id has only K distinct values,
+    // the worst possible sort-merge key).
+    broadcast(probes).join(members, Seq("cluster_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cos", cosine($"qv", $"nv"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -333,7 +337,10 @@ object IvfIndex {
     val members = s.read.parquet(path + "/members")
       .select($"cluster_id", $"vec_id".as("neighbor_id"), $"v".as("nv"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    probes.join(members, Seq("cluster_id"))
+    // broadcast(probes): bounded query batch (knnIvf rationale); dynamic
+    // partition pruning on the stored layout still fires — it reuses the
+    // probe broadcast as the pruning subquery (spec-asserted).
+    broadcast(probes).join(members, Seq("cluster_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cos", cosine($"qv", $"nv"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -201,34 +201,33 @@ object PqIndex {
       shortlist: Int): DataFrame = {
     val s = probes.sparkSession
     import s.implicits._
-    val centLit = typedlit(coarse.map(_._2))
-    val d = books.head.head._2.size
-    // ADC against x̂ = c + r̂: dot and reconstructed norm are static sums
-    // of codegen'd sub-expressions over element_at of literal codebooks
-    def cSub(sub: Int) =
-      slice(element_at(centLit, $"cluster_id" + 1), sub * d + 1, d)
-    def rSub(sub: Int) =
-      element_at(typedlit(books(sub).map(_._2)),
-        element_at($"code", sub + 1) + 1)
-    val adcDot = books.indices.map { sub =>
-      dot(slice($"qv", sub * d + 1, d), cSub(sub)) +
-        dot(slice($"qv", sub * d + 1, d), rSub(sub))
-    }.reduce(_ + _)
-    val recNormSq = books.indices.map { sub =>
-      dot(cSub(sub), cSub(sub)) +
-        lit(2.0) * dot(cSub(sub), rSub(sub)) +
-        dot(rSub(sub), rSub(sub))
-    }.reduce(_ + _)
+    // ADC against x̂ = c + r̂, as ONE fused expression (PqAdcCosine): the
+    // former composed form — 8 sub-spaces × 5 DotProducts over per-row
+    // slice/element_at arrays against ~2 MB of codebook literals — was
+    // the measured search bottleneck (sf1: candidate join 0.40 s, join +
+    // composed score 2.7–4.5 s). Arithmetic is bit-identical term by
+    // term in the same fold order (SimilaritySpec parity pin).
     val wAdc = Window.partitionBy($"query_id").orderBy($"adc".desc, $"neighbor_id")
-    val cand = probes
+    // broadcast(probes): queries × nprobe rows, bounded by the query
+    // batch at ANY corpus size. Left to estimates this planned as a
+    // SortMergeJoin that exchanged + sorted the corpus-sized code table
+    // on cluster_id — a 16-distinct-value key (PLANS_r18 s06 node 31).
+    val cand = broadcast(probes)
       .join(members, Seq("cluster_id"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("adc", adcDot / (sqrt(normSq($"qv")) * sqrt(recNormSq)))
+      .withColumn("adc",
+        org.apache.spark.sql.graft.GraftFunctions.pq_adc_cosine(
+          $"qv", $"cluster_id", $"code",
+          coarse.map(_._2), books.map(_.map(_._2))))
       .withColumn("arn", row_number().over(wAdc))
       .filter($"arn" <= shortlist)
       .select($"query_id", $"qv", $"neighbor_id")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    cand
+    // broadcast(cand): ≤ queries × shortlist rows — bounded by the query
+    // batch, so the corpus-sized raw store is never shuffled for the
+    // re-rank regardless of scale (estimates flip this join to SMJ at
+    // larger SFs).
+    broadcast(cand)
       .join(raw, "neighbor_id")
       .withColumn("cos", cosine($"qv", $"nv"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GenericInternalRow, QuaternaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, GenericInternalRow, QuaternaryExpression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -1476,6 +1476,92 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** s06's ADC cosine, fused: the asymmetric-distance score of a query
+  * against the reconstructed vector x̂ = coarse_centroid + decode(code),
+  * computed in one tight loop per candidate row instead of the composed
+  * 40-node column expression it replaces (8 sub-spaces × 5 DotProducts,
+  * each over a freshly materialized `slice`/`element_at` array — measured
+  * at sf1: the candidate join alone 0.40 s, join + composed ADC score
+  * 2.7–4.5 s; the per-row slice allocations and repeated codebook
+  * element_at walks were the stage).
+  *
+  * BIT-IDENTICAL arithmetic to the composed form, term by term, in the
+  * same order (DedupSpec-style parity pinned in SimilaritySpec):
+  *   adcDot  = Σ_sub [dot(qv_sub, c_sub) + dot(qv_sub, r_sub)]   (left fold)
+  *   recNorm = Σ_sub [(dot(c,c) + 2·dot(c,r)) + dot(r,r)]        (left fold)
+  *   adc     = adcDot / (sqrt(dot(qv,qv)) · sqrt(recNorm))
+  * Each dot is DotProduct's sequential accumulate; the fold seeds from
+  * the sub-0 term exactly like `reduce(_ + _)` (a 0.0-seeded loop would
+  * turn a −0.0 first term into +0.0 — a different double whose sign can
+  * flip a row_number tie downstream).
+  *
+  * Also removes the 24 × (kCode·d)-double codebook literals from the
+  * plan tree — the matrices ride on the expression instance, so plan
+  * analysis, canonicalization, and explain strings stop walking ~2 MB of
+  * literal arrays per query.
+  */
+case class PqAdcCosine(qv: Expression, clusterId: Expression,
+    code: Expression, centroids: Seq[Seq[Double]],
+    books: Seq[Seq[Seq[Double]]])
+    extends TernaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && books.nonEmpty)
+  override def first: Expression = qv
+  override def second: Expression = clusterId
+  override def third: Expression = code
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType, ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val d: Int = bookArr(0)(0).length
+
+  override def nullSafeEval(q: Any, cid: Any, cd: Any): Any = {
+    val v = q.asInstanceOf[ArrayData]
+    val c = centArr(cid.asInstanceOf[Int])
+    val codes = cd.asInstanceOf[ArrayData]
+    val m = bookArr.length
+    val n = v.numElements()
+    // dot(qv, qv) — full-vector sequential accumulate (DotProduct order)
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    var adcDot = 0.0
+    var rec = 0.0
+    var sub = 0
+    while (sub < m) {
+      val r = bookArr(sub)(codes.getInt(sub))
+      val off = sub * d
+      var dotQC = 0.0; var dotQR = 0.0; var dotCC = 0.0
+      var dotCR = 0.0; var dotRR = 0.0
+      var j = 0
+      while (j < d) {
+        val qj = v.getDouble(off + j); val cj = c(off + j); val rj = r(j)
+        dotQC += qj * cj; dotQR += qj * rj
+        dotCC += cj * cj; dotCR += cj * rj; dotRR += rj * rj
+        j += 1
+      }
+      val aTerm = dotQC + dotQR
+      val rTerm = (dotCC + 2.0 * dotCR) + dotRR
+      if (sub == 0) { adcDot = aTerm; rec = rTerm }
+      else { adcDot += aTerm; rec += rTerm }
+      sub += 1
+    }
+    adcDot / (math.sqrt(vn) * math.sqrt(rec))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcCosine", this,
+      classOf[PqAdcCosine].getName)
+    nullSafeCodeGen(ctx, ev, (q, cid, cd) =>
+      s"""${ev.value} = ((java.lang.Double) $ref.nullSafeEval($q,
+         |  java.lang.Integer.valueOf($cid), $cd)).doubleValue();""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(qv = f, clusterId = s, code = t)
+}
+
 /** Keep the first token of each adjacent run of equal tokens (boilerplate
   * collapse, t16). One tight walk per row. The indexed-lambda HOF form
   * (`filter(toks, (x, i) -> x != element_at(toks, i))`) re-evaluates the
@@ -1891,6 +1977,9 @@ object GraftFunctions {
     col(TokenProfileCounts(e(text), profiles))
   def nearest_centroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     col(NearestCentroid(e(v), centroids.map(_._1), centroids.map(_._2)))
+  def pq_adc_cosine(qv: Column, clusterId: Column, code: Column,
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Column =
+    col(PqAdcCosine(e(qv), e(clusterId), e(code), centroids, books))
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
   def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))

@@ -170,6 +170,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PqAdcCosine fused expression is bit-identical to the composed " +
+      "slice/element_at ADC column") {
+    // r18 optimization pin: the fused per-row loop must reproduce the
+    // former composed expression EXACTLY (same dots, same fold order) —
+    // java.lang.Double.doubleToRawLongBits-level equality via ===.
+    import org.apache.spark.sql.graft.GraftFunctions
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = graft.operators.IvfIndex.train(emb, 8, 1)
+      .zipWithIndex.map { case ((_, c), i) => (i, c) }
+    val assigned = graft.operators.IvfIndex.assign(emb, coarse)
+    val centLit = typedlit(coarse.map(_._2))
+    val resid = assigned.select($"vec_id",
+      zip_with($"v", element_at(centLit, $"cluster_id" + 1),
+        (a, b) => a - b).as("embedding"), $"cluster_id")
+    val books = graft.operators.PqIndex.train(resid, m = 8, k = 16, iters = 1)
+    val coded = graft.operators.PqIndex.encode(resid, books)
+      .join(assigned.select($"vec_id", $"cluster_id", $"v".as("qv")), "vec_id")
+    val d = books.head.head._2.size
+    import graft.functions.VectorFunctions.{dot, normSq}
+    def cSub(sub: Int) =
+      slice(element_at(centLit, $"cluster_id" + 1), sub * d + 1, d)
+    def rSub(sub: Int) =
+      element_at(typedlit(books(sub).map(_._2)),
+        element_at($"code", sub + 1) + 1)
+    val adcDot = books.indices.map { sub =>
+      dot(slice($"qv", sub * d + 1, d), cSub(sub)) +
+        dot(slice($"qv", sub * d + 1, d), rSub(sub))
+    }.reduce(_ + _)
+    val recNormSq = books.indices.map { sub =>
+      dot(cSub(sub), cSub(sub)) +
+        lit(2.0) * dot(cSub(sub), rSub(sub)) +
+        dot(rSub(sub), rSub(sub))
+    }.reduce(_ + _)
+    val both = coded
+      .withColumn("composed",
+        adcDot / (sqrt(normSq($"qv")) * sqrt(recNormSq)))
+      .withColumn("fused", GraftFunctions.pq_adc_cosine(
+        $"qv", $"cluster_id", $"code",
+        coarse.map(_._2), books.map(_.map(_._2))))
+    assert(both.count() > 0)
+    val diff = both.filter(!($"composed" === $"fused") &&
+      !(isnan($"composed") && isnan($"fused")))
+    assert(diff.count() == 0,
+      s"fused ADC diverges from composed on: ${diff.take(3).mkString(";")}")
+  }
+
   test("lsh sims match brute sims where pairs overlap") {
     val b = Similarity.knnBrute(spark, sf)
       .select($"query_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]

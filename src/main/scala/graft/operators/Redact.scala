@@ -53,18 +53,28 @@ object Redact {
     * `n_<rule>` count column per rule (matches seen at that rule's turn,
     * i.e. after all earlier rules have already rewritten the text) and
     * `redacted`, the fully-scrubbed text. Map-only; no shuffle.
+    *
+    * The chain runs as ONE fused expression (`redact_chain`) that counts
+    * while it rewrites — R matcher walks total instead of the composed
+    * `regexp_count` + `regexp_replace` pair's 2R (each a full scan of
+    * the same text). CollapseProject keeps the struct materialized once:
+    * it never inlines a non-cheap producer referenced more than once, so
+    * the field reads below stay field reads. RedactSpec pins the fused
+    * output field-equal to the composed pair.
     */
   def redactOf(df: DataFrame, textCol: String,
       rules: Seq[RedactRule] = piiRules): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       s"duplicate rule names in ${rules.map(_.name)}")
-    rules.foldLeft(df.withColumn("redacted", col(textCol))) { (d, r) =>
-      d.withColumn(s"n_${r.name}",
-          regexp_count(col("redacted"), lit(r.pattern)))
-        .withColumn("redacted",
-          regexp_replace(col("redacted"), r.pattern, r.repl))
-    }
+    val chained = df.withColumn("_rc",
+      org.apache.spark.sql.graft.GraftFunctions.redact_chain(
+        col(textCol), rules.map(_.pattern), rules.map(_.repl)))
+    rules.zipWithIndex.foldLeft(chained) { case (d, (r, i)) =>
+        d.withColumn(s"n_${r.name}", col("_rc").getField("ns").getItem(i))
+      }
+      .withColumn("redacted", col("_rc").getField("s"))
+      .drop("_rc")
   }
 
   /** Rules that hit the synthetic corpus (dictionary entities + operator

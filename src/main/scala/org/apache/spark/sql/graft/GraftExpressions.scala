@@ -1476,6 +1476,68 @@ case class NearestCentroid(child: Expression, ids: Seq[Int],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The whole sequential redaction chain in ONE expression:
+  * struct(ns: array<int>, s: string) — per-rule match counts and the
+  * fully-rewritten text. The composed form paid two full regex scans per
+  * rule (`regexp_count` + `regexp_replace` over the same input) plus a
+  * UTF8String→String→UTF8String round-trip between every pair of
+  * expressions; this runs the identical engine (java.util.regex — the
+  * same `while (find) appendReplacement` walk as Spark's
+  * RegExpReplace/RegExpCount, patterns compiled with the same default
+  * flags) once per rule over the progressively rewritten Java string,
+  * rule i+1 seeing rule i's output exactly as the sequential contract
+  * requires. One expression node also sidesteps any reliance on
+  * subexpression elimination: callers bind the struct once and read
+  * fields. RedactSpec pins field-equality against the composed pair on
+  * planted PII and on the corpus.
+  */
+case class RedactChain(child: Expression, patterns: Seq[String],
+    repls: Seq[String]) extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.size == repls.size,
+    s"need matched pattern/repl lists, got ${patterns.size}/${repls.size}")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("ns", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("s", StringType, nullable = false)))
+
+  @transient private lazy val compiled =
+    patterns.map(java.util.regex.Pattern.compile).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    var s = input.asInstanceOf[UTF8String].toString
+    val ns = new Array[Int](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val m = compiled(i).matcher(s)
+      var n = 0
+      val sb = new java.lang.StringBuffer
+      // raw replacement, NOT Matcher.quoteReplacement: Spark's
+      // RegExpReplace passes the replacement through appendReplacement
+      // unquoted ($n group references work, a stray $ throws) — this
+      // must behave identically for any rule a caller writes.
+      while (m.find()) { n += 1; m.appendReplacement(sb, repls(i)) }
+      m.appendTail(sb)
+      ns(i) = n
+      s = sb.toString
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(ns),
+      UTF8String.fromString(s)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("redactChain", this,
+      classOf[RedactChain].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $ref.nullSafeEval($a);""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** s06's ADC cosine, fused: the asymmetric-distance score of a query
   * against the reconstructed vector x̂ = coarse_centroid + decode(code),
   * computed in one tight loop per candidate row instead of the composed
@@ -1980,6 +2042,9 @@ object GraftFunctions {
   def pq_adc_cosine(qv: Column, clusterId: Column, code: Column,
       centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Column =
     col(PqAdcCosine(e(qv), e(clusterId), e(code), centroids, books))
+  def redact_chain(text: Column, patterns: Seq[String],
+      repls: Seq[String]): Column =
+    col(RedactChain(e(text), patterns, repls))
   def collapse_adjacent_repeats(tokens: Column): Column =
     col(CollapseAdjacentRepeats(e(tokens)))
   def token_vocab_stats(text: Column): Column = col(TokenVocabStats(e(text)))

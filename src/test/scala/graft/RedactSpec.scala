@@ -58,6 +58,43 @@ class RedactSpec extends SparkSpec {
     }
   }
 
+  test("fused redact_chain is field-identical to the composed regexp pair") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, lit, regexp_count, regexp_replace}
+    // The pre-r18 composed form: regexp_count + regexp_replace per rule,
+    // each a full scan. The fused expression must reproduce it FIELD FOR
+    // FIELD — counts, rewritten text, nulls — on the real corpus and on
+    // hostile strings, including a $-group-reference replacement (Spark's
+    // RegExpReplace passes replacements through appendReplacement raw).
+    def composed(df: DataFrame, rules: Seq[RedactRule]): DataFrame =
+      rules.foldLeft(df.withColumn("redacted", col("text"))) { (d, r) =>
+        d.withColumn(s"n_${r.name}",
+            regexp_count(col("redacted"), lit(r.pattern)))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), r.pattern, r.repl))
+      }
+    val hostile = Seq(
+      (9001L, null.asInstanceOf[String]),
+      (9002L, ""),
+      (9003L, "价格 123-45 єmail@пошта.укр \\ $5 end"),
+      (9004L, "a@b.io 1.2.3.4 123-45-6789 +1 415 555 2671")
+    ).toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").unionAll(hostile)
+    val rulesets = Seq(
+      Redact.piiRules, Redact.corpusRules,
+      Seq(RedactRule("swap", "([0-9]+)-([0-9]+)", "$2_$1")))
+    for (rules <- rulesets) {
+      val cols = (Seq("doc_id") ++ rules.map(r => s"n_${r.name}") ++
+        Seq("redacted")).map(col)
+      val a = Redact.redactOf(corpus, "text", rules)
+        .select(cols: _*).orderBy($"doc_id").collect().toSeq
+      val b = composed(corpus, rules)
+        .select(cols: _*).orderBy($"doc_id").collect().toSeq
+      assert(a == b, s"fused != composed for ${rules.map(_.name)}")
+    }
+  }
+
   test("t23 corpus query: counts vary, email column is all-zero, digests stable") {
     val out = Redact.piiRedact(spark, sf).collect()
     assert(out.length == 500)
